@@ -1,0 +1,305 @@
+"""Deduplication operators (SURVEY.md §2.3: op16-op18) plus the
+LLM-data-pipeline near-duplicate family (exact-hash, MinHash-LSH,
+SimHash, n-gram Jaccard, embedding-cosine).
+
+Scale notes baked into each operator's shape:
+- exact/keyed dedup is one hash shuffle on the key — the minimum possible.
+- near-dup families all follow the same blueprint: cheap per-row
+  signature (narrow map, no shuffle) -> bucket key -> equi-join within
+  buckets (hash shuffle on bucket) -> verify pair -> connected pick.
+  That turns O(n^2) similarity into O(n·bucket_width), the same trick as
+  the reference's prefix blocking (entity_matching_tfidf.py:159-160)
+  generalized to hash families with collision guarantees.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.functions.similarity import normalize_name
+
+
+def dedup_full(df: DataFrame) -> DataFrame:
+    """op16 — full-row distinct (reference: clean_abr.py:34)."""
+    return df.dropDuplicates()
+
+
+def dedup_keyed(
+    df: DataFrame,
+    keys: Sequence[str],
+    tiebreak: Sequence[Column] | None = None,
+) -> DataFrame:
+    """op17 — keyed dedup, keep-first.
+
+    reference: clean_abr.py:35 (by abn), clean_common_crawl.py:29
+    (by website_url+company_name).
+
+    The reference's keep-"first" depends on pandas iteration order; here
+    the survivor is defined by an explicit ``tiebreak`` ordering so the
+    result is deterministic (SURVEY §7.4). Without a tiebreak this
+    degrades to ``dropDuplicates(keys)`` (any survivor — cheapest plan,
+    fine when the caller doesn't care which row wins).
+    """
+    if tiebreak is None:
+        return df.dropDuplicates(list(keys))
+    w = Window.partitionBy(*keys).orderBy(*tiebreak)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def dedup_best(
+    df: DataFrame,
+    keys: Sequence[str],
+    score_col: str,
+    tiebreak: Sequence[Column] = (),
+) -> DataFrame:
+    """op18 — best-record dedup: highest score wins per key.
+
+    reference: entity_matching_tfidf.py:121-137 — the UPSERT keeps the
+    greater ``match_confidence`` (predicate at :134). Extra ``tiebreak``
+    columns make equal-score survivors deterministic.
+    """
+    order = [F.col(score_col).desc(), *tiebreak]
+    return dedup_keyed(df, keys, order)
+
+
+# --- LLM-pipeline near-duplicate family ----------------------------------
+
+
+def with_text_fingerprint(
+    df: DataFrame, text_col: str, *, out_col: str = "fingerprint"
+) -> Column | DataFrame:
+    """Exact-dup fingerprint: md5 over whitespace-normalized lowercase text.
+
+    md5 is available in both Spark and DuckDB, so this operator is fully
+    oracle-checkable. One narrow map; dedup on the fingerprint is then a
+    plain keyed dedup (one shuffle).
+    """
+    return df.withColumn(out_col, F.md5(normalize_name(F.col(text_col))))
+
+
+def dedup_exact_text(
+    df: DataFrame, text_col: str, id_col: str
+) -> DataFrame:
+    """Exact near-dup: keep lowest-id representative per fingerprint."""
+    return (
+        with_text_fingerprint(df, text_col)
+        .transform(
+            lambda d: dedup_keyed(d, ["fingerprint"], [F.col(id_col).asc()])
+        )
+        .drop("fingerprint")
+    )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text as array<string>.
+
+    Built from slice/transform over the token array — stays JVM-side.
+    """
+    toks = F.split(normalize_name(col), " ")
+    cnt = F.size(toks) - F.lit(n - 1)
+    idx = F.sequence(F.lit(1), F.greatest(cnt, F.lit(1)))
+    return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
+    )
+
+
+def minhash_signature(
+    col: Column | str, *, num_hashes: int = 32, shingle_n: int = 3
+) -> Column:
+    """MinHash signature as array<bigint> of length ``num_hashes``.
+
+    Hash family: xxhash64 seeded by the hash index (xxhash64(lit(i),
+    shingle)) — JVM-side, no UDF, O(tokens · num_hashes) per row and no
+    shuffle. reference analog: this generalizes the 2-char prefix block
+    (entity_matching_tfidf.py:159) into a collision-probability-
+    controlled bucket key for 100 TB near-dup dedup.
+    """
+    sh = F.array_distinct(shingles(col, shingle_n))
+    return F.array(
+        *[
+            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
+            for i in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-dup pairs via MinHash banding.
+
+    rows -> signature -> (band_id, band_hash) keys -> self-equi-join on
+    the band key -> distinct candidate pairs (a < b). The join is a hash
+    shuffle on band keys; band width (num_hashes/bands) tunes the
+    precision/recall vs shuffle-size tradeoff at scale.
+
+    Returns columns (a_id, b_id) — verification (true Jaccard) is a
+    separate composable step so callers can push extra filters between.
+    """
+    rows_per_band = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"), minhash_signature(F.col(text_col), num_hashes=num_hashes, shingle_n=shingle_n).alias("__sig")
+    )
+    banded = sig.select(
+        "__id",
+        F.posexplode(
+            F.array(
+                *[
+                    F.xxhash64(
+                        *[F.col("__sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("band", "band_hash"),
+    )
+    left = banded.alias("l")
+    right = banded.alias("r")
+    return (
+        left.join(
+            right,
+            on=[
+                F.col("l.band") == F.col("r.band"),
+                F.col("l.band_hash") == F.col("r.band_hash"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(F.col("l.__id").alias("a_id"), F.col("r.__id").alias("b_id"))
+        .distinct()
+    )
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of normalized token set, pure expressions.
+
+    Per token t: h = xxhash64(t). For each bit position b, sum +1/-1
+    over tokens by bit value; sign of the sum gives the output bit.
+    Implemented as 64 aggregate expressions over the token array —
+    JVM-side, no UDF, no shuffle.
+    """
+    toks = F.array_distinct(F.split(normalize_name(col), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+
+    bit_cols = []
+    for b in range(64):
+        # count of tokens with bit b set, vs total
+        ones = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
+        )
+        total = F.size(toks).cast("long")
+        bit = (ones * 2 > total).cast("long")
+        bit_cols.append(F.shiftleft(bit, b))
+    out = bit_cols[0]
+    for c in bit_cols[1:]:
+        out = out.bitwiseOR(c)
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    """Hamming distance between two 64-bit simhashes (bit_count of xor)."""
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_candidate_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """SimHash near-dup candidates via the pigeonhole block trick.
+
+    Split the 64-bit hash into ``blocks`` chunks; two hashes within
+    ``max_hamming <= blocks-1`` must agree on at least one chunk, so a
+    self-join per chunk finds all candidates with equi-join cost.
+    Verify with true hamming distance after the join.
+    """
+    width = 64 // blocks
+    sig = df.select(F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sh"))
+    chunked = sig.select(
+        "__id",
+        "__sh",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sh"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    return (
+        l.join(
+            r,
+            on=[
+                F.col("l.chunk_id") == F.col("r.chunk_id"),
+                F.col("l.chunk") == F.col("r.chunk"),
+                F.col("l.__id") < F.col("r.__id"),
+            ],
+        )
+        .select(
+            F.col("l.__id").alias("a_id"),
+            F.col("r.__id").alias("b_id"),
+            hamming64(F.col("l.__sh"), F.col("r.__sh")).alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def ngram_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard similarity pairs via inverted-index join.
+
+    explode shingles -> self-join on shingle -> count shared shingles
+    per pair -> Jaccard = shared / (|A| + |B| - shared) -> threshold.
+
+    This is the exact (non-approximate) verifier: the join fans out by
+    shingle frequency, so at 100 TB you run minhash_lsh_pairs first and
+    this only on candidates. Fully SQL-expressible -> oracle-checked.
+    """
+    sh = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
+    )
+    sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
+    l, r = sh.alias("l"), sh.alias("r")
+    shared = (
+        l.join(r, on=[F.col("l.sh") == F.col("r.sh"), F.col("l.__id") < F.col("r.__id")])
+        .groupBy(F.col("l.__id").alias("a_id"), F.col("r.__id").alias("b_id"))
+        .agg(F.count("*").alias("shared"))
+    )
+    return (
+        shared.join(sizes.withColumnRenamed("__id", "a_id").withColumnRenamed("sz", "a_sz"), "a_id")
+        .join(sizes.withColumnRenamed("__id", "b_id").withColumnRenamed("sz", "b_sz"), "b_id")
+        .withColumn(
+            "jaccard",
+            F.col("shared").cast("double")
+            / (F.col("a_sz") + F.col("b_sz") - F.col("shared")).cast("double"),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )

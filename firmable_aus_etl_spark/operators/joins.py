@@ -1,0 +1,220 @@
+"""Join-family operators (SURVEY.md §2.4: op19-op25).
+
+The reference's computational heart is fuzzy matching between two
+company tables; every variant reduces here to one builder:
+
+    similarity_join(left, right, block -> equi-join, score, θ, top-k)
+
+Blocking turns the O(n·m) θ-join into a hash-partitioned equi-join —
+exactly what the reference does manually with a thread pool
+(entity_matching_tfidf.py:192-206), but expressed declaratively so
+Catalyst picks the physical join and AQE handles block skew.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.functions.similarity import token_sort_ratio_expr
+from firmable_aus_etl_spark.operators.windows import topk_per_group
+
+Scorer = Callable[[Column, Column], Column]
+
+
+def similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    *,
+    block: Callable[[Column], Column] | None = None,
+    scorer: Scorer = token_sort_ratio_expr,
+    threshold: float = 85.0,
+    k: int = 1,
+    left_id: str | None = None,
+    right_tiebreak: str | None = None,
+    score_col: str = "score",
+    broadcast_right: bool = False,
+) -> DataFrame:
+    """op20 — blocked similarity join, top-k per left row.
+
+    reference: entity_matching_tfidf.py:163-206 (blocked fuzzy match,
+    θ>=85 at :171, top-1 via extractOne at :170).
+
+    - ``block``: expression mapping a key column to its blocking key.
+      None -> cross join (op19 semantics; only for tiny sides).
+    - top-k per left row by (score desc, right_tiebreak asc) — explicit
+      tie-break keeps output deterministic/oracle-hashable.
+    - ``broadcast_right=True`` hints the dim side; at 100 TB a blocked
+      join against a small reference table must not shuffle the fact.
+    """
+    lcols = [F.col(f"l.{c}") for c in left.columns]
+    rcols = [F.col(f"r.{c}") for c in right.columns]
+
+    l = left.alias("l")
+    r = right.alias("r")
+    if broadcast_right:
+        r = F.broadcast(r)
+
+    if block is not None:
+        cond = block(F.col(f"l.{left_key}")) == block(F.col(f"r.{right_key}"))
+        joined = l.join(r, on=cond, how="inner")
+    else:
+        joined = l.crossJoin(r)
+
+    scored = joined.select(
+        *lcols, *rcols, scorer(F.col(f"l.{left_key}"), F.col(f"r.{right_key}")).alias(score_col)
+    ).filter(F.col(score_col) >= threshold)
+
+    if k <= 0:
+        return scored
+    part = [left_id] if left_id else [left_key]
+    order: list[Column] = [F.col(score_col).desc()]
+    if right_tiebreak:
+        order.append(F.col(right_tiebreak).asc())
+    return topk_per_group(scored, part, order, k=k)
+
+
+def nl_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    **kwargs,
+) -> DataFrame:
+    """op19 — unblocked (cross-join) fuzzy θ-join, top-1 per left row.
+
+    reference: entity_matching.py:28-43. Kept for parity and for tiny
+    right sides; the blocked builder is the scale path.
+    """
+    return similarity_join(left, right, left_key, right_key, block=None, **kwargs)
+
+
+def neighbor_blocked_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    *,
+    block_size: int = 2,
+    **kwargs,
+) -> DataFrame:
+    """op21 — prefix-neighborhood blocking.
+
+    reference: entity_matching_optimized.py:84-105 — candidate blocks
+    include those where one block key prefixes the other. Expressed as a
+    coarser 1-char block (superset of the reference's candidate set,
+    same θ-filter downstream so the final answer only gains recall).
+    """
+    coarse = kwargs.pop("block", None) or (
+        lambda c: F.substring(F.lower(F.trim(c)), 1, max(1, block_size - 1))
+    )
+    return similarity_join(left, right, left_key, right_key, block=coarse, **kwargs)
+
+
+def sampled_similarity_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    *,
+    sample_n: int = 1000,
+    threshold: float = 70.0,
+    **kwargs,
+) -> DataFrame:
+    """op23 — sampled best-match join (reference: entity_matching_spark.py:28-58).
+
+    The reference limits the ABR side to 1000 rows then collects to the
+    driver; here the limit stays distributed and the match runs as a
+    broadcast cross join (the sample is small by construction).
+    """
+    sampled = right.limit(sample_n)
+    return similarity_join(
+        left,
+        F.broadcast(sampled),
+        left_key,
+        right_key,
+        block=None,
+        threshold=threshold,
+        **kwargs,
+    )
+
+
+def fk_star_join(
+    fact: DataFrame,
+    dims: Sequence[tuple[DataFrame, str | Column]],
+    *,
+    broadcast_dims: bool = True,
+) -> DataFrame:
+    """op25 — FK resolution joins (reference: sql/schema_postgres.sql:71-73).
+
+    Chains inner equi-joins from a fact table through dimension tables,
+    broadcasting each dim side. At 100 TB the fact never shuffles for
+    dim joins — every hop is a broadcast hash join in the scan stage.
+    """
+    out = fact
+    for dim, on in dims:
+        d = F.broadcast(dim) if broadcast_dims else dim
+        out = out.join(d, on=on, how="inner")
+    return out
+
+
+def merge_upsert(
+    existing: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+    *,
+    tracked: Sequence[str] | None = None,
+    prefer_update_when: Column | None = None,
+) -> DataFrame:
+    """op24/op5 — batch MERGE: Postgres ``INSERT ... ON CONFLICT DO
+    UPDATE ... WHERE changed`` semantics as a full-outer join.
+
+    reference: loadingcsv_topostgre_fast.py:62-76 (CC), :160-183 (ABR);
+    greater-confidence-wins variant entity_matching_tfidf.py:117-140
+    (predicate at :134) via ``prefer_update_when``.
+
+    Semantics per key:
+      - only in existing -> keep existing row
+      - only in updates  -> insert update row
+      - in both          -> take the update iff any tracked column
+        differs null-safely (IS DISTINCT FROM == !(a <=> b)); with
+        ``prefer_update_when`` the update must also satisfy it
+        (e.g. updates.confidence > existing.confidence).
+
+    One full-outer hash join on the key — the minimum shuffle for merge.
+    In production this compiles to Delta/Iceberg MERGE INTO; the
+    DataFrame form is the engine-native equivalent.
+    """
+    cols = existing.columns
+    tracked = list(tracked if tracked is not None else [c for c in cols if c not in keys])
+
+    e = existing.alias("e")
+    u = updates.alias("u")
+    cond = [F.col(f"e.{k}").eqNullSafe(F.col(f"u.{k}")) for k in keys]
+    joined = e.join(u, on=cond, how="full_outer")
+
+    in_update = F.col(f"u.{keys[0]}").isNotNull()
+    in_existing = F.col(f"e.{keys[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(f"e.{c}").eqNullSafe(F.col(f"u.{c}"))
+    take_update = in_update & (~in_existing | changed)
+    if prefer_update_when is not None:
+        take_update = in_update & (~in_existing | (changed & prefer_update_when))
+
+    out_cols = [
+        F.when(take_update, F.col(f"u.{c}")).otherwise(F.col(f"e.{c}")).alias(c)
+        for c in cols
+    ]
+    return joined.select(*out_cols)
+
+
+def insert_only_rows(
+    existing: DataFrame, updates: DataFrame, keys: Sequence[str]
+) -> DataFrame:
+    """op24 insert side as an anti-join (SURVEY §2.4 coverage note)."""
+    return updates.join(existing, on=list(keys), how="left_anti")
