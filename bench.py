@@ -1,0 +1,67 @@
+"""Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Execution is forced with the noop sink (full computation, no driver
+collect) so timings measure the distributed plan, not result transfer.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from firmable_aus_etl_spark.queries import QUERIES  # noqa: E402
+from firmable_aus_etl_spark.session import get_session  # noqa: E402
+
+# Headline set: one per operator family that matters at scale.
+HEADLINE = [
+    "pricing_summary",            # scan + group agg
+    "revenue_by_nation",          # fact + 4 broadcast dim joins
+    "similarity_join_blocked_top1",  # blocked similarity join + window
+    "topk_lineitems_per_order",   # window top-k
+    "merge_upsert_orders",        # full-outer merge
+    "dedup_documents_keyed",      # keyed dedup window
+    "events_json_agg",            # JSON extraction + agg
+    "argmax_order_per_customer",  # map-side argmax agg
+]
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
+    spark = get_session("bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = [n for n in HEADLINE if n in QUERIES]
+    # warm the JVM + parquet footer cache once so per-query numbers
+    # measure plan execution, not first-job startup.
+    QUERIES[names[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    for name in names:
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.time() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

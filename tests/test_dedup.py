@@ -1,0 +1,85 @@
+"""Dedup-family tests: keyed/best-record on planted duplicates, plus the
+near-duplicate family (exact-hash, minhash-LSH, simhash, jaccard)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.operators import dedup
+
+
+def matches_fixture(spark):
+    # FIXTURES.md §B3: same-key rows with differing confidence exercise
+    # greater-confidence-wins (entity_matching_tfidf.py:134).
+    rows = [
+        (1, "11111111111", "acme.au", 0.90),
+        (2, "11111111111", "acme.au", 0.95),   # same key, higher conf
+        (3, "11111111111", "acme.au", 0.95),   # tie -> lowest id wins
+        (4, "22222222222", "beta.au", 0.70),
+    ]
+    return spark.createDataFrame(rows, "id long, abn string, url string, conf double")
+
+
+def test_dedup_full(spark):
+    df = spark.createDataFrame([(1, "a"), (1, "a"), (2, "b")], "id long, v string")
+    assert dedup.dedup_full(df).count() == 2
+
+
+def test_dedup_keyed_deterministic(spark):
+    out = dedup.dedup_keyed(matches_fixture(spark), ["abn", "url"], [F.col("id").asc()])
+    ids = {r.id for r in out.collect()}
+    assert ids == {1, 4}
+
+
+def test_dedup_best_greater_confidence_wins(spark):
+    out = dedup.dedup_best(matches_fixture(spark), ["abn", "url"], "conf", [F.col("id").asc()])
+    rows = {(r.id, r.conf) for r in out.collect()}
+    assert rows == {(2, 0.95), (4, 0.70)}  # id=2 beats id=3 on tiebreak
+
+
+def docs_fixture(spark):
+    base = "the quick brown fox jumps over the lazy dog again and again today"
+    near = "the quick brown fox jumps over the lazy dog again and again tonight"
+    far = "completely different content about spark distributed query engines"
+    rows = [(1, base), (2, base), (3, near), (4, far)]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_text_dedup(spark):
+    out = dedup.dedup_exact_text(docs_fixture(spark), "text", "doc_id")
+    assert {r.doc_id for r in out.collect()} == {1, 3, 4}
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    pairs = dedup.minhash_lsh_pairs(docs_fixture(spark), "doc_id", "text", num_hashes=16, bands=8)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (1, 2) in got          # identical must collide
+    assert (1, 3) in got or (2, 3) in got  # near-dup should collide with wide bands
+    assert (1, 4) not in got and (3, 4) not in got
+
+
+def test_simhash_candidates(spark):
+    pairs = dedup.simhash_candidate_pairs(docs_fixture(spark), "doc_id", "text", max_hamming=3)
+    got = {(r.a_id, r.b_id) for r in pairs.collect()}
+    assert (1, 2) in got
+    assert (1, 4) not in got
+
+
+def test_simhash_identical_zero_hamming(spark):
+    df = docs_fixture(spark).select("doc_id", dedup.simhash64(F.col("text")).alias("sh"))
+    rows = {r.doc_id: r.sh for r in df.collect()}
+    assert rows[1] == rows[2]
+
+
+def test_ngram_jaccard_pairs(spark):
+    pairs = dedup.ngram_jaccard_pairs(docs_fixture(spark), "doc_id", "text", shingle_n=3, threshold=0.5)
+    got = {(r.a_id, r.b_id): r.jaccard for r in pairs.collect()}
+    assert got[(1, 2)] == 1.0
+    assert 0.5 <= got[(1, 3)] < 1.0
+    assert (1, 4) not in got
+
+
+def test_shingles_short_text(spark):
+    df = spark.createDataFrame([("one two",)], ["text"])
+    out = df.select(dedup.shingles("text", 3).alias("sh")).first()
+    assert out.sh == ["one two"]  # shorter than n -> whole text as one shingle

@@ -1,0 +1,120 @@
+"""Join-family tests: blocked similarity matching on reference-shaped
+company fixtures (FIXTURES.md §B1/B2), merge/upsert semantics."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.operators import joins
+
+
+def abr(spark):
+    rows = [
+        (1, "Acme Pty Ltd"),
+        (2, "Beta Industries Pty Ltd"),
+        (3, "Gamma Holdings"),
+        (4, "Acme Pty Limited"),
+    ]
+    return spark.createDataFrame(rows, "abr_id long, abr_name string")
+
+
+def cc(spark):
+    rows = [
+        (10, "acme pty ltd"),        # exact after normalization
+        (11, "Beta Industries"),     # partial
+        (12, "Unrelated Webshop"),
+    ]
+    return spark.createDataFrame(rows, "cc_id long, cc_name string")
+
+
+def test_blocked_similarity_join_top1(spark):
+    out = joins.similarity_join(
+        cc(spark), abr(spark), "cc_name", "abr_name",
+        block=lambda c: F.substring(F.lower(F.trim(c)), 1, 2),
+        threshold=85.0, k=1, left_id="cc_id", right_tiebreak="abr_id",
+    )
+    got = {(r.cc_id, r.abr_id) for r in out.collect()}
+    assert (10, 1) in got            # acme matches Acme Pty Ltd
+    assert all(c != 12 for c, _ in got)  # unrelated stays unmatched
+
+
+def test_nl_similarity_join_no_blocking(spark):
+    out = joins.nl_similarity_join(
+        cc(spark), abr(spark), "cc_name", "abr_name",
+        threshold=60.0, k=1, left_id="cc_id", right_tiebreak="abr_id",
+    )
+    got = {r.cc_id: r.abr_id for r in out.collect()}
+    assert got[10] == 1
+    assert got[11] == 2              # Beta Industries -> Beta Industries Pty Ltd
+
+
+def test_similarity_join_deterministic_tiebreak(spark):
+    # two right rows with identical names -> equal scores; lowest id wins
+    right = spark.createDataFrame([(1, "Acme"), (2, "Acme")], "rid long, rname string")
+    left = spark.createDataFrame([(10, "Acme")], "lid long, lname string")
+    out = joins.nl_similarity_join(
+        left, right, "lname", "rname", threshold=99.0, k=1,
+        left_id="lid", right_tiebreak="rid",
+    )
+    assert [r.rid for r in out.collect()] == [1]
+
+
+def test_fk_star_join(spark):
+    fact = spark.createDataFrame([(1, 100), (2, 200)], "k long, dim_id long")
+    dim = spark.createDataFrame([(100, "x")], "dim_id long, name string")
+    out = joins.fk_star_join(fact, [(dim, "dim_id")])
+    assert out.count() == 1
+
+
+def test_merge_upsert_semantics(spark):
+    existing = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)], "k long, v string, conf double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "b2", 2.5),   # changed -> update
+         (3, "c", 3.0),    # unchanged -> keep existing
+         (4, "d", 4.0)],   # new -> insert
+        "k long, v string, conf double",
+    )
+    out = joins.merge_upsert(existing, updates, ["k"])
+    got = {r.k: (r.v, r.conf) for r in out.collect()}
+    assert got == {1: ("a", 1.0), 2: ("b2", 2.5), 3: ("c", 3.0), 4: ("d", 4.0)}
+
+
+def test_merge_upsert_greater_confidence_wins(spark):
+    # reference: entity_matching_tfidf.py:134 — update only if higher conf
+    existing = spark.createDataFrame([(1, "old", 0.9)], "k long, v string, conf double")
+    lower = spark.createDataFrame([(1, "low", 0.5)], "k long, v string, conf double")
+    higher = spark.createDataFrame([(1, "high", 0.95)], "k long, v string, conf double")
+    keep = joins.merge_upsert(
+        existing, lower, ["k"], prefer_update_when=F.col("u.conf") > F.col("e.conf")
+    )
+    take = joins.merge_upsert(
+        existing, higher, ["k"], prefer_update_when=F.col("u.conf") > F.col("e.conf")
+    )
+    assert keep.first().v == "old"
+    assert take.first().v == "high"
+
+
+def test_merge_upsert_null_safe_change_detection(spark):
+    # NULL -> value and value -> NULL must both count as "changed"
+    existing = spark.createDataFrame([(1, None), (2, "x")], "k long, v string")
+    updates = spark.createDataFrame([(1, "now"), (2, None)], "k long, v string")
+    out = joins.merge_upsert(existing, updates, ["k"])
+    got = {r.k: r.v for r in out.collect()}
+    assert got == {1: "now", 2: None}
+
+
+def test_insert_only_rows_anti_join(spark):
+    existing = spark.createDataFrame([(1,)], "k long")
+    updates = spark.createDataFrame([(1,), (2,)], "k long")
+    assert [r.k for r in joins.insert_only_rows(existing, updates, ["k"]).collect()] == [2]
+
+
+def test_sampled_similarity_join(spark):
+    out = joins.sampled_similarity_join(
+        cc(spark), abr(spark), "cc_name", "abr_name",
+        sample_n=2, threshold=70.0, k=1, left_id="cc_id", right_tiebreak="abr_id",
+    )
+    # right side limited to 2 rows -> matches only against abr_id 1,2
+    assert {r.abr_id for r in out.collect()} <= {1, 2}

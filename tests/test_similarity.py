@@ -1,0 +1,72 @@
+"""Golden micro-fixture for the similarity scorers (FIXTURES.md §B5)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.functions import similarity as sim
+
+
+PAIRS = [
+    # (left, right, expect_expr_100, expect_udf_100)
+    ("Acme Pty Ltd", "Acme Pty Ltd", True, True),       # identical
+    ("Pty Ltd Acme", "Acme Pty Ltd", True, True),       # token reorder -> 100
+    ("Acme Pty Ltd", "Acme Pty Limited", False, False),  # suffix variant
+    ("Acme Pty Ltd", "Zebra Holdings", False, False),    # unrelated
+]
+
+
+def _scores(spark, scorer_col):
+    df = spark.createDataFrame([(a, b) for a, b, _, _ in PAIRS], "a string, b string")
+    return [r.s for r in df.select(scorer_col.alias("s")).collect()]
+
+
+def test_token_sort_ratio_expr_golden(spark):
+    scores = _scores(spark, sim.token_sort_ratio_expr(F.col("a"), F.col("b")))
+    assert scores[0] == 100.0
+    assert scores[1] == 100.0  # token-sorted equality — THE token_sort property
+    assert 70.0 < scores[2] < 100.0
+    assert scores[3] < 50.0
+
+
+def test_token_sort_ratio_udf_golden(spark):
+    scores = _scores(spark, sim.token_sort_ratio_udf(F.col("a"), F.col("b")))
+    assert scores[0] == 100.0
+    assert scores[1] == 100.0
+    assert 70.0 < scores[2] < 100.0
+    assert scores[3] < 50.0
+
+
+def test_expr_and_udf_agree_on_ordering(spark):
+    e = _scores(spark, sim.token_sort_ratio_expr(F.col("a"), F.col("b")))
+    u = _scores(spark, sim.token_sort_ratio_udf(F.col("a"), F.col("b")))
+    # Different formulas (levenshtein/maxlen vs indel/sumlen) but the
+    # induced ranking must agree for threshold semantics to transfer.
+    assert sorted(range(4), key=lambda i: e[i]) == sorted(range(4), key=lambda i: u[i])
+
+
+def test_empty_and_null_inputs(spark):
+    df = spark.createDataFrame([("", ""), (None, "x"), ("x", "x")], "a string, b string")
+    rows = df.select(
+        sim.token_sort_ratio_expr(F.col("a"), F.col("b")).alias("e"),
+        sim.token_sort_ratio_udf(F.col("a"), F.col("b")).alias("u"),
+    ).collect()
+    assert rows[0].e == 100.0 and rows[0].u == 100.0  # both empty => identical
+    assert rows[2].e == 100.0 and rows[2].u == 100.0
+
+
+def test_py_indel_ratio_matches_rapidfuzz_formula():
+    # rapidfuzz ratio("abcd","bcde") = (4+4-2*?) ; lcs("abcd","bcde")=3
+    # indel = 8-6=2 -> 100*(1-2/8)=75
+    assert sim._py_indel_ratio("abcd", "bcde") == pytest.approx(75.0)
+    assert sim._py_indel_ratio("", "") == 100.0
+    assert sim._py_indel_ratio("a", "") == 0.0
+
+
+def test_jaccard_tokens(spark):
+    df = spark.createDataFrame([("a b c", "b c d"), ("a b", "a b"), ("x", "y")], "a string, b string")
+    vals = [r.j for r in df.select(sim.jaccard_tokens("a", "b").alias("j")).collect()]
+    assert vals[0] == pytest.approx(0.5)  # {b,c} / {a,b,c,d}
+    assert vals[1] == 1.0
+    assert vals[2] == 0.0
