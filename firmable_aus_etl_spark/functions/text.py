@@ -1,0 +1,129 @@
+"""Text-analysis functions for the LLM-data-pipeline surface:
+language-ID, quality scoring, token counting, document fingerprinting.
+
+All pure column expressions (JVM-side, codegen) — at 100 TB this family
+runs inside the parquet scan stage with zero shuffles. Every function
+has an exact SQL twin so the DuckDB oracle can replay it.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.functions.similarity import normalize_name
+
+# Tiny embedded stopword lists for the n-gram/stopword language
+# heuristic. Deliberately small and hard-coded: the operator contract is
+# "deterministic lexicon-ratio classifier", not linguistic accuracy.
+STOPWORDS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "a", "and", "of", "to", "in", "is"),
+    "es": ("el", "la", "de", "que", "y", "en", "un"),
+    "de": ("der", "die", "und", "das", "ist", "von", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "un", "une"),
+}
+
+# BPE-ish word/number/punctuation splitter: runs of letters, runs of
+# digits, or single non-space symbols — a cheap proxy for subword token
+# counts with the same monotonicity.
+BPE_ISH_PATTERN = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def tokens(col: Column | str) -> Column:
+    """Whitespace tokens of normalized text as array<string>."""
+    return F.split(normalize_name(col), " ")
+
+
+def token_count(col: Column | str) -> Column:
+    """Whitespace token count."""
+    return F.size(tokens(col))
+
+
+def bpe_ish_token_count(col: Column | str) -> Column:
+    """Sub-word-ish token count via regexp extraction (f: regexp_extract_all)."""
+    return F.size(F.regexp_extract_all(normalize_name(col), F.lit(BPE_ISH_PATTERN), 0))
+
+
+def stopword_hits(col: Column | str, lang: str) -> Column:
+    """Count of tokens (with multiplicity) in the lang's stopword list."""
+    words = STOPWORDS[lang]
+    return F.size(F.filter(tokens(col), lambda t: t.isin(*words)))
+
+
+def language_scores(col: Column | str) -> dict[str, Column]:
+    """Per-language stopword-ratio scores in [0,1]."""
+    n = token_count(col)
+    return {
+        lang: stopword_hits(col, lang).cast("double") / F.greatest(n, F.lit(1)).cast("double")
+        for lang in STOPWORDS
+    }
+
+
+def language_id(col: Column | str, *, min_score: float = 0.05) -> Column:
+    """Deterministic language-ID: argmax stopword ratio, 'und' below floor.
+
+    Ties break alphabetically by language code (deterministic for the
+    oracle). Pure expressions — the classifier is a chain of
+    comparisons, no UDF. SQL twin: CASE over the same ratios with WHEN
+    clauses in alphabetical order.
+    """
+    scores = language_scores(col)
+    langs = sorted(scores)
+    mx = F.greatest(*[scores[lang] for lang in langs])
+    expr: Column = F.lit("und")
+    # Wrap inside-out so the alphabetically-first language is the
+    # outermost WHEN — first match wins, exactly like the SQL CASE.
+    for lang in reversed(langs):
+        expr = F.when(
+            (scores[lang] >= mx) & (mx >= F.lit(float(min_score))), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
+def quality_score(col: Column | str) -> Column:
+    """Document quality heuristic in [0,1]: length band + mean word
+    length band + stopword presence (the C4/Gopher-style cheap filters).
+
+    score = 0.4 * clamp(word_count/100) +
+            0.3 * (3 <= avg_word_len <= 10) +
+            0.3 * min(1, 5 * any-language stopword ratio)
+    """
+    toks = tokens(col)
+    n = F.size(toks).cast("double")
+    total_chars = F.aggregate(
+        toks, F.lit(0).cast("long"), lambda acc, t: acc + F.length(t)
+    ).cast("double")
+    avg_len = total_chars / F.greatest(n, F.lit(1.0))
+    len_band = F.least(n / F.lit(100.0), F.lit(1.0))
+    word_band = ((avg_len >= 3.0) & (avg_len <= 10.0)).cast("double")
+    sw = None
+    for lang in STOPWORDS:
+        s = stopword_hits(col, lang).cast("double")
+        sw = s if sw is None else sw + s
+    sw_ratio = sw / F.greatest(n, F.lit(1.0))
+    sw_band = F.least(F.lit(5.0) * sw_ratio, F.lit(1.0))
+    return F.lit(0.4) * len_band + F.lit(0.3) * word_band + F.lit(0.3) * sw_band
+
+
+def fingerprint_md5(col: Column | str) -> Column:
+    """Exact-duplicate fingerprint: md5 of normalized text (SQL-portable)."""
+    return F.md5(normalize_name(col))
+
+
+ROLLING_MOD = 1_000_003
+ROLLING_BASE = 31
+
+
+def fingerprint_rolling(col: Column | str) -> Column:
+    """Polynomial rolling hash over normalized characters, mod 1e6+3.
+
+    acc = (acc * 31 + ascii(char)) % 1000003 — kept far below 2^63 so
+    both Spark and DuckDB (which errors on BIGINT overflow) compute the
+    identical value. SQL twin uses list_reduce over string chars.
+    """
+    chars = F.split(normalize_name(col), "")
+    return F.aggregate(
+        chars,
+        F.lit(0).cast("long"),
+        lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % ROLLING_MOD,
+    )

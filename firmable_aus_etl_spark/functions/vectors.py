@@ -1,0 +1,173 @@
+"""Vector-similarity functions over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exactness baseline; the scale path is
+LSH bucketing (random-hyperplane signs) which turns the all-pairs
+search into an equi-join on bucket signatures — the same
+blocking-as-equi-join move as the fuzzy matcher (SURVEY §4 custom work
+#4), applied to vectors.
+
+Everything is pure expressions: F.aggregate/F.zip_with dot products run
+in whole-stage codegen; no Python crossing on any hot path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.operators.windows import topk_per_group
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<float|double> columns (double math)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def l2_norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v.cast("double") * v.cast("double"))
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (l2_norm(a) * l2_norm(b))
+
+
+def brute_force_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    partition_cond: Column | None = None,
+    broadcast_queries: bool = True,
+) -> DataFrame:
+    """Exact cosine top-k: broadcast the (small) query set against the
+    corpus, score, window top-k per query.
+
+    At scale the corpus side stays partitioned and never shuffles — the
+    join is broadcast-nested-loop over the query set, then the top-k
+    window shuffles only (query_id, k) survivors. ``partition_cond``
+    restricts candidate pairs (e.g. same label / same IVF cell).
+    """
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"),
+        *[c for c in queries.columns if c not in (query_id, vec_col)],
+    )
+    if broadcast_queries:
+        q = F.broadcast(q)
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        *[c2 for c2 in corpus.columns if c2 not in (corpus_id, vec_col)],
+    )
+    cond = F.col("query_id") != F.col("neighbor_id")
+    if partition_cond is not None:
+        cond = cond & partition_cond
+    scored = q.join(c, on=cond).withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    out = topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )
+    return out.drop("__qv", "__cv")
+
+
+def hyperplane_signature(
+    vec: Column, planes: list[list[float]]
+) -> Column:
+    """Sign-bit signature of a vector against fixed hyperplanes -> bigint.
+
+    Deterministic (planes are literals baked into the plan): bucket key
+    for LSH-ANN. bit_i = (v · p_i) >= 0.
+    """
+    sig = F.lit(0).cast("long")
+    for i, p in enumerate(planes):
+        d = F.aggregate(
+            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a.cast("double") * b),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        sig = sig.bitwiseOR(F.shiftleft((d >= 0).cast("long"), i))
+    return sig
+
+
+def make_planes(dim: int, n_planes: int, *, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes (LCG — no numpy RNG state
+    so the same literals appear in plan and tests)."""
+    state = seed
+    planes = []
+    for _ in range(n_planes):
+        row = []
+        for _ in range(dim):
+            state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append((state / float(1 << 63)) * 2.0 - 1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    dim: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate cosine top-k: candidates = bucket-collisions in any of
+    ``n_tables`` sign-LSH tables, then exact re-rank.
+
+    Scale shape: signatures are a narrow map; the candidate join is an
+    equi-join on (table, signature) — a hash shuffle whose width is
+    controlled by n_planes (bucket granularity) — and the exact cosine
+    runs only on candidates. Recall grows with n_tables.
+    """
+    tables = [
+        make_planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
+    ]
+
+    def sig_frame(df: DataFrame, idc: str, idalias: str) -> DataFrame:
+        return df.select(
+            F.col(idc).alias(idalias),
+            F.col(vec_col).alias(f"__{idalias}_v"),
+            F.posexplode(
+                F.array(*[hyperplane_signature(F.col(vec_col), planes) for planes in tables])
+            ).alias(f"__{idalias}_table", f"__{idalias}_sig"),
+        )
+
+    qs = sig_frame(queries, query_id, "query_id")
+    cs = sig_frame(corpus, corpus_id, "neighbor_id")
+    cand = (
+        qs.join(
+            cs,
+            on=[
+                F.col("__query_id_table") == F.col("__neighbor_id_table"),
+                F.col("__query_id_sig") == F.col("__neighbor_id_sig"),
+                F.col("query_id") != F.col("neighbor_id"),
+            ],
+        )
+        .select("query_id", "neighbor_id", "__query_id_v", "__neighbor_id_v")
+        .distinct()
+    )
+    scored = cand.withColumn("cosine", cosine(F.col("__query_id_v"), F.col("__neighbor_id_v")))
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    ).drop("__query_id_v", "__neighbor_id_v")

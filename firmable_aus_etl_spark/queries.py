@@ -478,3 +478,460 @@ def q_union_distinct_nationkeys(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     supp = load_table(spark, sf_dir, "supplier")
     return agg.distinct_key_union(cust, "c_nationkey", supp, "s_nationkey", alias="nationkey")
+
+
+# =========================================================================
+# LLM-data-pipeline family (SURVEY.md §7.2 M6): text analysis, dedup,
+# similarity search — instantiated on documents/embeddings fixtures.
+# =========================================================================
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    WITH d AS (
+      SELECT lang, {_TOKENS_SQL} AS w,
+             regexp_extract_all({_NORM_SQL}, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS bpe
+      FROM documents
+    )
+    SELECT lang, count(*) AS cnt,
+           CAST(sum(len(w)) AS BIGINT)   AS sum_tokens,
+           round(avg(len(w)), 2)         AS avg_tokens,
+           CAST(sum(len(bpe)) AS BIGINT) AS sum_bpe_tokens
+    FROM d GROUP BY lang
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace + BPE-ish token counting per language."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            T.token_count("text").alias("n_tok"),
+            T.bpe_ish_token_count("text").alias("n_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+            F.sum("n_bpe").cast("long").alias("sum_bpe_tokens"),
+        )
+    )
+
+
+def _lang_scores_sql() -> dict[str, str]:
+    from firmable_aus_etl_spark.functions.text import STOPWORDS
+
+    out = {}
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        out[lang] = (
+            f"CAST(len(list_filter(w, t -> t IN ({lst}))) AS DOUBLE)"
+            f" / CAST(greatest(len(w), 1) AS DOUBLE)"
+        )
+    return out
+
+
+def _langid_oracle() -> str:
+    s = _lang_scores_sql()
+    langs = sorted(s)
+    mx = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    whens = "\n".join(
+        f"WHEN s_{la} >= {mx} AND {mx} >= 0.05 THEN '{la}'" for la in langs
+    )
+    score_cols = ",\n".join(f"{expr} AS s_{la}" for la, expr in s.items())
+    return f"""
+    WITH d AS (SELECT lang, {_TOKENS_SQL} AS w FROM documents),
+    s AS (SELECT lang, {score_cols} FROM d),
+    c AS (SELECT lang, CASE {whens} ELSE 'und' END AS detected FROM s)
+    SELECT lang, detected, count(*) AS cnt FROM c GROUP BY lang, detected
+    """
+
+
+@register("language_id_confusion", _langid_oracle())
+def q_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: deterministic stopword-ratio language ID, tallied
+    against the fixture's lang column (confusion-matrix counts)."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.language_id("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS n,
+         CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) AS total_chars,
+         CAST(len(list_filter(w, t -> t IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+         + CAST(len(list_filter(w, t -> t IN ('el','la','de','que','y','en','un'))) AS DOUBLE)
+         + CAST(len(list_filter(w, t -> t IN ('der','die','und','das','ist','von','ein'))) AS DOUBLE)
+         + CAST(len(list_filter(w, t -> t IN ('le','la','et','les','des','un','une'))) AS DOUBLE) AS sw
+  FROM d
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS word_count,
+       0.4 * least(n / 100.0, 1.0)
+       + 0.3 * (CASE WHEN total_chars / greatest(n, 1.0) >= 3.0
+                      AND total_chars / greatest(n, 1.0) <= 10.0 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * least(5.0 * (sw / greatest(n, 1.0)), 1.0) AS quality
+FROM s
+"""
+
+
+@register("quality_score_documents", _QUALITY_ORACLE)
+def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: per-doc quality score (length band + word-length
+    band + stopword ratio). Pure expressions -> bit-identical doubles."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("word_count"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+SELECT doc_id,
+       md5(t) AS fp_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000003
+       ) AS fp_roll
+FROM d
+"""
+
+
+@register("fingerprint_documents", _FINGERPRINT_ORACLE)
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: md5 + polynomial rolling-hash fingerprints."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint_md5("text").alias("fp_md5"),
+        T.fingerprint_rolling("text").alias("fp_roll"),
+    )
+
+
+@register(
+    "dedup_exact_text_documents",
+    f"""
+    WITH d AS (SELECT doc_id, source, md5({_NORM_SQL}) AS fp FROM documents),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM d)
+    SELECT doc_id, source FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_exact_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup dedup: md5 fingerprint, keep lowest doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dedup.dedup_exact_text(docs, "text", "doc_id").drop("text")
+
+
+_JACCARD_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS sh
+  FROM d
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       CAST(shared AS DOUBLE) / CAST(x.sz + y.sz - shared AS DOUBLE) AS jaccard
+FROM shared JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
+WHERE CAST(shared AS DOUBLE) / CAST(x.sz + y.sz - shared AS DOUBLE) >= 0.5
+"""
+
+
+@register("ngram_jaccard_near_dups", _JACCARD_ORACLE)
+def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: exact 3-gram-shingle Jaccard >= 0.5 via
+    inverted-index self-join (the verify stage of MinHash-LSH)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 = 0),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine
+  FROM q JOIN embeddings c ON q.label = c.label AND q.vec_id <> c.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM cand)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
+@register("ann_cosine_top3_per_label", _ANN_ORACLE)
+def q_ann_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline: exact cosine top-3 within label
+    (brute force; the LSH variant is the rows-only scale path)."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding", F.col("label").alias("qlabel")
+    )
+    corpus = emb.select("vec_id", "embedding", F.col("label").alias("clabel"))
+    out = V.brute_force_topk(
+        queries, corpus, k=3, partition_cond=F.col("qlabel") == F.col("clabel")
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+@register("lsh_ann_top3")  # rows-only: hyperplane literals impractical in SQL
+def q_lsh_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search scale path: sign-LSH bucketed candidates +
+    exact re-rank. Approximate — checked rows-only by the driver;
+    tests/test_vectors.py asserts recall >= 0.8 against brute force."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding")
+    return V.lsh_topk(queries, corpus, dim=64, k=3, n_planes=6, n_tables=6)
+
+
+@register("minhash_lsh_candidates")  # rows-only: xxhash64 is Spark-specific
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup scale path: MinHash banding candidates. Verified subset
+    (jaccard >= 0.5 on candidates) is covered by the oracle-checked
+    ngram_jaccard_near_dups; tests assert candidate recall."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=16)
+
+
+@register("simhash_near_dups")  # rows-only: xxhash64 is Spark-specific
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup scale path: 64-bit SimHash, hamming <= 3 via pigeonhole
+    chunk join (blocks=4 guarantees recall for hamming <= 3)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3, blocks=4)
+
+
+_TFIDF_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+tok AS (
+  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM d)
+  GROUP BY doc_id, t
+),
+df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tok GROUP BY t),
+wt AS (SELECT doc_id, tok.t, tf * (1.0 / df) AS wt FROM tok JOIN df ON tok.t = df.t),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wt GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.wt * b.wt) AS dp
+  FROM wt a JOIN wt b ON a.t = b.t AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT a_id, b_id, dp / (x.nrm * y.nrm) AS cosine
+  FROM dots JOIN nrm x ON a_id = x.doc_id JOIN nrm y ON b_id = y.doc_id
+),
+r AS (SELECT a_id, b_id, cosine,
+             row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+      FROM cos WHERE cosine >= 0.7)
+SELECT a_id, b_id, round(cosine, 6) AS cosine FROM r WHERE rn = 1
+"""
+
+
+@register("tfidf_cosine_top1", _TFIDF_ORACLE)
+def q_tfidf_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op22 — TF-IDF cosine similarity join (reference:
+    entity_matching.py:45-62, threshold 0.7 at :56) as a sparse
+    inverted-index join: tf * (1/df) weights, L2 norms, dot-product
+    group-by — no dense matrix, shuffles only on token and pair keys.
+    Weighting is inv-df (not ln) so the DuckDB oracle is bit-stable;
+    cosine rounded to 6 (sum order differs across engines)."""
+    docs = load_table(spark, sf_dir, "documents")
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+
+    toks = docs.select(
+        "doc_id", F.explode(F.split(normalize_name(F.col("text")), " ")).alias("t")
+    )
+    tf = toks.groupBy("doc_id", "t").agg(F.count("*").cast("double").alias("tf"))
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    wt = tf.join(dfreq, "t").select(
+        "doc_id", "t", (F.col("tf") * (F.lit(1.0) / F.col("df"))).alias("wt")
+    )
+    nrm = wt.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    a = wt.alias("a")
+    b = wt.alias("b")
+    dots = (
+        a.join(b, on=[F.col("a.t") == F.col("b.t"), F.col("a.doc_id") < F.col("b.doc_id")])
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dp"))
+    )
+    nx = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("nrm_a"))
+    ny = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nrm_b"))
+    cos = (
+        dots.join(nx, "a_id")
+        .join(ny, "b_id")
+        .select("a_id", "b_id", (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"))
+        .filter(F.col("cosine") >= 0.7)
+    )
+    top1 = topk_per_group(cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1)
+    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+# =========================================================================
+# Scalar-function coverage (SURVEY §2.9): f5-f10, f13-f17 as queries.
+# =========================================================================
+
+@register(
+    "string_projection_documents",
+    f"""
+    WITH d AS (SELECT doc_id, {_NORM_SQL} AS t, {_TOKENS_SQL} AS w FROM documents)
+    SELECT doc_id,
+           substr(array_to_string(
+             list_transform(string_split(t, ' '),
+                            x -> upper(x[1]) || x[2:]), ' '), 1, 40) AS title_40,
+           w[-1] AS last_token,
+           w[1] AS first_token,
+           len(w) AS n_tokens,
+           CASE WHEN starts_with(t, 'the ') THEN 1 ELSE 0 END AS starts_the
+    FROM d
+    """,
+)
+def q_string_projection_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f5 initcap + f6 substring + f7 startswith + f8 split/element_at
+    + f11 length — the projection family as one pass (all codegen)."""
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+    from firmable_aus_etl_spark.operators.cleaning import titlecase_clean
+
+    docs = load_table(spark, sf_dir, "documents")
+    norm = normalize_name(F.col("text"))
+    toks = F.split(norm, " ")
+    return docs.select(
+        "doc_id",
+        F.substring(titlecase_clean(norm), 1, 40).alias("title_40"),
+        F.element_at(toks, -1).alias("last_token"),
+        F.element_at(toks, 1).alias("first_token"),
+        F.size(toks).alias("n_tokens"),
+        F.when(norm.startswith("the "), 1).otherwise(0).alias("starts_the"),
+    )
+
+
+@register(
+    "coalesce_fallback_events",
+    """
+    SELECT coalesce(json_extract_string(props, '$.missing'),
+                    json_extract_string(props, '$.k'),
+                    '0') AS k_resolved,
+           count(*) AS cnt
+    FROM events GROUP BY k_resolved
+    """,
+)
+def q_coalesce_fallback_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f10 coalesce fallback chain (reference: extract_abr_xml.py:40-57
+    multi-source field resolution) over JSON extraction."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.coalesce(
+            F.get_json_object(F.col("props"), "$.missing"),
+            F.get_json_object(F.col("props"), "$.k"),
+            F.lit("0"),
+        ).alias("k_resolved")
+    ).agg(F.count("*").alias("cnt"))
+
+
+@register(
+    "date_parts_orders",
+    """
+    SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+           CAST(month(o_orderdate) AS INTEGER) AS mo,
+           count(*) AS cnt,
+           round(sum(o_totalprice), 2) AS total
+    FROM orders GROUP BY yr, mo
+    """,
+)
+def q_date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f13/f14 date handling: year/month extraction + grouped totals."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.select(
+            F.year("o_orderdate").alias("yr"),
+            F.month("o_orderdate").alias("mo"),
+            "o_totalprice",
+        )
+        .groupBy("yr", "mo")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+    )
+
+
+@register(
+    "array_ops_documents",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents)
+    SELECT doc_id,
+           len(w) AS n_tokens,
+           CASE WHEN list_contains(w, 'spark') THEN 1 ELSE 0 END AS has_spark,
+           list_sort(list_distinct(w))[1] AS first_distinct_token,
+           len(list_distinct(w)) AS n_distinct
+    FROM d
+    """,
+)
+def q_array_ops_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f16 array construct/contains/sort/distinct over token arrays."""
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split(normalize_name(F.col("text")), " ")
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.when(F.array_contains(toks, "spark"), 1).otherwise(0).alias("has_spark"),
+        F.element_at(F.sort_array(F.array_distinct(toks)), 1).alias("first_distinct_token"),
+        F.size(F.array_distinct(toks)).alias("n_distinct"),
+    )
+
+
+@register(
+    "concat_address_customers",
+    """
+    SELECT c_custkey,
+           concat_ws(' ', n_name, c_mktsegment) AS addr,
+           concat_ws('|', c_name, CAST(c_nationkey AS VARCHAR)) AS tagged
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    """,
+)
+def q_concat_address_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """f9 concat_ws (reference: extract_abr_xml.py:134 '{state} {postcode}')."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    return cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")).select(
+        "c_custkey",
+        F.concat_ws(" ", F.col("n_name"), F.col("c_mktsegment")).alias("addr"),
+        F.concat_ws("|", F.col("c_name"), F.col("c_nationkey").cast("string")).alias("tagged"),
+    )

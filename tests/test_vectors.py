@@ -1,0 +1,80 @@
+"""Vector similarity tests: exact cosine correctness + LSH recall."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.functions import vectors as V
+
+
+def vec_df(spark):
+    rows = [
+        (1, [1.0, 0.0, 0.0]),
+        (2, [0.9, 0.1, 0.0]),   # close to 1
+        (3, [0.0, 1.0, 0.0]),
+        (4, [0.0, 0.95, 0.05]),  # close to 3
+        (5, [-1.0, 0.0, 0.0]),   # opposite of 1
+    ]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_dot_and_cosine(spark):
+    df = spark.createDataFrame(
+        [([1.0, 2.0], [3.0, 4.0])], "a array<double>, b array<double>"
+    )
+    row = df.select(
+        V.dot(F.col("a"), F.col("b")).alias("d"),
+        V.cosine(F.col("a"), F.col("b")).alias("c"),
+    ).first()
+    assert row.d == pytest.approx(11.0)
+    assert row.c == pytest.approx(11.0 / (math.sqrt(5) * math.sqrt(25)))
+
+
+def test_brute_force_topk(spark):
+    df = vec_df(spark)
+    out = V.brute_force_topk(df, df, k=1)
+    best = {r.query_id: r.neighbor_id for r in out.collect()}
+    assert best[1] == 2 and best[2] == 1
+    assert best[3] == 4 and best[4] == 3
+
+
+def test_brute_force_excludes_self(spark):
+    df = vec_df(spark)
+    out = V.brute_force_topk(df, df, k=4)
+    assert out.filter(F.col("query_id") == F.col("neighbor_id")).count() == 0
+
+
+def test_lsh_recall_against_brute_force(spark):
+    # deterministic pseudo-random corpus via LCG (no RNG state in tests)
+    state, rows = 7, []
+    for i in range(120):
+        vec = []
+        for _ in range(16):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            vec.append(state / float(1 << 31) - 0.5)
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") % 12 == 0)
+
+    exact = V.brute_force_topk(qs, df, k=3)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = V.lsh_topk(qs, df, dim=16, k=3, n_planes=4, n_tables=8)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, f"LSH recall too low: {recall}"
+
+
+def test_hyperplane_signature_deterministic(spark):
+    planes = V.make_planes(3, 4, seed=1)
+    df = vec_df(spark).select(
+        "vec_id", V.hyperplane_signature(F.col("embedding"), planes).alias("sig")
+    )
+    a = {r.vec_id: r.sig for r in df.collect()}
+    b = {r.vec_id: r.sig for r in df.collect()}
+    assert a == b
+    assert all(0 <= s < 16 for s in a.values())
+    # opposite vectors land in complementary buckets
+    assert a[1] ^ a[5] == 15
