@@ -1,0 +1,26 @@
+"""Multimodal column plumbing (BASELINE.json north-star component).
+
+Images/audio/video are opaque ``binary`` columns plus typed metadata
+structs. The Spark-side mechanics — schema, partition sizing, Arrow
+batch shape, UDF signatures — are real and tested; the actual codec
+work is stubbed (image/audio libraries are not in this container)
+behind ``DecodeUnavailable`` or a deterministic fake, clearly marked.
+"""
+
+from firmable_aus_etl_spark.multimodal.ops import (
+    MEDIA_SCHEMA,
+    DecodeUnavailable,
+    read_binary_dir,
+    with_media_metadata,
+    decode_image_features,
+    frame_sample_plan,
+)
+
+__all__ = [
+    "MEDIA_SCHEMA",
+    "DecodeUnavailable",
+    "read_binary_dir",
+    "with_media_metadata",
+    "decode_image_features",
+    "frame_sample_plan",
+]

@@ -1,0 +1,141 @@
+"""Multimodal operators: binary columns + metadata + decode plumbing.
+
+Scale design:
+- media bytes ride in parquet binary columns (or are referenced by
+  URI for objects > ~64 MB — the `content` column is then null and
+  `uri` is the pointer; both layouts share MEDIA_SCHEMA);
+- decode/feature-extract runs in ``mapInPandas`` so each Arrow batch
+  amortizes codec startup; batch size is bounded by
+  ``spark.sql.execution.arrow.maxRecordsPerBatch`` to keep executor
+  memory flat regardless of media size;
+- partitioning: upstream ``repartition(n)`` on ingest keys so decode
+  parallelism is independent of file layout.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    BinaryType,
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+MEDIA_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("uri", StringType(), True),
+        StructField("media_type", StringType(), True),  # image|audio|video
+        StructField("mime", StringType(), True),
+        StructField("content", BinaryType(), True),
+        StructField("meta", StructType([
+            StructField("width", LongType(), True),
+            StructField("height", LongType(), True),
+            StructField("duration_ms", LongType(), True),
+            StructField("sample_rate", LongType(), True),
+        ]), True),
+    ]
+)
+
+IMAGE_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sha256", StringType(), True),
+        StructField("n_bytes", LongType(), True),
+        StructField("features", ArrayType(DoubleType()), True),
+    ]
+)
+
+
+class DecodeUnavailable(NotImplementedError):
+    """Raised where a real codec would run; this container has none."""
+
+
+def read_binary_dir(spark: SparkSession, path: str, *, pattern: str = "*") -> DataFrame:
+    """Ingest raw media files as (path, modificationTime, length, content)
+    via Spark's binaryFile source, conformed onto MEDIA_SCHEMA."""
+    raw = (
+        spark.read.format("binaryFile").option("pathGlobFilter", pattern).load(path)
+    )
+    return raw.select(
+        F.xxhash64(F.col("path")).alias("media_id"),
+        F.col("path").alias("uri"),
+        F.lit(None).cast("string").alias("media_type"),
+        F.lit(None).cast("string").alias("mime"),
+        F.col("content"),
+        F.lit(None).cast(MEDIA_SCHEMA["meta"].dataType).alias("meta"),
+    )
+
+
+def with_media_metadata(df: DataFrame) -> DataFrame:
+    """Cheap metadata sniffing from magic bytes — pure expressions, no
+    decode: mime from the leading bytes, media_type from mime."""
+    head = F.hex(F.substring(F.col("content"), 1, 4))
+    mime = (
+        F.when(head.startswith("89504E47"), "image/png")
+        .when(head.startswith("FFD8FF"), "image/jpeg")
+        .when(head.startswith("52494646"), "audio/wav")  # RIFF
+        .when(head.startswith("1A45DFA3"), "video/webm")
+        .otherwise(F.lit("application/octet-stream"))
+    )
+    return df.withColumn("mime", mime).withColumn(
+        "media_type", F.split(F.col("mime"), "/").getItem(0)
+    )
+
+
+def decode_image_features(
+    df: DataFrame, *, fake: bool = False, feature_dim: int = 8
+) -> DataFrame:
+    """Decode + feature-extract over image bytes via mapInPandas.
+
+    ``fake=False``: raises DecodeUnavailable inside the task (no codec
+    libs here). ``fake=True``: deterministic stand-in features derived
+    from the sha256 digest — exercises the full distributed path
+    (Arrow batching, schema, partitioning) with verifiable output.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, shas, sizes, feats = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                digest = hashlib.sha256(b).digest()
+                ids.append(mid)
+                shas.append(digest.hex())
+                sizes.append(len(b))
+                if fake:
+                    # STUB: deterministic fake embedding from the hash;
+                    # a real impl would decode pixels and run a model.
+                    feats.append([digest[i] / 255.0 for i in range(feature_dim)])
+                else:
+                    raise DecodeUnavailable(
+                        "image decode requires codec libs absent from this container"
+                    )
+            yield pd.DataFrame(
+                {"media_id": ids, "sha256": shas, "n_bytes": sizes, "features": feats}
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
+
+
+def frame_sample_plan(
+    df: DataFrame, *, every_ms: int = 1000
+) -> DataFrame:
+    """Video frame-sampling plan: one output row per (media_id, ts_ms)
+    to be decoded downstream. Pure expressions — the expensive decode
+    stays in a later mapInPandas stage, and the explode keeps frame
+    parallelism independent of video count."""
+    duration = F.coalesce(F.col("meta.duration_ms"), F.lit(0))
+    ts = F.sequence(F.lit(0), duration, F.lit(every_ms))
+    return df.select(
+        "media_id", "uri", F.explode(ts).alias("frame_ts_ms")
+    )

@@ -84,9 +84,13 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
         ("l_linestatus", StringType()),
         ("l_shipdate", TimestampType()),
     ),
+    # events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 cannot map
+    # to TimestampType (PARQUET_TYPE_ILLEGAL). Declared LongType here;
+    # datasets.load_table sets spark.sql.legacy.parquet.nanosAsLong and
+    # converts to a microsecond TimestampType column transparently.
     "events": _st(
         ("event_id", LongType()),
-        ("ts", TimestampType()),
+        ("ts", LongType()),
         ("user_id", LongType()),
         ("event_type", StringType()),
         ("value", DoubleType()),

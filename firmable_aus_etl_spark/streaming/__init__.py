@@ -1,0 +1,21 @@
+"""Structured Streaming surface (SURVEY.md §2.10).
+
+The reference has no streaming; its incremental semantics are
+offset-paginated batch extraction + UPSERT loads. This module is the
+engine's forward extension: the same operators (windowed aggregation,
+keyed dedup, merge) expressed over unbounded input with watermarks.
+"""
+
+from firmable_aus_etl_spark.streaming.ops import (
+    read_stream_parquet,
+    windowed_event_counts,
+    streaming_dedup,
+    foreach_batch_merge,
+)
+
+__all__ = [
+    "read_stream_parquet",
+    "windowed_event_counts",
+    "streaming_dedup",
+    "foreach_batch_merge",
+]

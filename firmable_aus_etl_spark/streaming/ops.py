@@ -1,0 +1,129 @@
+"""Streaming operators over the events fixture schema.
+
+Design notes for scale:
+- watermarks bound state: without them, windowed aggs and dedup state
+  grow without limit on a 100 TB/day stream;
+- ``foreach_batch_merge`` reuses the batch merge_upsert operator per
+  micro-batch — the Structured Streaming idiom for upsert sinks (the
+  reference's COPY+ON CONFLICT loop, made incremental);
+- availableNow trigger turns any streaming pipeline into an
+  incremental batch run — the reference's Airflow re-run pattern
+  (dags/etl_pipeline.py:42-49) without the file-existence checks.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.operators.joins import merge_upsert
+from firmable_aus_etl_spark.schemas import TESTDATA_SCHEMAS
+
+
+def _stream_schema(table: str):
+    """Streaming schema: engine-written event dirs carry microsecond
+    TimestampType ts (datasets.load_table already normalized the raw
+    testdata's nanosecond longs), so the stream reads ts as timestamp."""
+    from pyspark.sql.types import StructField, StructType, TimestampType
+
+    base = TESTDATA_SCHEMAS[table]
+    if table != "events":
+        return base
+    return StructType(
+        [
+            StructField("ts", TimestampType(), True) if f.name == "ts" else f
+            for f in base.fields
+        ]
+    )
+
+
+def read_stream_parquet(
+    spark: SparkSession, path: str, table: str = "events"
+) -> DataFrame:
+    """File-source stream with the declared schema (streams require an
+    explicit schema — inference would race the writer)."""
+    return spark.readStream.schema(_stream_schema(table)).parquet(path)
+
+
+def windowed_event_counts(
+    events: DataFrame,
+    *,
+    window: str = "10 minutes",
+    slide: str | None = None,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Tumbling/sliding event-time window counts with late-data bound.
+
+    Output: (window_start, window_end, event_type, cnt, total_value).
+    """
+    win = (
+        F.window("ts", window, slide) if slide else F.window("ts", window)
+    )
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(win.alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "cnt",
+            "total_value",
+        )
+    )
+
+
+def streaming_dedup(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    *,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Exactly-once-per-key within the watermark horizon.
+
+    The streaming twin of op17 keyed dedup: state holds one entry per
+    key until the watermark passes — bounded memory at any scale.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicates(list(keys))
+
+
+def foreach_batch_merge(
+    stream: DataFrame,
+    target_path: str,
+    keys: Sequence[str],
+    *,
+    checkpoint: str,
+    tracked: Sequence[str] | None = None,
+):
+    """writeStream.foreachBatch sink that merge-upserts each micro-batch
+    into a parquet target (op24 made incremental).
+
+    Parquet has no transactional MERGE, so each batch rewrites the
+    target (read -> merge_upsert -> overwrite); on Delta/Iceberg the
+    same callable becomes a real MERGE INTO. Returns the started query.
+    """
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        try:
+            existing = spark.read.parquet(target_path)
+        except Exception:
+            existing = None
+        if existing is None:
+            merged = batch
+        else:
+            merged = merge_upsert(existing, batch, list(keys), tracked=tracked)
+        # materialize before overwriting the input path
+        merged.cache()
+        merged.count()
+        merged.write.mode("overwrite").parquet(target_path)
+        merged.unpersist()
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

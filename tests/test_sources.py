@@ -1,0 +1,122 @@
+"""Source-layer tests: CSV round-trip, permissive JSON, ABR XML
+extraction with fallback chains, WARC HTML field extraction."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.sources import files, warc, xml_abr
+from firmable_aus_etl_spark.sources.cdx import CDX_SCHEMA, cdx_request_params, read_cdx
+
+
+def test_csv_round_trip(spark, tmp_path):
+    df = spark.createDataFrame([(1, "a,b"), (2, None)], "id long, v string")
+    path = str(tmp_path / "csv_out")
+    files.write_csv(df, path)
+    back = files.read_csv(spark, path)
+    assert back.count() == 2
+    assert {r.v for r in back.collect()} == {"a,b", None}
+
+
+def test_csv_all_strings_staging(spark, tmp_path):
+    df = spark.createDataFrame([(1, 2.5)], "id long, v double")
+    path = str(tmp_path / "csv_stage")
+    files.write_csv(df, path)
+    staged = files.read_csv(spark, path, all_strings=True)
+    assert dict(staged.dtypes) == {"id": "string", "v": "string"}
+
+
+def test_json_lines_permissive_corrupt_record(spark, tmp_path):
+    p = tmp_path / "shard.json"
+    p.write_text('{"url": "http://a.au", "status": "200"}\nNOT JSON AT ALL\n')
+    df = files.read_json_lines(spark, str(p), CDX_SCHEMA)
+    rows = df.collect()
+    good = [r for r in rows if r.url is not None]
+    bad = [r for r in rows if r._corrupt_record is not None]
+    assert len(good) == 1 and len(bad) == 1  # bad line survives, flagged
+
+
+def test_cdx_request_params():
+    p = cdx_request_params("*.com.au", limit=500, offset=1000)
+    assert p == {"url": "*.com.au", "output": "json", "limit": "500", "offset": "1000"}
+
+
+ABR_XML = """<Transfer>
+<ABR recordLastUpdatedDate="20230101"><ABN status="ACT" ABNStatusFromDate="20000101">12345678901</ABN>
+<EntityType><EntityTypeInd>PRV</EntityTypeInd><EntityTypeText>Australian Private Company</EntityTypeText></EntityType>
+<MainEntity><NonIndividualName type="MN"><NonIndividualNameText>ACME PTY LTD</NonIndividualNameText></NonIndividualName>
+<BusinessAddress><AddressDetails><State>NSW</State><Postcode>2000</Postcode></AddressDetails></BusinessAddress></MainEntity>
+</ABR>
+<ABR><ABN status="CAN" ABNStatusFromDate="20100101">98765432109</ABN>
+<LegalEntity><IndividualName type="LGL"><GivenName>JANE</GivenName><FamilyName>DOE</FamilyName></IndividualName>
+<BusinessAddress><AddressDetails><State>VIC</State><Postcode>3000</Postcode></AddressDetails></BusinessAddress></LegalEntity>
+</ABR>
+</Transfer>"""
+
+
+@pytest.fixture(scope="module")
+def abr_df(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("abrxml")
+    (d / "abr.xml").write_text(ABR_XML)
+    return xml_abr.extract_abr_records(xml_abr.read_abr_xml(spark, str(d)))
+
+
+def test_abr_xml_main_entity(abr_df):
+    rows = {r.abn: r for r in abr_df.collect()}
+    acme = rows["12345678901"]
+    assert acme.entity_name == "ACME PTY LTD"
+    assert acme.entity_type == "Australian Private Company"
+    assert acme.entity_status == "ACT"
+    assert acme.address == "NSW 2000"
+    assert str(acme.start_date) == "2000-01-01"
+
+
+def test_abr_xml_individual_fallback(abr_df):
+    # no MainEntity -> falls back to given+family concat (u7/f10)
+    jane = {r.abn: r for r in abr_df.collect()}["98765432109"]
+    assert jane.entity_name == "JANE DOE"
+    assert jane.state == "VIC" and jane.postcode == "3000"
+
+
+HTML_OG = '<html><head><meta property="og:site_name" content="Acme Corp"/><meta name="keywords" content="mining, tools"/></head></html>'
+HTML_JSONLD = '<html><script type="application/ld+json">{"@type": "Organization", "name": "Beta Ltd"}</script></html>'
+HTML_TITLE = "<html><title>Products - Gamma Holdings</title></html>"
+HTML_H1 = "<html><body><h1>Delta Inc</h1></body></html>"
+HTML_NONE = "<html><body><p>nothing here</p></body></html>"
+
+
+def test_extract_company_fields_fallback_order():
+    assert warc.extract_company_fields(HTML_OG) == ("Acme Corp", "mining")
+    assert warc.extract_company_fields(HTML_JSONLD)[0] == "Beta Ltd"
+    assert warc.extract_company_fields(HTML_TITLE)[0] == "Gamma Holdings"
+    assert warc.extract_company_fields(HTML_H1)[0] == "Delta Inc"
+    assert warc.extract_company_fields(HTML_NONE) == (None, None)
+    assert warc.extract_company_fields(None) == (None, None)
+    # og:site_name outranks title
+    both = HTML_OG.replace("</head>", "") + HTML_TITLE
+    assert warc.extract_company_fields(both)[0] == "Acme Corp"
+
+
+def test_extract_from_html_frame_distributed(spark):
+    df = spark.createDataFrame(
+        [(1, HTML_OG), (2, HTML_TITLE), (3, HTML_NONE)], "id long, html string"
+    )
+    out = warc.extract_from_html_frame(df)
+    got = {r.id: (r.company_name, r.industry) for r in out.collect()}
+    assert got[1] == ("Acme Corp", "mining")
+    assert got[2] == ("Gamma Holdings", None)
+    assert got[3] == (None, None)
+
+
+def test_fetch_warc_html_gated():
+    with pytest.raises(NotImplementedError):
+        warc.fetch_warc_html("f.warc.gz", 0, 100)
+
+
+def test_jdbc_writer_builder(spark):
+    df = spark.createDataFrame([(1,)], "id long")
+    w = files.jdbc_writer(df, "jdbc:postgresql://h/db", "t", batchsize=5000, num_partitions=4)
+    assert w is not None  # builder configured without a live DB

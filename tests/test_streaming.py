@@ -1,0 +1,93 @@
+"""Structured Streaming tests: run real streams with availableNow
+trigger + memory sink over a parquet-backed event directory."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.datasets import load_table
+from firmable_aus_etl_spark.streaming import (
+    foreach_batch_merge,
+    read_stream_parquet,
+    streaming_dedup,
+    windowed_event_counts,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_dir(spark, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("events_stream"))
+    load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(d)
+    return d
+
+
+def _run_to_memory(stream_df, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("complete" if stream_df.isStreaming else "append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    return q
+
+
+def test_windowed_event_counts(spark, events_dir):
+    stream = read_stream_parquet(spark, events_dir)
+    agg = windowed_event_counts(stream, window="1 hour", watermark="2 hours")
+    q = (
+        agg.writeStream.format("memory").queryName("win_counts")
+        .outputMode("complete").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("select * from win_counts").collect()
+    assert len(got) > 0
+    # streaming result must equal the batch equivalent
+    batch = (
+        load_table(spark, SF_DIR, "events")
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+    )
+    assert sum(r.cnt for r in got) == batch.agg(F.sum("cnt")).first()[0]
+
+
+def test_streaming_dedup(spark, events_dir, tmp_path):
+    # duplicate the input dir twice -> every event_id seen twice
+    dup_dir = str(tmp_path / "dup")
+    ev = spark.read.parquet(events_dir)
+    ev.write.mode("overwrite").parquet(dup_dir)
+    ev.write.mode("append").parquet(dup_dir)
+
+    stream = read_stream_parquet(spark, dup_dir)
+    deduped = streaming_dedup(stream, ["event_id"], watermark="10 days")
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql("select count(distinct event_id) c, count(*) n from dedup_out").first()
+    assert n.c == n.n, "dedup must emit each key once"
+    assert n.n == ev.count()
+
+
+def test_foreach_batch_merge(spark, events_dir, tmp_path):
+    target = str(tmp_path / "merge_target")
+    ckpt = str(tmp_path / "ckpt")
+    # seed the target with a subset carrying a sentinel value
+    seed = spark.read.parquet(events_dir).limit(10).withColumn("value", F.lit(-1.0))
+    seed.write.parquet(target)
+
+    stream = read_stream_parquet(spark, events_dir)
+    q = foreach_batch_merge(
+        stream, target, ["event_id"], checkpoint=ckpt, tracked=["value", "event_type"]
+    )
+    q.awaitTermination(180)
+
+    out = spark.read.parquet(target)
+    assert out.count() == spark.read.parquet(events_dir).count()
+    # sentinel rows were updated back to real values (change detected)
+    assert out.filter(F.col("value") == -1.0).count() == 0
