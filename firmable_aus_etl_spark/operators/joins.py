@@ -18,7 +18,10 @@ from collections.abc import Callable, Sequence
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from firmable_aus_etl_spark.functions.similarity import token_sort_ratio_expr
+from firmable_aus_etl_spark.functions.similarity import (
+    ratio_on_prepared,
+    token_sort,
+)
 from firmable_aus_etl_spark.operators.windows import topk_per_group
 
 Scorer = Callable[[Column, Column], Column]
@@ -31,7 +34,8 @@ def similarity_join(
     right_key: str,
     *,
     block: Callable[[Column], Column] | None = None,
-    scorer: Scorer = token_sort_ratio_expr,
+    scorer: Scorer | None = None,
+    prepare: Callable[[Column], Column] | None = None,
     threshold: float = 85.0,
     k: int = 1,
     left_id: str | None = None,
@@ -46,16 +50,26 @@ def similarity_join(
 
     - ``block``: expression mapping a key column to its blocking key.
       None -> cross join (op19 semantics; only for tiny sides).
+    - ``prepare``/``scorer``: key normalization runs ONCE PER INPUT ROW
+      (default: token_sort) and the pairwise scorer (default:
+      levenshtein ratio) sees only prepped strings — O(n+m) string
+      machinery instead of O(n*m). At 100 TB the per-pair expression is
+      the hot loop of the whole pipeline; keep it to one levenshtein.
     - top-k per left row by (score desc, right_tiebreak asc) — explicit
       tie-break keeps output deterministic/oracle-hashable.
     - ``broadcast_right=True`` hints the dim side; at 100 TB a blocked
       join against a small reference table must not shuffle the fact.
     """
+    if prepare is None:
+        prepare = token_sort
+    if scorer is None:
+        scorer = ratio_on_prepared
+
     lcols = [F.col(f"l.{c}") for c in left.columns]
     rcols = [F.col(f"r.{c}") for c in right.columns]
 
-    l = left.alias("l")
-    r = right.alias("r")
+    l = left.withColumn("__prep", prepare(F.col(left_key))).alias("l")
+    r = right.withColumn("__prep", prepare(F.col(right_key))).alias("r")
     if broadcast_right:
         r = F.broadcast(r)
 
@@ -66,7 +80,7 @@ def similarity_join(
         joined = l.crossJoin(r)
 
     scored = joined.select(
-        *lcols, *rcols, scorer(F.col(f"l.{left_key}"), F.col(f"r.{right_key}")).alias(score_col)
+        *lcols, *rcols, scorer(F.col("l.__prep"), F.col("r.__prep")).alias(score_col)
     ).filter(F.col(score_col) >= threshold)
 
     if k <= 0:
@@ -145,19 +159,24 @@ def sampled_similarity_join(
 
 def fk_star_join(
     fact: DataFrame,
-    dims: Sequence[tuple[DataFrame, str | Column]],
+    dims: Sequence[tuple[DataFrame, str | Column] | tuple[DataFrame, str | Column, bool]],
     *,
     broadcast_dims: bool = True,
 ) -> DataFrame:
     """op25 — FK resolution joins (reference: sql/schema_postgres.sql:71-73).
 
-    Chains inner equi-joins from a fact table through dimension tables,
-    broadcasting each dim side. At 100 TB the fact never shuffles for
-    dim joins — every hop is a broadcast hash join in the scan stage.
+    Chains inner equi-joins from a fact table through dimension tables.
+    Each dim entry is (df, on) or (df, on, broadcast). Broadcast TRUE
+    dims never shuffle the fact — at 100 TB that's mandatory for small
+    reference tables (region/nation) and WRONG for fact-fact hops
+    (lineitem⋈orders must hash-shuffle; AQE may still choose broadcast
+    at small scale, which is exactly the right adaptive behavior).
     """
     out = fact
-    for dim, on in dims:
-        d = F.broadcast(dim) if broadcast_dims else dim
+    for entry in dims:
+        dim, on = entry[0], entry[1]
+        bcast = entry[2] if len(entry) > 2 else broadcast_dims
+        d = F.broadcast(dim) if bcast else dim
         out = out.join(d, on=on, how="inner")
     return out
 

@@ -1,0 +1,69 @@
+"""Physical-plan introspection helpers.
+
+Scale properties (pushdown, pruning, broadcast, codegen, shuffle
+count) are TESTED here, not assumed: tests/test_plans.py asserts them
+on the real query plans so a regression that silently de-optimizes a
+scan or flips a broadcast into a shuffle fails CI.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def physical_plan(df: DataFrame) -> str:
+    """Formatted physical plan as a string (post-Catalyst, pre-AQE)."""
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def pushed_filters(df: DataFrame) -> list[str]:
+    """PushedFilters entries across all scans in the plan."""
+    plan = physical_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PushedFilters: \[([^\]]*)\]", plan):
+        out.extend(s.strip() for s in m.group(1).split(",") if s.strip())
+    return out
+
+
+def read_schemas(df: DataFrame) -> list[str]:
+    """ReadSchema (pruned column set) per scan."""
+    return re.findall(r"ReadSchema: (struct<[^>]*>)", physical_plan(df))
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle Exchange operators (excludes broadcasts)."""
+    plan = physical_plan(df)
+    return len(re.findall(r"\(\d+\) Exchange\b", plan))
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in physical_plan(df) or "BroadcastNestedLoopJoin" in physical_plan(df)
+
+
+def has_sort_merge_join(df: DataFrame) -> bool:
+    return "SortMergeJoin" in physical_plan(df)
+
+
+def wholestage_codegen_ids(df: DataFrame) -> set[int]:
+    """Distinct WholeStageCodegen span ids — wider spans = more of the
+    plan fused into generated JVM loops."""
+    plan = physical_plan(df)
+    ids = re.findall(r"codegen id : (\d+)", plan)
+    ids += re.findall(r"WholeStageCodegen \((\d+)\)", plan)
+    return {int(m) for m in ids}
+
+
+def plan_report(df: DataFrame) -> dict:
+    """One-call summary used by tests and PERF notes."""
+    return {
+        "pushed_filters": pushed_filters(df),
+        "read_schemas": read_schemas(df),
+        "exchanges": count_exchanges(df),
+        "broadcast_join": has_broadcast_join(df),
+        "sort_merge_join": has_sort_merge_join(df),
+        "codegen_spans": len(wholestage_codegen_ids(df)),
+    }

@@ -15,7 +15,6 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from firmable_aus_etl_spark.datasets import load_table
-from firmable_aus_etl_spark.functions.similarity import token_sort_ratio_expr
 from firmable_aus_etl_spark.operators import aggregates as agg
 from firmable_aus_etl_spark.operators import dedup, joins
 from firmable_aus_etl_spark.operators.windows import topk_per_group
@@ -86,7 +85,6 @@ def q_similarity_join_blocked_top1(spark: SparkSession, sf_dir: str) -> DataFram
         "c_norm",
         "s_norm",
         block=lambda c: F.substring(c, -2, 2),
-        scorer=token_sort_ratio_expr,
         threshold=85.0,
         k=1,
         left_id="c_custkey",
@@ -158,10 +156,13 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = joins.fk_star_join(
         li,
         [
-            (orders, F.col("l_orderkey") == F.col("o_orderkey")),
-            (cust, F.col("o_custkey") == F.col("c_custkey")),
-            (nation, F.col("c_nationkey") == F.col("n_nationkey")),
-            (region, F.col("n_regionkey") == F.col("r_regionkey")),
+            # lineitem⋈orders and ⋈customer are fact-scale joins: no
+            # forced broadcast (AQE upgrades them locally; they shuffle
+            # at 100 TB, which is correct). nation/region are true dims.
+            (orders, F.col("l_orderkey") == F.col("o_orderkey"), False),
+            (cust, F.col("o_custkey") == F.col("c_custkey"), False),
+            (nation, F.col("c_nationkey") == F.col("n_nationkey"), True),
+            (region, F.col("n_regionkey") == F.col("r_regionkey"), True),
         ],
     )
     return joined.groupBy("r_name", "n_name").agg(
@@ -741,18 +742,21 @@ def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _TFIDF_ORACLE = f"""
-WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+WITH d AS (SELECT doc_id, source, lang, {_TOKENS_SQL} AS w FROM documents),
 tok AS (
-  SELECT doc_id, t, CAST(count(*) AS DOUBLE) AS tf
-  FROM (SELECT doc_id, unnest(w) AS t FROM d)
-  GROUP BY doc_id, t
+  SELECT doc_id, source, lang, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, source, lang, unnest(w) AS t FROM d)
+  GROUP BY doc_id, source, lang, t
 ),
 df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tok GROUP BY t),
-wt AS (SELECT doc_id, tok.t, tf * (1.0 / df) AS wt FROM tok JOIN df ON tok.t = df.t),
+wt AS (SELECT doc_id, source, lang, tok.t, tf * (1.0 / df) AS wt
+       FROM tok JOIN df ON tok.t = df.t),
 nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wt GROUP BY doc_id),
 dots AS (
   SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.wt * b.wt) AS dp
-  FROM wt a JOIN wt b ON a.t = b.t AND a.doc_id < b.doc_id
+  FROM wt a JOIN wt b
+    ON a.t = b.t AND a.source = b.source AND a.lang = b.lang
+   AND a.doc_id < b.doc_id
   GROUP BY 1, 2
 ),
 cos AS (
@@ -772,24 +776,41 @@ def q_tfidf_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     entity_matching.py:45-62, threshold 0.7 at :56) as a sparse
     inverted-index join: tf * (1/df) weights, L2 norms, dot-product
     group-by — no dense matrix, shuffles only on token and pair keys.
+
+    Candidate pairs are BLOCKED by (source, lang) — same move as the
+    reference's 2-char prefix blocking (entity_matching_tfidf.py:159):
+    an unblocked inverted index over a small vocabulary degenerates to
+    the all-pairs quadratic join (measured: 151s vs ~4s at sf0.1).
     Weighting is inv-df (not ln) so the DuckDB oracle is bit-stable;
     cosine rounded to 6 (sum order differs across engines)."""
     docs = load_table(spark, sf_dir, "documents")
     from firmable_aus_etl_spark.functions.similarity import normalize_name
 
     toks = docs.select(
-        "doc_id", F.explode(F.split(normalize_name(F.col("text")), " ")).alias("t")
+        "doc_id", "source", "lang",
+        F.explode(F.split(normalize_name(F.col("text")), " ")).alias("t"),
     )
-    tf = toks.groupBy("doc_id", "t").agg(F.count("*").cast("double").alias("tf"))
+    tf = toks.groupBy("doc_id", "source", "lang", "t").agg(
+        F.count("*").cast("double").alias("tf")
+    )
     dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
     wt = tf.join(dfreq, "t").select(
-        "doc_id", "t", (F.col("tf") * (F.lit(1.0) / F.col("df"))).alias("wt")
+        "doc_id", "source", "lang", "t",
+        (F.col("tf") * (F.lit(1.0) / F.col("df"))).alias("wt"),
     )
     nrm = wt.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
     a = wt.alias("a")
     b = wt.alias("b")
     dots = (
-        a.join(b, on=[F.col("a.t") == F.col("b.t"), F.col("a.doc_id") < F.col("b.doc_id")])
+        a.join(
+            b,
+            on=[
+                F.col("a.t") == F.col("b.t"),
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
         .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
         .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dp"))
     )
@@ -1006,4 +1027,191 @@ def q_sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     return gaps.groupBy("user_id").agg(
         F.sum("new_session").cast("long").alias("n_sessions"),
         F.count("*").alias("n_events"),
+    )
+
+
+# =========================================================================
+# Remaining SURVEY §2 coverage: nl/sampled/neighbor joins, metrics
+# emitter, serial ids, anti-join insert side.
+# =========================================================================
+
+_NL_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_name,
+         regexp_replace(lower(trim(c_name)), '^[a-z]+#', '') AS norm
+  FROM customer
+), s AS (
+  SELECT s_suppkey, s_name,
+         regexp_replace(lower(trim(s_name)), '^[a-z]+#', '') AS norm
+  FROM supplier WHERE s_suppkey < 20
+), scored AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         100.0 * (1.0 - CAST(levenshtein(c.norm, s.norm) AS DOUBLE)
+                  / CAST(greatest(length(c.norm), length(s.norm), 1) AS DOUBLE)) AS score
+  FROM c CROSS JOIN s
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY score DESC, s_suppkey) AS rn
+  FROM scored WHERE score >= 70.0
+)
+SELECT c_custkey, s_suppkey, round(score, 2) AS score FROM ranked WHERE rn = 1
+"""
+
+
+@register("nl_similarity_sampled_top1", _NL_ORACLE)
+def q_nl_similarity_sampled_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op19/op23 — unblocked fuzzy θ-join against a deterministic sample
+    (reference: entity_matching.py:28-43; sampled variant
+    entity_matching_spark.py:28-58, θ>=70 at :41). The sample is a key
+    filter (not LIMIT) so both engines pick identical rows."""
+    strip = lambda c: F.regexp_replace(F.lower(F.trim(c)), "^[a-z]+#", "")  # noqa: E731
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", strip(F.col("c_name")).alias("c_norm")
+    )
+    supp = (
+        load_table(spark, sf_dir, "supplier")
+        .filter(F.col("s_suppkey") < 20)
+        .select("s_suppkey", strip(F.col("s_name")).alias("s_norm"))
+    )
+    out = joins.nl_similarity_join(
+        cust, F.broadcast(supp), "c_norm", "s_norm",
+        threshold=70.0, k=1, left_id="c_custkey", right_tiebreak="s_suppkey",
+    )
+    return out.select("c_custkey", "s_suppkey", F.round("score", 2).alias("score"))
+
+
+_NEIGHBOR_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, regexp_replace(lower(trim(c_name)), '^[a-z]+#', '') AS norm
+  FROM customer
+), s AS (
+  SELECT s_suppkey, regexp_replace(lower(trim(s_name)), '^[a-z]+#', '') AS norm
+  FROM supplier
+), scored AS (
+  SELECT c.c_custkey, s.s_suppkey,
+         100.0 * (1.0 - CAST(levenshtein(c.norm, s.norm) AS DOUBLE)
+                  / CAST(greatest(length(c.norm), length(s.norm), 1) AS DOUBLE)) AS score
+  FROM c JOIN s ON substr(c.norm, length(c.norm), 1) = substr(s.norm, length(s.norm), 1)
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY score DESC, s_suppkey) AS rn
+  FROM scored WHERE score >= 80.0
+)
+SELECT c_custkey, s_suppkey, round(score, 2) AS score FROM ranked WHERE rn = 1
+"""
+
+
+@register("neighbor_blocked_top1", _NEIGHBOR_ORACLE)
+def q_neighbor_blocked_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op21 — prefix-neighborhood blocking as a coarser (1-char) block
+    key: a superset of the exact-block candidate set (reference:
+    entity_matching_optimized.py:84-105)."""
+    strip = lambda c: F.regexp_replace(F.lower(F.trim(c)), "^[a-z]+#", "")  # noqa: E731
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", strip(F.col("c_name")).alias("c_norm")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", strip(F.col("s_name")).alias("s_norm")
+    )
+    out = joins.neighbor_blocked_join(
+        cust, supp, "c_norm", "s_norm",
+        block=lambda c: F.substring(c, -1, 1),
+        threshold=80.0, k=1, left_id="c_custkey", right_tiebreak="s_suppkey",
+        broadcast_right=True,
+    )
+    return out.select("c_custkey", "s_suppkey", F.round("score", 2).alias("score"))
+
+
+_METRICS_ORACLE = """
+WITH m AS (
+  SELECT round(CAST(count(*) AS DOUBLE), 2) AS row_count,
+         round(100.0 * sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) / count(*), 2) AS completeness_text,
+         round(100.0 * sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) / count(*), 2) AS completeness_lang,
+         round(100.0 * count(DISTINCT doc_id) / count(*), 2) AS uniqueness_doc_id
+  FROM documents
+)
+SELECT 'docs_run' AS pipeline_run_id, metric_name, metric_value, threshold_value,
+       CASE WHEN metric_value >= threshold_value THEN 'pass' ELSE 'fail' END AS status
+FROM (
+  SELECT 'row_count' AS metric_name, row_count AS metric_value, CAST(1.0 AS DOUBLE) AS threshold_value FROM m
+  UNION ALL SELECT 'completeness_text', completeness_text, CAST(99.0 AS DOUBLE) FROM m
+  UNION ALL SELECT 'completeness_lang', completeness_lang, CAST(99.0 AS DOUBLE) FROM m
+  UNION ALL SELECT 'uniqueness_doc_id', uniqueness_doc_id, CAST(100.0 AS DOUBLE) FROM m
+)
+"""
+
+
+@register("quality_metrics_documents", _METRICS_ORACLE)
+def q_quality_metrics_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op32 — data-quality metric rows (reference: schema_postgres.sql:
+    83-91; taxonomy ETL_PIPELINE_AUS/README.md:213-218): one agg pass,
+    unpivoted to (name, value, threshold, status)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return agg.quality_metrics(
+        docs,
+        run_id="docs_run",
+        required_cols=["text", "lang"],
+        unique_key="doc_id",
+        thresholds={
+            "row_count": 1.0,
+            "completeness_text": 99.0,
+            "completeness_lang": 99.0,
+            "uniqueness_doc_id": 100.0,
+        },
+    )
+
+
+@register(
+    "serial_id_nations",
+    """
+    SELECT CAST(row_number() OVER (ORDER BY n_name) AS INTEGER) AS id, n_name
+    FROM nation
+    """,
+)
+def q_serial_id_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op34 — deterministic SERIAL-style id over a dimension table
+    (reference: SERIAL PRIMARY KEY, schema_postgres.sql:23). The global
+    window is intentional here: this variant is for small dims only;
+    monotonic_id is the fact-table path."""
+    from firmable_aus_etl_spark.operators.windows import serial_id
+
+    nation = load_table(spark, sf_dir, "nation").select("n_name")
+    return serial_id(nation, ["n_name"]).select("id", "n_name")
+
+
+@register(
+    "insert_only_orders",
+    """
+    WITH updates AS (
+      SELECT o_orderkey + 1000000 AS o_orderkey, o_custkey, o_totalprice
+      FROM orders WHERE o_orderkey % 13 = 0
+      UNION ALL
+      SELECT o_orderkey, o_custkey, o_totalprice FROM orders WHERE o_orderkey % 11 = 0
+    )
+    SELECT u.o_orderkey, u.o_custkey, u.o_totalprice
+    FROM updates u LEFT JOIN orders e ON u.o_orderkey = e.o_orderkey
+    WHERE e.o_orderkey IS NULL
+    """,
+)
+def q_insert_only_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op24 insert side as a left-anti join (SURVEY §2.4 note): only
+    genuinely-new keys survive."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+    updates = (
+        orders.filter(F.col("o_orderkey") % 13 == 0)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 1000000)
+        .unionByName(orders.filter(F.col("o_orderkey") % 11 == 0))
+    )
+    return joins.insert_only_rows(orders, updates, ["o_orderkey"])
+
+
+@register("minhash_verified_near_dups")  # rows-only: LSH recall is probabilistic
+def q_minhash_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup SCALE pipeline: MinHash-LSH candidates + exact
+    Jaccard verify on candidates only. tests/test_dedup.py asserts it
+    recovers the exact ngram_jaccard_near_dups pairs on the fixture
+    (recall ~1.0 at jaccard >= 0.5 with 16 bands)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.verified_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, shingle_n=3, num_hashes=32, bands=16
     )

@@ -83,3 +83,15 @@ def test_shingles_short_text(spark):
     df = spark.createDataFrame([("one two",)], ["text"])
     out = df.select(dedup.shingles("text", 3).alias("sh")).first()
     assert out.sh == ["one two"]  # shorter than n -> whole text as one shingle
+
+
+def test_verified_near_dups_match_exact_on_testdata(spark):
+    """Scale path (LSH+verify) must recover the exact verifier's pairs
+    on the sf0.001 fixture — the planted dups are all high-jaccard."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    exact = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+    fast = dedup.verified_near_dup_pairs(docs, "doc_id", "text", threshold=0.5)
+    e = {(r.a_id, r.b_id) for r in exact.collect()}
+    f = {(r.a_id, r.b_id) for r in fast.collect()}
+    assert e, "fixture should contain planted near-dups"
+    assert f == e, f"LSH pipeline missed pairs: {e - f} / extra: {f - e}"

@@ -1,0 +1,82 @@
+"""Physical-plan regression tests: the scale properties the engine
+claims (pushdown, pruning, broadcast, bounded shuffles) asserted on
+real plans at sf0.001."""
+
+from __future__ import annotations
+
+import pytest
+
+from firmable_aus_etl_spark import plans
+from firmable_aus_etl_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_pricing_summary_pushdown_and_pruning(spark):
+    df = QUERIES["pricing_summary"](spark, SF)
+    pushed = plans.pushed_filters(df)
+    assert any("l_shipdate" in f for f in pushed), f"shipdate filter not pushed: {pushed}"
+    schemas = plans.read_schemas(df)
+    # projection pruning: the scan must NOT read all 11 lineitem columns
+    assert schemas and all("l_partkey" not in s for s in schemas), schemas
+    assert all("l_orderkey" not in s for s in schemas), schemas
+
+
+def test_regex_filter_events_partial_pushdown(spark):
+    df = QUERIES["regex_filter_events"](spark, SF)
+    schemas = plans.read_schemas(df)
+    # column pruning: only the 3 projected columns are scanned
+    assert schemas and "user_id" not in schemas[0] and "value" not in schemas[0]
+
+
+def test_revenue_star_join_broadcasts_dims(spark):
+    df = QUERIES["revenue_by_nation"](spark, SF)
+    assert plans.has_broadcast_join(df), "nation/region must broadcast"
+    plan = plans.physical_plan(df)
+    assert "BroadcastHashJoin" in plan
+
+
+def test_similarity_join_is_blocked_equi_join(spark):
+    df = QUERIES["similarity_join_blocked_top1"](spark, SF)
+    plan = plans.physical_plan(df)
+    # the θ-join must compile to a hash join on block keys (broadcast
+    # here since the supplier side is hinted), never a nested loop over
+    # raw pairs
+    assert "BroadcastHashJoin" in plan
+    # partial top-1 before the shuffle (rank pushdown)
+    assert "WindowGroupLimit" in plan
+
+
+def test_keyed_dedup_single_shuffle(spark):
+    df = QUERIES["dedup_documents_keyed"](spark, SF)
+    assert plans.count_exchanges(df) == 1, plans.physical_plan(df)
+
+
+def test_merge_upsert_shuffle_bound(spark):
+    df = QUERIES["merge_upsert_orders"](spark, SF)
+    # full-outer merge: one shuffle per side of the join (existing +
+    # updates built from two scans) — must stay O(sides), not O(columns)
+    assert plans.count_exchanges(df) <= 4, plans.physical_plan(df)
+
+
+def test_global_topk_uses_take_ordered(spark):
+    df = QUERIES["global_top20_orders"](spark, SF)
+    assert "TakeOrderedAndProject" in plans.physical_plan(df)
+
+
+def test_no_python_udf_on_benchmarked_paths(spark):
+    # every benchmarked hot path must stay JVM-side (BASELINE.md rule)
+    import bench
+
+    for name in bench.HEADLINE:
+        plan = plans.physical_plan(QUERIES[name](spark, SF))
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
+
+
+def test_plan_report_shape(spark):
+    rep = plans.plan_report(QUERIES["pricing_summary"](spark, SF))
+    assert rep["exchanges"] >= 1
+    # note: codegen ids only materialize in the AQE final plan (post-
+    # execution), so codegen_spans may be 0 on an unexecuted plan
+    assert rep["codegen_spans"] >= 0
+    assert rep["pushed_filters"]
