@@ -1,0 +1,76 @@
+"""Partitioning / skew utilities — the knobs that keep the operator
+library's shuffles healthy at 100 TB (SURVEY.md §7.4 scale notes).
+
+- ``salted_join``: explicit skew-key mitigation for when AQE's runtime
+  skew split isn't available (e.g. the skewed side feeds a window) —
+  replicate the small side R times, scatter the big side's hot keys.
+- ``write_bucketed``/``read_bucketed``: co-located joins via bucketed
+  tables — repeated joins on the same key (the matcher's block key,
+  FK keys) pay the shuffle once at write time, never again.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    key: str,
+    *,
+    salt_buckets: int = 8,
+    how: str = "inner",
+) -> DataFrame:
+    """Equi-join with salting: big side gets a random-but-deterministic
+    salt from a row hash; small side is replicated across all salts.
+
+    Turns one hot key's single straggler partition into
+    ``salt_buckets`` even partitions at the cost of replicating the
+    small side R times — the classic trade when one key holds >>1/p of
+    the rows. Deterministic salt (hash of all big-side columns, not
+    rand()) keeps retries and the oracle stable.
+    """
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.xxhash64(*[F.col(c) for c in big.columns]), F.lit(salt_buckets))
+    )
+    small_salted = small.withColumn(
+        "__salt", F.explode(F.array(*[F.lit(i) for i in range(salt_buckets)]))
+    )
+    out = big_salted.join(small_salted, on=[key, "__salt"], how=how)
+    return out.drop("__salt")
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    keys: Sequence[str],
+    *,
+    buckets: int = 32,
+    sort_by: Sequence[str] | None = None,
+    path: str | None = None,
+) -> None:
+    """Persist bucketed+sorted by join key: subsequent equi-joins and
+    aggregations on ``keys`` read shuffle-free (SortMergeJoin with no
+    Exchange). The write pays one shuffle; every downstream join of two
+    co-bucketed tables pays zero."""
+    w = df.write.mode("overwrite").bucketBy(buckets, *keys)
+    if sort_by:
+        w = w.sortBy(*sort_by)
+    if path:
+        w = w.option("path", path)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    return spark.table(table)
+
+
+def repartition_for(df: DataFrame, *keys: str, partitions: int | None = None) -> DataFrame:
+    """Pre-shuffle on the keys a downstream chain reuses (join + groupBy
+    on the same key -> one Exchange instead of two)."""
+    cols = [F.col(k) for k in keys]
+    return df.repartition(partitions, *cols) if partitions else df.repartition(*cols)

@@ -1215,3 +1215,128 @@ def q_minhash_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.verified_near_dup_pairs(
         docs, "doc_id", "text", threshold=0.5, shingle_n=3, num_hashes=32, bands=16
     )
+
+
+# =========================================================================
+# Widening batch: window frames, part/supplier coverage, subquery shape.
+# =========================================================================
+
+@register(
+    "moving_avg_order_totals",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(sum(cents) OVER w AS DOUBLE)
+             / (100.0 * count(*) OVER w) AS moving_avg
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                 ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_moving_avg_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window frame specs (SURVEY §2.6 note): 3-row moving average per
+    customer over order date, deterministic frame order via orderkey.
+
+    Prices are summed as integer CENTS inside the frame: integer frame
+    sums are order-independent and exact, so the result is bit-identical
+    across engines regardless of their windowed-aggregation internals
+    (DuckDB segment trees vs Spark frame recompute) — and no round() is
+    needed, avoiding the engines' half-rounding divergence.
+    """
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_orderdate", "o_orderkey")
+        .rowsBetween(-2, Window.currentRow)
+    )
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        (
+            F.sum(cents).over(w).cast("double") / (F.lit(100.0) * F.count("*").over(w))
+        ).alias("moving_avg"),
+    )
+
+
+@register(
+    "part_brand_stats",
+    """
+    SELECT p_brand,
+           count(*) AS cnt,
+           round(avg(p_retailprice), 2) AS avg_price,
+           min(p_size) AS min_size,
+           max(p_size) AS max_size,
+           CAST(sum(CASE WHEN p_type LIKE 'SMALL%' THEN 1 ELSE 0 END) AS BIGINT) AS small_types
+    FROM part GROUP BY p_brand
+    """,
+)
+def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """part-table coverage: grouped stats + LIKE-prefix conditional agg."""
+    part = load_table(spark, sf_dir, "part")
+    return part.groupBy("p_brand").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        F.min("p_size").alias("min_size"),
+        F.max("p_size").alias("max_size"),
+        F.sum(F.col("p_type").startswith("SMALL").cast("long")).alias("small_types"),
+    )
+
+
+@register(
+    "top_suppliers_by_revenue",
+    """
+    WITH rev AS (
+      SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      FROM lineitem GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, round(revenue, 2) AS revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    ORDER BY revenue DESC, s_suppkey LIMIT 10
+    """,
+)
+def q_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """agg -> broadcast dim join -> global top-k (TakeOrderedAndProject)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue")
+    )
+    return (
+        rev.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name", F.round("revenue", 2).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
+        .limit(10)
+    )
+
+
+@register(
+    "orders_above_customer_avg",
+    """
+    WITH avgs AS (
+      SELECT o_custkey AS k, avg(o_totalprice) AS avg_total FROM orders GROUP BY o_custkey
+    )
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders JOIN avgs ON o_custkey = k
+    WHERE o_totalprice > 1.5 * avg_total
+    """,
+)
+def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decorrelated-subquery shape: orders 50% above their customer's
+    average (Catalyst rewrites the correlated form to this same
+    aggregate+join — expressed directly as the join)."""
+    orders = load_table(spark, sf_dir, "orders")
+    avgs = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.avg("o_totalprice").alias("avg_total")
+    )
+    return (
+        orders.join(avgs, F.col("o_custkey") == F.col("k"))
+        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_total"))
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
