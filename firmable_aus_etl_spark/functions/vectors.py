@@ -114,6 +114,83 @@ def make_planes(dim: int, n_planes: int, *, seed: int = 42) -> list[list[float]]
     return planes
 
 
+def _dot_literal(vec: Column, plane: list[float]) -> Column:
+    return F.aggregate(
+        F.zip_with(
+            vec,
+            F.array(*[F.lit(float(x)) for x in plane]),
+            lambda a, b: a.cast("double") * b,
+        ),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def ivf_assign(vec: Column, centroids: list[list[float]], *, nprobe: int = 1) -> Column:
+    """Cell ids (array<int>, best-first, length nprobe) by dot-product
+    proximity to fixed centroids. Deterministic: ties resolved by the
+    stable sort on (-dot, cell_id)."""
+    dots = F.array(*[_dot_literal(vec, c) for c in centroids])
+    ranked = F.array_sort(
+        F.transform(
+            dots,
+            lambda d, i: F.struct((-d).alias("nd"), i.alias("cell")),
+        )
+    )
+    return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
+
+
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    dim: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    n_cells: int = 16,
+    nprobe: int = 4,
+    seed: int = 7,
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors live in their single nearest cell;
+    queries probe their ``nprobe`` nearest cells; exact cosine re-ranks
+    within probed cells.
+
+    Scale shape: the corpus partitions by cell (one narrow map + one
+    hash shuffle at index-build time, amortized across queries); each
+    query touches nprobe/n_cells of the corpus. Centroids here are
+    deterministic pseudo-random directions — a production build would
+    k-means them, which changes recall, not the dataflow.
+    """
+    centroids = make_planes(dim, n_cells, seed=seed)
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(ivf_assign(F.col(vec_col), centroids, nprobe=nprobe)).alias("cell"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        ivf_assign(F.col(vec_col), centroids, nprobe=1)[0].alias("cell"),
+    )
+    scored = (
+        q.join(c, on=["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .distinct()
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    ).drop("__qv", "__cv")
+
+
 def lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,

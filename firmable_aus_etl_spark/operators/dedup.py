@@ -132,7 +132,22 @@ def _hash_family(num_hashes: int, *, seed: int = 0x9E3779B9) -> list[tuple[int, 
     return out
 
 
-def minhash_signature_from(sh_col: Column, *, num_hashes: int = 32) -> Column:
+def md5_base_hash(s: Column) -> Column:
+    """Portable 31-bit base hash: first 8 hex chars of md5 -> int mod p.
+
+    md5 + hex parsing exist identically in Spark (conv) and DuckDB
+    (strpos fold), so signatures built on this base are oracle-checkable
+    bit-for-bit. ~3x slower than xxhash64; the fast path stays default.
+    """
+    return F.pmod(
+        F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long"),
+        F.lit(_MERSENNE_31),
+    )
+
+
+def minhash_signature_from(
+    sh_col: Column, *, num_hashes: int = 32, portable: bool = False
+) -> Column:
     """MinHash signature (array<bigint>) from a shingle array column.
 
     Cost design (HOFs are interpreted, not codegen — every op counts):
@@ -150,7 +165,10 @@ def minhash_signature_from(sh_col: Column, *, num_hashes: int = 32) -> Column:
             for a, b in family
         ]
     )
-    base = F.transform(sh_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
+    if portable:
+        base = F.transform(sh_col, md5_base_hash)
+    else:
+        base = F.transform(sh_col, lambda s: F.pmod(F.xxhash64(s), F.lit(_MERSENNE_31)))
     init = F.array(*[F.lit(_MERSENNE_31).cast("long")] * num_hashes)
     return F.aggregate(
         base,
@@ -191,6 +209,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 32,
     bands: int = 8,
     shingle_n: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
@@ -198,6 +217,11 @@ def minhash_lsh_pairs(
     the band key -> distinct candidate pairs (a < b). The join is a hash
     shuffle on band keys; band width (num_hashes/bands) tunes the
     precision/recall vs shuffle-size tradeoff at scale.
+
+    ``portable=True`` switches the base hash to md5 and the band key to
+    a joined string of the band's minima — every step then exists
+    identically in DuckDB, making the candidate set oracle-checkable
+    (the xxhash64 fast path stays default for production).
 
     Returns columns (a_id, b_id) — verification (true Jaccard) is a
     separate composable step so callers can push extra filters between.
@@ -216,20 +240,23 @@ def minhash_lsh_pairs(
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
     sig = sh.select(
-        "__id", minhash_signature_from(F.col("__sh"), num_hashes=num_hashes).alias("__sig")
+        "__id",
+        minhash_signature_from(
+            F.col("__sh"), num_hashes=num_hashes, portable=portable
+        ).alias("__sig"),
     )
+
+    def band_key(b: int):
+        elems = [F.col("__sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
+        if portable:
+            return F.concat_ws(",", *[e.cast("string") for e in elems])
+        return F.xxhash64(*elems).cast("string")
+
     banded = sig.select(
         "__id",
-        F.posexplode(
-            F.array(
-                *[
-                    F.xxhash64(
-                        *[F.col("__sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]
-                    )
-                    for b in range(bands)
-                ]
-            )
-        ).alias("band", "band_hash"),
+        F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias(
+            "band", "band_hash"
+        ),
     )
     left = banded.alias("l")
     right = banded.alias("r")

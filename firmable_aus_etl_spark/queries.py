@@ -1340,3 +1340,65 @@ def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("o_totalprice") > 1.5 * F.col("avg_total"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
+
+
+# =========================================================================
+# Portable MinHash: the ENTIRE LSH banding pipeline oracle-checked.
+# =========================================================================
+
+def _portable_minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+    """Generate the DuckDB twin of minhash_lsh_pairs(portable=True)
+    from the same Carter-Wegman constants (single source of truth)."""
+    family = dedup._hash_family(num_hashes)
+    p = dedup._MERSENNE_31
+    rows_per_band = num_hashes // bands
+    sig_cols = ",\n       ".join(
+        f"list_min(list_transform(hl, h -> (h * {a} + {b}) % {p})) AS s{i}"
+        for i, (a, b) in enumerate(family)
+    )
+    band_exprs = ", ".join(
+        " || ',' || ".join(
+            f"CAST(s{b * rows_per_band + r} AS VARCHAR)" for r in range(rows_per_band)
+        )
+        for b in range(bands)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS shl
+      FROM d
+    ),
+    base AS (
+      SELECT doc_id, list_transform(shl, s ->
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, 8),
+              i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS BIGINT))),
+          (a, b) -> a * 16 + b) % {p}) AS hl
+      FROM sh
+    ),
+    sig AS (SELECT doc_id, {sig_cols} FROM base),
+    bands AS (
+      SELECT doc_id, unnest([{band_exprs}]) AS band_hash,
+             unnest(generate_series(1, {bands})) AS band
+      FROM sig
+    )
+    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    """
+
+
+@register("minhash_lsh_candidates_portable", _portable_minhash_oracle())
+def q_minhash_lsh_candidates_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs with the md5-based portable hash
+    family: every stage (shingles -> base hash -> Carter-Wegman minima
+    -> band keys -> bucket join) replays bit-for-bit in DuckDB, so the
+    approximate-dedup SCALE path itself is oracle-verified — not just
+    its exact-Jaccard verifier."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=8, shingle_n=3, portable=True
+    )

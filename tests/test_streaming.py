@@ -20,7 +20,9 @@ SF_DIR = "/root/testdata/sf0.001"
 @pytest.fixture(scope="module")
 def events_dir(spark, tmp_path_factory):
     d = str(tmp_path_factory.mktemp("events_stream"))
-    load_table(spark, SF_DIR, "events").write.mode("overwrite").parquet(d)
+    # single file -> availableNow processes one ordered micro-batch,
+    # which the stateful sessionizer's batch-parity assertion needs
+    load_table(spark, SF_DIR, "events").coalesce(1).write.mode("overwrite").parquet(d)
     return d
 
 
@@ -91,3 +93,31 @@ def test_foreach_batch_merge(spark, events_dir, tmp_path):
     assert out.count() == spark.read.parquet(events_dir).count()
     # sentinel rows were updated back to real values (change detected)
     assert out.filter(F.col("value") == -1.0).count() == 0
+
+
+def test_stateful_sessionize_stream(spark, events_dir, tmp_path):
+    from firmable_aus_etl_spark.streaming.stateful import sessionize_stream
+
+    stream = read_stream_parquet(spark, events_dir)
+    sessions = sessionize_stream(stream, gap_minutes=30)
+    q = (
+        sessions.writeStream.format("memory").queryName("sessions_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = spark.sql(
+        "select user_id, count(*) closed from sessions_out group by user_id"
+    ).collect()
+    assert got, "expected closed sessions"
+
+    # batch twin: closed sessions = total sessions - the open (last) one
+    from firmable_aus_etl_spark.queries import QUERIES
+
+    batch = {
+        r.user_id: r.n_sessions
+        for r in QUERIES["sessionize_events"](spark, SF_DIR).collect()
+    }
+    for r in got:
+        assert r.closed == batch[r.user_id] - 1, (
+            f"user {r.user_id}: {r.closed} closed vs batch {batch[r.user_id]}"
+        )

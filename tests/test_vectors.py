@@ -78,3 +78,31 @@ def test_hyperplane_signature_deterministic(spark):
     assert all(0 <= s < 16 for s in a.values())
     # opposite vectors land in complementary buckets
     assert a[1] ^ a[5] == 15
+
+
+def test_ivf_recall_against_brute_force(spark):
+    state, rows = 11, []
+    for i in range(150):
+        vec = []
+        for _ in range(16):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            vec.append(state / float(1 << 31) - 0.5)
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") % 15 == 0)
+
+    exact = V.brute_force_topk(qs, df, k=3)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    approx = V.ivf_topk(qs, df, dim=16, k=3, n_cells=8, nprobe=4)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.6, f"IVF recall too low: {recall}"
+
+
+def test_ivf_assign_deterministic(spark):
+    cents = V.make_planes(3, 4, seed=3)
+    df = vec_df(spark).select("vec_id", V.ivf_assign(F.col("embedding"), cents, nprobe=2).alias("cells"))
+    a = {r.vec_id: r.cells for r in df.collect()}
+    b = {r.vec_id: r.cells for r in df.collect()}
+    assert a == b
+    assert all(len(c) == 2 and c[0] != c[1] for c in a.values())
