@@ -1402,3 +1402,99 @@ def q_minhash_lsh_candidates_portable(spark: SparkSession, sf_dir: str) -> DataF
     return dedup.minhash_lsh_pairs(
         docs, "doc_id", "text", num_hashes=16, bands=8, shingle_n=3, portable=True
     )
+
+
+# =========================================================================
+# Grouping-set / set-op / pivot coverage (SURVEY §2.5 note: rollup/cube
+# are native — exercised here; §2.8 intersect/except).
+# =========================================================================
+
+@register(
+    "rollup_revenue_region_nation",
+    """
+    SELECT coalesce(r_name, '<all>') AS r_name,
+           coalesce(n_name, '<all>') AS n_name,
+           count(*) AS cnt,
+           round(sum(c_acctbal), 2) AS total_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+)
+def q_rollup_revenue_region_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouping sets via rollup: (region, nation) -> (region) -> ()
+    subtotals in one pass. NULL group markers coalesced to '<all>' so
+    the oracle compare is null-unambiguous."""
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    joined = cust.join(
+        F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey")
+    ).join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+    return (
+        joined.rollup("r_name", "n_name")
+        .agg(F.count("*").alias("cnt"), F.round(F.sum("c_acctbal"), 2).alias("total_bal"))
+        .select(
+            F.coalesce(F.col("r_name"), F.lit("<all>")).alias("r_name"),
+            F.coalesce(F.col("n_name"), F.lit("<all>")).alias("n_name"),
+            "cnt",
+            "total_bal",
+        )
+    )
+
+
+@register(
+    "nationkeys_intersect_except",
+    """
+    SELECT 'both' AS tag, nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      INTERSECT
+      SELECT s_nationkey FROM supplier
+    )
+    UNION ALL
+    SELECT 'customer_only', nationkey FROM (
+      SELECT c_nationkey AS nationkey FROM customer
+      EXCEPT
+      SELECT s_nationkey FROM supplier
+    )
+    """,
+)
+def q_nationkeys_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """§2.8 set ops: intersect + except of key sets, tagged."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nationkey")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").alias("nationkey")
+    )
+    both = cust.intersect(supp).select(F.lit("both").alias("tag"), "nationkey")
+    # subtract == EXCEPT DISTINCT (exceptAll would keep keys whose
+    # multiplicity merely differs between the sides)
+    only = cust.subtract(supp).select(F.lit("customer_only").alias("tag"), "nationkey")
+    return both.unionByName(only)
+
+
+_PIVOT_ORACLE = """
+SELECT user_id,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+FROM events GROUP BY user_id
+"""
+
+
+@register("pivot_event_counts", _PIVOT_ORACLE)
+def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot (wide counts per user). The pivot value list is declared
+    explicitly — at scale an undeclared pivot forces an extra distinct
+    pass over the data to discover values."""
+    ev = load_table(spark, sf_dir, "events")
+    out = (
+        ev.groupBy("user_id")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .agg(F.count(F.lit(1)))
+    )
+    return out.na.fill(0)
