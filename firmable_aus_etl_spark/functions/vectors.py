@@ -92,7 +92,7 @@ def hyperplane_signature(
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         d = F.aggregate(
-            F.zip_with(vec, F.array(*[F.lit(float(x)) for x in p]), lambda a, b: a.cast("double") * b),
+            F.zip_with(vec, F.lit([float(x) for x in p]), lambda a, b: a.cast("double") * b),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
@@ -115,12 +115,10 @@ def make_planes(dim: int, n_planes: int, *, seed: int = 42) -> list[list[float]]
 
 
 def _dot_literal(vec: Column, plane: list[float]) -> Column:
+    # F.lit(list) builds ONE array literal; F.array of per-element lits
+    # costs thousands of py4j round-trips at construction time
     return F.aggregate(
-        F.zip_with(
-            vec,
-            F.array(*[F.lit(float(x)) for x in plane]),
-            lambda a, b: a.cast("double") * b,
-        ),
+        F.zip_with(vec, F.lit([float(x) for x in plane]), lambda a, b: a.cast("double") * b),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -215,14 +213,42 @@ def lsh_topk(
     tables = [
         make_planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
     ]
+    # Flat literal plane matrix -> ONE transform computes all
+    # n_tables*n_planes dot products per row; per-table signatures then
+    # fold the materialized dot array. (n_tables separate
+    # hyperplane_signature expressions each duplicating the dot
+    # subtrees run interpreted and measured ~10s for 500 rows.)
+    all_planes = F.lit(
+        [[float(x) for x in p] for planes in tables for p in planes]
+    )
 
     def sig_frame(df: DataFrame, idc: str, idalias: str) -> DataFrame:
-        return df.select(
+        dotted = df.select(
             F.col(idc).alias(idalias),
             F.col(vec_col).alias(f"__{idalias}_v"),
-            F.posexplode(
-                F.array(*[hyperplane_signature(F.col(vec_col), planes) for planes in tables])
-            ).alias(f"__{idalias}_table", f"__{idalias}_sig"),
+            F.transform(
+                all_planes,
+                lambda p: F.aggregate(
+                    F.zip_with(F.col(vec_col), p, lambda a, b: a.cast("double") * b),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                ),
+            ).alias("__dots"),
+        )
+        def table_sig(t: int):
+            def step(acc, i):
+                bit = (F.element_at(F.col("__dots"), i + 1 + t * n_planes) >= 0).cast("long")
+                return acc + bit * F.pow(F.lit(2.0), i).cast("long")
+
+            return F.aggregate(
+                F.sequence(F.lit(0), F.lit(n_planes - 1)), F.lit(0).cast("long"), step
+            )
+
+        sigs = [table_sig(t) for t in range(n_tables)]
+        return dotted.select(
+            idalias,
+            f"__{idalias}_v",
+            F.posexplode(F.array(*sigs)).alias(f"__{idalias}_table", f"__{idalias}_sig"),
         )
 
     qs = sig_frame(queries, query_id, "query_id")
