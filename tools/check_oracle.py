@@ -41,6 +41,39 @@ def _rowset(cols, rows):
     return sorted(tuple(_norm_cell(r[i]) for i in idx) for r in rows)
 
 
+# DuckDB type -> expected Spark simpleString (prefix match for decimals)
+_DUCK_TO_SPARK = {
+    "BIGINT": "bigint",
+    "HUGEINT": "decimal",
+    "INTEGER": "int",
+    "SMALLINT": "smallint",
+    "DOUBLE": "double",
+    "FLOAT": "float",
+    "VARCHAR": "string",
+    "DATE": "date",
+    "TIMESTAMP": "timestamp",
+    "BOOLEAN": "boolean",
+}
+
+
+def _type_mismatches(sdf, dcols, dtypes):
+    """Compare Spark column types vs DuckDB result types by name."""
+    stypes = {f.name: f.dataType.simpleString() for f in sdf.schema.fields}
+    out = []
+    for name, dt in zip(dcols, dtypes):
+        base = dt.split("(")[0].strip().upper()
+        want = _DUCK_TO_SPARK.get(base)
+        got = stypes.get(name)
+        if want is None:
+            if base.startswith("DECIMAL"):
+                want = "decimal"
+            else:
+                continue  # unmapped type: skip silently (arrays etc.)
+        if got is None or not got.startswith(want):
+            out.append((name, dt, got))
+    return out
+
+
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     only = set(sys.argv[2:])
@@ -78,6 +111,10 @@ def main() -> int:
         if sorted(scols) != sorted(dcols):
             print(f"  X {name}: schema mismatch spark={sorted(scols)} duck={sorted(dcols)}")
             ok = False
+        dtypes = [d[1] for d in res.description]
+        tm = _type_mismatches(sdf, dcols, dtypes)
+        if tm:
+            print(f"  ! {name}: TYPE drift (col, duck, spark): {tm}")
         if len(srows) != len(drows):
             print(f"  X {name}: rowcount spark={len(srows)} duck={len(drows)}")
             ok = False
