@@ -226,19 +226,44 @@ def minhash_lsh_pairs(
     Returns columns (a_id, b_id) — verification (true Jaccard) is a
     separate composable step so callers can push extra filters between.
     """
-    rows_per_band = num_hashes // bands
-    # Decouple signature parallelism from input file layout: a single
-    # small parquet file arrives as ONE partition and the O(rows·k)
-    # hashing would run on one core (measured 32x slowdown locally).
+    sh = shingle_frame(df, id_col, text_col, shingle_n=shingle_n)
+    return minhash_lsh_pairs_from_shingles(
+        sh, num_hashes=num_hashes, bands=bands, portable=portable
+    )
+
+
+def shingle_frame(
+    df: DataFrame, id_col: str, text_col: str, *, shingle_n: int = 3
+) -> DataFrame:
+    """(__id, __sh) distinct-shingle frame, repartitioned.
+
+    The repartition decouples signature parallelism from input file
+    layout (a single small parquet file arrives as ONE partition and
+    the O(rows·k) hashing would run on one core — measured 32x slowdown
+    locally) AND gives downstream branches an identical Exchange to
+    reuse: candidate generation and pair verification both consume this
+    frame, so the shingle build runs once, not three times.
+    """
     par = df.sparkSession.sparkContext.defaultParallelism
-    # Two projection boundaries: shingle array computed once, signature
-    # computed once — Catalyst keeps the boundaries because the lower
-    # outputs are expensive and referenced many times (CollapseProject
-    # cost rule), so neither subtree is duplicated per band.
-    sh = df.repartition(par).select(
+    return df.repartition(par).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
+
+
+def minhash_lsh_pairs_from_shingles(
+    sh: DataFrame,
+    *,
+    num_hashes: int = 32,
+    bands: int = 8,
+    portable: bool = False,
+) -> DataFrame:
+    """Banding + bucket join over a prepared (__id, __sh) frame."""
+    rows_per_band = num_hashes // bands
+    # Projection boundaries: shingle array computed once, signature
+    # computed once — Catalyst keeps the boundaries because the lower
+    # outputs are expensive and referenced many times (CollapseProject
+    # cost rule), so neither subtree is duplicated per band.
     sig = sh.select(
         "__id",
         minhash_signature_from(
@@ -392,15 +417,12 @@ def verified_near_dup_pairs(
     is 1-(1-j^2)^bands (~0.99 at j=0.5, ~1.0 at j>=0.8); tune bands up
     for higher recall at more shuffle.
     """
-    cand = minhash_lsh_pairs(
-        df, id_col, text_col, num_hashes=num_hashes, bands=bands, shingle_n=shingle_n
-    )
-    sh = df.select(
-        F.col(id_col).alias("__vid"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
-    )
-    a = sh.select(F.col("__vid").alias("a_id"), F.col("__sh").alias("__sh_a"))
-    b = sh.select(F.col("__vid").alias("b_id"), F.col("__sh").alias("__sh_b"))
+    sh = shingle_frame(df, id_col, text_col, shingle_n=shingle_n)
+    cand = minhash_lsh_pairs_from_shingles(sh, num_hashes=num_hashes, bands=bands)
+    # a/b verify sides reuse the SAME shingle frame -> identical
+    # Exchange subtree -> Spark's ReusedExchange computes shingles once
+    a = sh.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sh_a"))
+    b = sh.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sh_b"))
     inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b"))).cast("double")
     union = F.size(F.array_union(F.col("__sh_a"), F.col("__sh_b"))).cast("double")
     return (
