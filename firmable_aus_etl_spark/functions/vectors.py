@@ -161,7 +161,12 @@ def ivf_topk(
     deterministic pseudo-random directions — a production build would
     k-means them, which changes recall, not the dataflow.
     """
-    centroids = make_planes(dim, n_cells, seed=seed)
+    # unit-normalize centroids: raw LCG directions have varying norms,
+    # which would bias the dot-product argmax toward long centroids
+    raw = make_planes(dim, n_cells, seed=seed)
+    centroids = [
+        [x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw
+    ]
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),

@@ -1498,3 +1498,39 @@ def q_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)))
     )
     return out.na.fill(0)
+
+
+@register(
+    "audit_suite_orders",
+    """
+    WITH m AS (
+      SELECT CAST(count(o_orderkey) - count(DISTINCT o_orderkey) AS BIGINT) AS k_unique,
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS k_notnull,
+             CAST(sum(CASE WHEN o_orderstatus NOT IN ('F','O','P') AND o_orderstatus IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS s_accepted,
+             CAST(sum(CASE WHEN o_totalprice < 0 THEN 1 ELSE 0 END) AS BIGINT) AS p_nonneg
+      FROM orders
+    )
+    SELECT column_name, test_name, violations,
+           CASE WHEN violations = 0 THEN 'pass' ELSE 'fail' END AS status
+    FROM (
+      SELECT 'o_orderkey' AS column_name, 'unique' AS test_name, k_unique AS violations FROM m
+      UNION ALL SELECT 'o_orderkey', 'not_null', k_notnull FROM m
+      UNION ALL SELECT 'o_orderstatus', 'accepted_values:F|O|P', s_accepted FROM m
+      UNION ALL SELECT 'o_totalprice', 'non_negative', p_nonneg FROM m
+    )
+    """,
+)
+def q_audit_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Declarative dbt-style audit suite compiled to ONE aggregation
+    pass (reference: firmable_dbt/models/abr_companies_quality.yml)."""
+    from firmable_aus_etl_spark.operators.audit_suite import run_audits
+
+    orders = load_table(spark, sf_dir, "orders")
+    return run_audits(
+        orders,
+        {
+            "o_orderkey": ["unique", "not_null"],
+            "o_orderstatus": ["accepted_values:F|O|P"],
+            "o_totalprice": ["non_negative"],
+        },
+    )

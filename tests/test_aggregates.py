@@ -64,3 +64,37 @@ def test_union_frames_missing_columns(spark):
     out = agg.union_frames([a, b])
     assert out.count() == 2
     assert set(out.columns) == {"id", "a"}
+
+
+def test_audit_suite_single_pass(spark):
+    from firmable_aus_etl_spark.operators.audit_suite import assert_audits, run_audits
+
+    df = spark.createDataFrame(
+        [
+            ("12345678901", "Acme", "Active", 5.0),
+            ("12345678901", "Beta", "Active", -1.0),   # dup abn, negative
+            (None, None, "Weird", 2.0),                # null abn+name, bad status
+        ],
+        "abn string, name string, status string, score double",
+    )
+    spec = {
+        "abn": ["unique", "not_null", "matches_regex:^[0-9]{11}$"],
+        "name": ["not_null"],
+        "status": ["accepted_values:Active|Cancelled"],
+        "score": ["non_negative"],
+    }
+    report = {(r.column_name, r.test_name): (r.violations, r.status) for r in run_audits(df, spec).collect()}
+    assert report[("abn", "unique")] == (1, "fail")
+    assert report[("abn", "not_null")] == (1, "fail")
+    assert report[("abn", "matches_regex:^[0-9]{11}$")] == (0, "pass")
+    assert report[("name", "not_null")] == (1, "fail")
+    assert report[("status", "accepted_values:Active|Cancelled")] == (1, "fail")
+    assert report[("score", "non_negative")] == (1, "fail")
+
+    import pytest as _pytest
+    with _pytest.raises(AssertionError, match="audit failures"):
+        assert_audits(df, spec)
+
+    clean = spark.createDataFrame([("12345678901", "A", "Active", 1.0)],
+                                  "abn string, name string, status string, score double")
+    assert_audits(clean, spec)  # no raise
