@@ -1,0 +1,47 @@
+"""SQL surface: register the testdata tables as temp views plus the
+engine's scalar helpers as SQL functions, so the capability set is
+reachable from ``spark.sql`` — the second half of the "DataFrame / SQL"
+API promise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+from firmable_aus_etl_spark.datasets import TABLE_NAMES, load_table
+
+
+def register_testdata_views(spark: SparkSession, sf_dir: str) -> None:
+    """Create/replace one temp view per testdata table."""
+    for name in TABLE_NAMES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+# SQL-defined (not Python) functions: these compile to the same JVM
+# expressions as the column-API versions — calling the engine from SQL
+# costs nothing.
+_SQL_FUNCTIONS = [
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION norm_name(s STRING)
+    RETURNS STRING
+    RETURN regexp_replace(lower(trim(s)), ' +', ' ')
+    """,
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION token_sort(s STRING)
+    RETURNS STRING
+    RETURN concat_ws(' ', sort_array(split(regexp_replace(lower(trim(s)), ' +', ' '), ' ')))
+    """,
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION token_sort_ratio(a STRING, b STRING)
+    RETURNS DOUBLE
+    RETURN 100.0 * (1.0 - CAST(levenshtein(token_sort(a), token_sort(b)) AS DOUBLE)
+                    / CAST(greatest(length(token_sort(a)), length(token_sort(b)), 1) AS DOUBLE))
+    """,
+]
+
+
+def register_sql_functions(spark: SparkSession) -> None:
+    """Register engine scalars as SQL UDFs (Spark 4 SQL-defined
+    functions — pure expressions, no Python eval in the plan)."""
+    for ddl in _SQL_FUNCTIONS:
+        spark.sql(ddl)

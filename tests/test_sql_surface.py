@@ -1,0 +1,51 @@
+"""The engine via spark.sql: views + SQL-defined functions."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark import plans
+from firmable_aus_etl_spark.functions.similarity import token_sort_ratio_expr
+from firmable_aus_etl_spark.sql_surface import (
+    register_sql_functions,
+    register_testdata_views,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_views_and_sql_query(spark):
+    register_testdata_views(spark, SF)
+    out = spark.sql(
+        """
+        SELECT c_mktsegment, count(*) AS cnt
+        FROM customer GROUP BY c_mktsegment ORDER BY cnt DESC
+        """
+    ).collect()
+    assert sum(r.cnt for r in out) == 150
+
+
+def test_sql_function_matches_column_api(spark):
+    register_sql_functions(spark)
+    df = spark.createDataFrame(
+        [("Pty Ltd Acme", "Acme Pty Ltd"), ("Acme", "Zebra")], "a string, b string"
+    )
+    df.createOrReplaceTempView("pairs_v")
+    via_sql = [r.s for r in spark.sql(
+        "SELECT token_sort_ratio(a, b) AS s FROM pairs_v"
+    ).collect()]
+    via_api = [r.s for r in df.select(
+        token_sort_ratio_expr(F.col("a"), F.col("b")).alias("s")
+    ).collect()]
+    assert via_sql == via_api
+    assert via_sql[0] == 100.0
+
+
+def test_sql_function_stays_jvm_side(spark):
+    register_sql_functions(spark)
+    register_testdata_views(spark, SF)
+    df = spark.sql(
+        "SELECT c_name, token_sort_ratio(c_name, c_name) AS s FROM customer"
+    )
+    plan = plans.physical_plan(df)
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
