@@ -1534,3 +1534,33 @@ def q_audit_suite_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice": ["non_negative"],
         },
     )
+
+
+@register(
+    "sliding_window_events",
+    """
+    WITH e AS (
+      SELECT event_type,
+             unnest([date_trunc('hour', CAST(ts AS TIMESTAMP)) - INTERVAL 1 HOUR,
+                     date_trunc('hour', CAST(ts AS TIMESTAMP))]) AS win_start
+      FROM events
+    )
+    SELECT strftime(win_start, '%Y-%m-%d %H:%M') AS window_start,
+           event_type, count(*) AS cnt
+    FROM e GROUP BY window_start, event_type
+    """,
+)
+def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (2h window, 1h slide): each event
+    lands in two overlapping buckets — the streaming sliding-agg shape
+    as a batch oracle query."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"))
+        .select(
+            F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
+            "event_type",
+            "cnt",
+        )
+    )
