@@ -25,6 +25,18 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLE: dict[str, str] = {}
 
 
+def _cents(col, decimals: int = 2):
+    """Exact per-row integer scaling: floor(x * 10^d + 0.5).
+
+    The per-row double arithmetic is bit-identical in Spark and DuckDB;
+    summing the resulting integers is order-independent, so money
+    aggregates built on this are immune to partial-agg-order FP noise
+    (plain sum(double) differs in the last bits run to run, which can
+    flip a round() at a half-cent boundary).
+    """
+    return F.floor(col * float(10 ** decimals) + 0.5).cast("long")
+
+
 def register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         QUERIES[name] = fn
@@ -98,14 +110,17 @@ def q_similarity_join_blocked_top1(spark: SparkSession, sf_dir: str) -> DataFram
 
 # --- aggregation family ---------------------------------------------------
 
+# Money sums go through exact integer cents (floor(x*100+0.5) per row is
+# bit-identical across engines; integer sums are order-independent), so
+# results are immune to partial-aggregation-order FP noise — see PERF.md.
 _PRICING_ORACLE = """
 SELECT l_returnflag, l_linestatus,
-       round(sum(l_quantity), 2)                                  AS sum_qty,
-       round(sum(l_extendedprice), 2)                             AS sum_base_price,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2)        AS sum_disc_price,
-       round(avg(l_quantity), 2)                                  AS avg_qty,
-       round(avg(l_extendedprice), 2)                             AS avg_price,
-       count(*)                                                   AS count_order
+       round(sum(l_quantity), 2) AS sum_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS sum_base_price,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS sum_disc_price,
+       round(avg(l_quantity), 2) AS avg_qty,
+       CAST(sum(CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / (100.0 * count(*)) AS avg_price,
+       count(*) AS count_order
 FROM lineitem
 WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
 GROUP BY l_returnflag, l_linestatus
@@ -121,12 +136,20 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias(
-                "sum_disc_price"
+            (F.sum(_cents(F.col("l_extendedprice"))).cast("double") / 100.0).alias(
+                "sum_base_price"
             ),
+            (
+                F.sum(
+                    _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+                ).cast("double")
+                / 10000.0
+            ).alias("sum_disc_price"),
             F.round(F.avg("l_quantity"), 2).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 2).alias("avg_price"),
+            (
+                F.sum(_cents(F.col("l_extendedprice"))).cast("double")
+                / (F.lit(100.0) * F.count("*"))
+            ).alias("avg_price"),
             F.count("*").alias("count_order"),
         )
     )
@@ -135,7 +158,7 @@ def q_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 _REVENUE_ORACLE = """
 SELECT r_name, n_name,
        count(*) AS line_count,
-       round(sum(l_extendedprice * (1.0 - l_discount)), 2) AS revenue
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue
 FROM lineitem
 JOIN orders   ON l_orderkey = o_orderkey
 JOIN customer ON o_custkey = c_custkey
@@ -167,9 +190,12 @@ def q_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.groupBy("r_name", "n_name").agg(
         F.count("*").alias("line_count"),
-        F.round(F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))), 2).alias(
-            "revenue"
-        ),
+        (
+            F.sum(_cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)).cast(
+                "double"
+            )
+            / 10000.0
+        ).alias("revenue"),
     )
 
 
@@ -185,7 +211,10 @@ def q_group_counts_mktsegment(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "avg_acctbal_by_nation",
     """
-    SELECT n_name, round(avg(c_acctbal), 2) AS avg_acctbal, count(*) AS cnt
+    SELECT n_name,
+           CAST(sum(CAST(floor(c_acctbal * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (100.0 * count(*)) AS avg_acctbal,
+           count(*) AS cnt
     FROM customer JOIN nation ON c_nationkey = n_nationkey
     GROUP BY n_name
     """,
@@ -197,7 +226,12 @@ def q_avg_acctbal_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cust.join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
-        .agg(F.round(F.avg("c_acctbal"), 2).alias("avg_acctbal"), F.count("*").alias("cnt"))
+        .agg(
+            (
+                F.sum(_cents(F.col("c_acctbal"))).cast("double") / (F.lit(100.0) * F.count("*"))
+            ).alias("avg_acctbal"),
+            F.count("*").alias("cnt"),
+        )
     )
 
 
@@ -352,7 +386,8 @@ def q_eq_filter_ci_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            count(*) AS cnt,
            CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
-           round(avg(value), 2) AS avg_value
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (100.0 * count(*)) AS avg_value
     FROM events GROUP BY event_type
     """,
 )
@@ -362,7 +397,9 @@ def q_events_json_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("event_type").agg(
         F.count("*").alias("cnt"),
         F.sum(F.get_json_object(F.col("props"), "$.k").cast("long")).alias("sum_k"),
-        F.round(F.avg("value"), 2).alias("avg_value"),
+        (F.sum(_cents(F.col("value"))).cast("double") / (F.lit(100.0) * F.count("*"))).alias(
+            "avg_value"
+        ),
     )
 
 
@@ -893,7 +930,7 @@ def q_coalesce_fallback_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
            CAST(month(o_orderdate) AS INTEGER) AS mo,
            count(*) AS cnt,
-           round(sum(o_totalprice), 2) AS total
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total
     FROM orders GROUP BY yr, mo
     """,
 )
@@ -907,7 +944,10 @@ def q_date_parts_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "o_totalprice",
         )
         .groupBy("yr", "mo")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.sum(_cents(F.col("o_totalprice"))).cast("double") / 100.0).alias("total"),
+        )
     )
 
 
@@ -967,7 +1007,8 @@ def q_concat_address_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "tumbling_window_events",
     """
     SELECT strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS window_start,
-           event_type, count(*) AS cnt, round(sum(value), 2) AS total_value
+           event_type, count(*) AS cnt,
+           CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
     FROM events GROUP BY window_start, event_type
     """,
 )
@@ -977,7 +1018,10 @@ def q_tumbling_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events")
     return (
         ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
-        .agg(F.count("*").alias("cnt"), F.round(F.sum("value"), 2).alias("total_value"))
+        .agg(
+            F.count("*").alias("cnt"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0).alias("total_value"),
+        )
         .select(
             F.date_format(F.col("w.start"), "yyyy-MM-dd HH:mm").alias("window_start"),
             "event_type",
@@ -1270,7 +1314,8 @@ def q_moving_avg_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT p_brand,
            count(*) AS cnt,
-           round(avg(p_retailprice), 2) AS avg_price,
+           CAST(sum(CAST(floor(p_retailprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+             / (100.0 * count(*)) AS avg_price,
            min(p_size) AS min_size,
            max(p_size) AS max_size,
            CAST(sum(CASE WHEN p_type LIKE 'SMALL%' THEN 1 ELSE 0 END) AS BIGINT) AS small_types
@@ -1282,7 +1327,9 @@ def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part")
     return part.groupBy("p_brand").agg(
         F.count("*").alias("cnt"),
-        F.round(F.avg("p_retailprice"), 2).alias("avg_price"),
+        (F.sum(_cents(F.col("p_retailprice"))).cast("double") / (F.lit(100.0) * F.count("*"))).alias(
+            "avg_price"
+        ),
         F.min("p_size").alias("min_size"),
         F.max("p_size").alias("max_size"),
         F.sum(F.col("p_type").startswith("SMALL").cast("long")).alias("small_types"),
@@ -1293,12 +1340,13 @@ def q_part_brand_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top_suppliers_by_revenue",
     """
     WITH rev AS (
-      SELECT l_suppkey, sum(l_extendedprice * (1.0 - l_discount)) AS revenue
+      SELECT l_suppkey,
+             sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS rev_c
       FROM lineitem GROUP BY l_suppkey
     )
-    SELECT s_suppkey, s_name, round(revenue, 2) AS revenue
+    SELECT s_suppkey, s_name, CAST(rev_c AS DOUBLE) / 10000.0 AS revenue
     FROM rev JOIN supplier ON l_suppkey = s_suppkey
-    ORDER BY revenue DESC, s_suppkey LIMIT 10
+    ORDER BY rev_c DESC, s_suppkey LIMIT 10
     """,
 )
 def q_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,13 +1354,17 @@ def q_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     rev = li.groupBy("l_suppkey").agg(
-        F.sum(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount"))).alias("revenue")
+        F.sum(_cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)).alias(
+            "rev_c"
+        )
     )
     return (
         rev.join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
-        .select("s_suppkey", "s_name", F.round("revenue", 2).alias("revenue"))
-        .orderBy(F.col("revenue").desc(), F.col("s_suppkey").asc())
+        # integer-cents ordering: the top-10 cut is deterministic even
+        # under cross-engine/run FP noise
+        .orderBy(F.col("rev_c").desc(), F.col("s_suppkey").asc())
         .limit(10)
+        .select("s_suppkey", "s_name", (F.col("rev_c").cast("double") / 10000.0).alias("revenue"))
     )
 
 
@@ -1320,7 +1372,10 @@ def q_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     "orders_above_customer_avg",
     """
     WITH avgs AS (
-      SELECT o_custkey AS k, avg(o_totalprice) AS avg_total FROM orders GROUP BY o_custkey
+      SELECT o_custkey AS k,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
+               / (100.0 * count(*)) AS avg_total
+      FROM orders GROUP BY o_custkey
     )
     SELECT o_orderkey, o_custkey, o_totalprice
     FROM orders JOIN avgs ON o_custkey = k
@@ -1333,7 +1388,9 @@ def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     aggregate+join — expressed directly as the join)."""
     orders = load_table(spark, sf_dir, "orders")
     avgs = orders.groupBy(F.col("o_custkey").alias("k")).agg(
-        F.avg("o_totalprice").alias("avg_total")
+        (F.sum(_cents(F.col("o_totalprice"))).cast("double") / (F.lit(100.0) * F.count("*"))).alias(
+            "avg_total"
+        )
     )
     return (
         orders.join(avgs, F.col("o_custkey") == F.col("k"))
