@@ -59,6 +59,8 @@ def similarity_join(
       tie-break keeps output deterministic/oracle-hashable.
     - ``broadcast_right=True`` hints the dim side; at 100 TB a blocked
       join against a small reference table must not shuffle the fact.
+    - both sides' columns are carried into the output, so column names
+      must be distinct across the two inputs (rename before joining).
     """
     if prepare is None:
         prepare = token_sort
