@@ -1,0 +1,85 @@
+"""Engine-vs-engine timing: the same query executed by this engine
+(Spark, local[32]) and by DuckDB running the oracle SQL, at sf0.1.
+
+DuckDB is an aggressively optimized single-node OLAP engine — a strong
+stand-in for "the reference's single-node throughput ceiling". Spark
+carries JVM/task overheads at this tiny scale and wins by scaling out;
+the point of this table is honesty about the crossover, not a victory
+lap. Writes BENCH_COMPARE.md.
+
+Usage: python tools/bench_compare.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import sys
+import time
+
+import duckdb
+
+sys.path.insert(0, "/root/repo")
+
+from firmable_aus_etl_spark.datasets import TABLE_NAMES  # noqa: E402
+from firmable_aus_etl_spark.queries import ORACLE, QUERIES  # noqa: E402
+from firmable_aus_etl_spark.session import get_session  # noqa: E402
+
+COMPARE = [
+    "pricing_summary",
+    "revenue_by_nation",
+    "similarity_join_blocked_top1",
+    "topk_lineitems_per_order",
+    "merge_upsert_orders",
+    "events_json_agg",
+    "tumbling_window_events",
+    "sessionize_events",
+    "quality_score_documents",
+    "fingerprint_documents",
+    "tfidf_cosine_top1",
+    "ngram_jaccard_near_dups",
+    "ann_cosine_top3_per_label",
+    "moving_avg_order_totals",
+    "pivot_event_counts",
+]
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_session("bench_compare")
+    spark.sparkContext.setLogLevel("ERROR")
+    con = duckdb.connect()
+    for t in TABLE_NAMES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    # warm both engines once
+    QUERIES[COMPARE[0]](spark, sf_dir).write.format("noop").mode("overwrite").save()
+    con.execute(ORACLE[COMPARE[0]]).fetchall()
+
+    lines = [
+        "# BENCH_COMPARE — Spark engine vs DuckDB oracle, same query, same data\n",
+        f"sf_dir: {sf_dir}; Spark local[32] noop sink vs DuckDB fetchall.",
+        "Single-node comparison only — Spark's architecture pays fixed",
+        "task/JVM overheads here and returns them as horizontal scaling;",
+        "see PERF.md for the plan properties that carry to 100 TB.\n",
+        "| query | spark_sec | duckdb_sec | ratio |",
+        "|---|---|---|---|",
+    ]
+    for name in COMPARE:
+        if name not in ORACLE:
+            continue
+        t0 = time.time()
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        s = time.time() - t0
+        t0 = time.time()
+        con.execute(ORACLE[name]).fetchall()
+        d = time.time() - t0
+        ratio = s / d if d > 0 else float("inf")
+        lines.append(f"| {name} | {s:.2f} | {d:.2f} | {ratio:.1f}x |")
+        print(f"{name}: spark={s:.2f}s duckdb={d:.2f}s")
+
+    with open("/root/repo/BENCH_COMPARE.md", "w") as f:
+        f.write("\n".join(lines) + "\n")
+    print("wrote BENCH_COMPARE.md")
+
+
+if __name__ == "__main__":
+    main()
