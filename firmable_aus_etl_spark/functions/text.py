@@ -80,6 +80,48 @@ def language_id(col: Column | str, *, min_score: float = 0.05) -> Column:
     return expr
 
 
+def _char_trigrams_py(s: str) -> list[str]:
+    s = " ".join(s.lower().split())
+    return sorted({s[i : i + 3] for i in range(max(len(s) - 2, 0))} or {s})
+
+
+# Per-language char-trigram profiles derived deterministically from the
+# stopword lexicons — both engines receive them as literals.
+NGRAM_PROFILES: dict[str, list[str]] = {
+    lang: _char_trigrams_py(" ".join(words)) for lang, words in STOPWORDS.items()
+}
+
+
+def char_trigrams(col: Column | str) -> Column:
+    """Distinct char trigrams of normalized text as array<string>."""
+    t = normalize_name(col)
+    n = F.greatest(F.length(t) - F.lit(2), F.lit(1))
+    grams = F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(3)))
+    return F.array_distinct(grams)
+
+
+def language_id_ngram(col: Column | str, *, min_overlap: float = 0.05) -> Column:
+    """Char-n-gram language ID: argmax of |doc_trigrams ∩ profile(lang)|
+    / |doc_trigrams| against deterministic per-language trigram
+    profiles. The classic n-gram-profile heuristic; alphabetical
+    tie-break, 'und' under the floor — same contract as language_id.
+    """
+    grams = char_trigrams(col)
+    denom = F.greatest(F.size(grams), F.lit(1)).cast("double")
+    scores = {
+        lang: F.size(F.array_intersect(grams, F.lit(profile))).cast("double") / denom
+        for lang, profile in NGRAM_PROFILES.items()
+    }
+    langs = sorted(scores)
+    mx = F.greatest(*[scores[lang] for lang in langs])
+    expr: Column = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when(
+            (scores[lang] >= mx) & (mx >= F.lit(float(min_overlap))), F.lit(lang)
+        ).otherwise(expr)
+    return expr
+
+
 def quality_score(col: Column | str) -> Column:
     """Document quality heuristic in [0,1]: length band + mean word
     length band + stopword presence (the C4/Gopher-style cheap filters).

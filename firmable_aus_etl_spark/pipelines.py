@@ -104,6 +104,8 @@ def unify_companies(matches: DataFrame) -> DataFrame:
         ).alias("address"),
         F.col("match_confidence").cast("decimal(4,3)").alias("confidence_score"),
         F.array(F.lit("abr"), F.lit("common_crawl")).alias("data_sources"),
+        # f14 — created_at/updated_at defaults (schema_postgres.sql:28-29)
+        F.current_timestamp().alias("created_at"),
     )
 
 

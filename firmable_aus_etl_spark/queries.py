@@ -1621,3 +1621,48 @@ def q_sliding_window_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+def _langid_ngram_oracle() -> str:
+    """DuckDB twin of language_id_ngram, generated from the same
+    trigram profiles (single source of truth)."""
+    from firmable_aus_etl_spark.functions.text import NGRAM_PROFILES
+
+    langs = sorted(NGRAM_PROFILES)
+    score_cols = []
+    for lang in langs:
+        lits = ", ".join("'" + g.replace("'", "''") + "'" for g in NGRAM_PROFILES[lang])
+        score_cols.append(
+            f"CAST(len(list_intersect(g, [{lits}])) AS DOUBLE)"
+            f" / CAST(greatest(len(g), 1) AS DOUBLE) AS s_{lang}"
+        )
+    mx = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    whens = "\n".join(
+        f"WHEN s_{la} >= {mx} AND {mx} >= 0.05 THEN '{la}'" for la in langs
+    )
+    return f"""
+    WITH d AS (SELECT lang, {_NORM_SQL} AS t FROM documents),
+    gr AS (
+      SELECT lang, list_distinct(
+        list_transform(generate_series(1, greatest(length(t) - 2, 1)),
+                       i -> t[i:i+2])) AS g
+      FROM d
+    ),
+    s AS (SELECT lang, {", ".join(score_cols)} FROM gr),
+    c AS (SELECT lang, CASE {whens} ELSE 'und' END AS detected FROM s)
+    SELECT lang, detected, count(*) AS cnt FROM c GROUP BY lang, detected
+    """
+
+
+@register("language_id_ngram_confusion", _langid_ngram_oracle())
+def q_language_id_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: char-trigram-profile language ID (the classic
+    n-gram heuristic), tallied against the fixture's lang column."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("lang", T.language_id_ngram("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("cnt"))
+    )

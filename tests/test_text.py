@@ -63,3 +63,27 @@ def test_fingerprints_stable_and_normalizing(spark):
     assert rows[0].m == rows[1].m and rows[0].r == rows[1].r
     assert rows[0].m != rows[2].m and rows[0].r != rows[2].r
     assert 0 <= rows[0].r < T.ROLLING_MOD
+
+
+def test_char_trigrams(spark):
+    df = spark.createDataFrame([("abcd",), ("ab",)], ["text"])
+    rows = [r.g for r in df.select(T.char_trigrams("text").alias("g")).collect()]
+    assert set(rows[0]) == {"abc", "bcd"}
+    assert rows[1] == ["ab"]  # shorter than 3 -> whole string
+
+
+def test_language_id_ngram(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of this house is here",),
+            ("el perro y la casa de un gato que vive",),
+            ("der hund und die katze ist von einem haus",),
+            ("xqzwv jkpf ggh",),
+        ],
+        ["text"],
+    )
+    out = [r.lang for r in df.select(T.language_id_ngram("text").alias("lang")).collect()]
+    assert out[0] == "en"
+    assert out[1] == "es"
+    assert out[2] == "de"
+    assert out[3] == "und"
