@@ -451,9 +451,8 @@ def ngram_jaccard_pairs(
     shingle frequency, so at 100 TB you run minhash_lsh_pairs first and
     this only on candidates. Fully SQL-expressible -> oracle-checked.
     """
-    sh = df.select(
-        F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingles(F.col(text_col), shingle_n))).alias("sh"),
+    sh = shingle_frame(df, id_col, text_col, shingle_n=shingle_n).select(
+        "__id", F.explode("__sh").alias("sh")
     )
     sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
     l, r = sh.alias("l"), sh.alias("r")
@@ -470,6 +469,99 @@ def ngram_jaccard_pairs(
             F.col("shared").cast("double")
             / (F.col("a_sz") + F.col("b_sz") - F.col("shared")).cast("double"),
         )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a_id", "b_id", "jaccard")
+    )
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via prefix filtering (PPJoin/Vernica).
+
+    Same result set as :func:`ngram_jaccard_pairs`, asymptotically
+    cheaper: under ANY global total order on shingles, a pair with
+    J >= t must collide within the first ``|s| - ceil(t*|s|) + 1``
+    shingles of each side, so only those prefixes enter the
+    inverted-index join. The classic formulation (Vernica, Carey, Li,
+    SIGMOD'10) orders by ascending document frequency, which costs a
+    global agg + join + per-doc window; here the order is
+    ``(xxhash64(shingle), shingle)`` — an unbiased proxy computable
+    INSIDE the per-doc array (sort + slice, zero extra shuffles), which
+    is the right trade on Spark: prefix selection stays in the narrow
+    map stage and only ~(1-t)·|s| shingles per doc reach the shuffle.
+    A length filter (``min_sz >= t * max_sz``) prunes candidates
+    before exact verification on the full distinct-shingle arrays.
+    """
+    # shingle_frame repartitions first (single-file inputs would run the
+    # HOF on one core); immediately collapse each distinct-shingle set
+    # to a SORTED array<long> of xxhash64 values — strings never leave
+    # the map stage, so every shuffle/broadcast below moves 8-byte
+    # tokens, and the sorted array doubles as the hash global order.
+    # (Exactness caveat: a 64-bit collision between two distinct
+    # shingles inside ONE compared pair could perturb a count — odds
+    # ~|s|^2/2^64 per pair; the sf0.01 oracle hash-gate would surface
+    # it. Same trade as every production fingerprint dedup.)
+    docs = shingle_frame(df, id_col, text_col, shingle_n=shingle_n).select(
+        "__id",
+        F.array_sort(F.transform(F.col("__sh"), lambda s: F.xxhash64(s))).alias("__h"),
+    )
+    sz = F.size(F.col("__h"))
+    # ceil(t*sz) with an epsilon so FP noise can only LENGTHEN the
+    # prefix (shorter-than-true prefixes would silently drop pairs).
+    req = F.ceil(sz.cast("double") * F.lit(threshold) - F.lit(1e-9))
+    plen = (sz - req + F.lit(1)).cast("int")
+    pref = docs.select(
+        "__id",
+        sz.alias("sz"),
+        F.posexplode(F.slice(F.col("__h"), 1, plen)).alias("pos", "sh"),
+    )
+    l, r = pref.alias("l"), pref.alias("r")
+    szs = F.col("l.sz") + F.col("r.sz")
+    # PPJoin positional filter: J>=t needs overlap >= t/(1+t)*(|A|+|B|);
+    # at the EARLIEST common element (positions i,j in the sorted
+    # arrays) every common element sits at or after it in both sides,
+    # so overlap <= min(|A|-i, |B|-j). Pruning at every collision is
+    # sound because the earliest-collision row always carries the valid
+    # bound and candidates are unioned via distinct.
+    min_overlap = F.ceil(
+        szs.cast("double") * F.lit(threshold / (1.0 + threshold)) - F.lit(1e-9)
+    )
+    cand = (
+        l.join(
+            r,
+            on=[
+                F.col("l.sh") == F.col("r.sh"),
+                F.col("l.__id") < F.col("r.__id"),
+                # length filter: J>=t forces min_sz >= t*max_sz
+                F.least(F.col("l.sz"), F.col("r.sz")).cast("double")
+                >= F.lit(threshold)
+                * F.greatest(F.col("l.sz"), F.col("r.sz")).cast("double")
+                - F.lit(1e-9),
+                F.least(
+                    F.col("l.sz") - F.col("l.pos"), F.col("r.sz") - F.col("r.pos")
+                )
+                >= min_overlap,
+            ],
+        )
+        .select(F.col("l.__id").alias("a_id"), F.col("r.__id").alias("b_id"))
+        .distinct()
+    )
+    a = docs.select(F.col("__id").alias("a_id"), F.col("__h").alias("__h_a"))
+    b = docs.select(F.col("__id").alias("b_id"), F.col("__h").alias("__h_b"))
+    inter = F.size(F.array_intersect(F.col("__h_a"), F.col("__h_b"))).cast("double")
+    sza = F.size(F.col("__h_a")).cast("double")
+    szb = F.size(F.col("__h_b")).cast("double")
+    union = sza + szb - inter  # distinct arrays: |A∪B| = |A|+|B|-|A∩B|
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .withColumn("jaccard", F.when(union > 0, inter / union).otherwise(F.lit(0.0)))
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )

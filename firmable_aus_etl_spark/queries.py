@@ -713,6 +713,22 @@ def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
 
 
+# Same oracle as the naive inverted-index join: prefix filtering is an
+# exact optimization (Vernica SIGMOD'10), so the hash gate doubles as a
+# proof that the pruned plan loses no pairs.
+@register("ngram_jaccard_prefix_near_dups", _JACCARD_ORACLE)
+def q_ngram_jaccard_prefix_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection, scale path for the EXACT answer: Jaccard >=
+    0.5 with Vernica-style prefix + length filtering — only each doc's
+    rarest |s|-ceil(t|s|)+1 shingles enter the inverted index, so the
+    frequent-shingle fan-out that dominates the naive join at 100 TB
+    never reaches the shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+
+
 _ANN_ORACLE = """
 WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 = 0),
 cand AS (

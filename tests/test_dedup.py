@@ -85,6 +85,25 @@ def test_shingles_short_text(spark):
     assert out.sh == ["one two"]  # shorter than n -> whole text as one shingle
 
 
+def test_prefix_jaccard_equals_naive(spark):
+    """Prefix filtering is exact: same pairs AND same jaccard values as
+    the naive inverted-index join, on fixture + testdata."""
+    for docs in (
+        docs_fixture(spark),
+        spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+    ):
+        for t in (0.5, 0.7):
+            naive = dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", shingle_n=3, threshold=t
+            )
+            pref = dedup.ngram_jaccard_pairs_prefix(
+                docs, "doc_id", "text", shingle_n=3, threshold=t
+            )
+            n = {(r.a_id, r.b_id): round(r.jaccard, 9) for r in naive.collect()}
+            p = {(r.a_id, r.b_id): round(r.jaccard, 9) for r in pref.collect()}
+            assert p == n, f"t={t}: missing {set(n) - set(p)} extra {set(p) - set(n)}"
+
+
 def test_verified_near_dups_match_exact_on_testdata(spark):
     """Scale path (LSH+verify) must recover the exact verifier's pairs
     on the sf0.001 fixture — the planted dups are all high-jaccard."""
