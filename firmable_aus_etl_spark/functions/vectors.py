@@ -138,6 +138,75 @@ def ivf_assign(vec: Column, centroids: list[list[float]], *, nprobe: int = 1) ->
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
 
 
+def kmeans_centroids(
+    df: DataFrame,
+    *,
+    dim: int,
+    k: int,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    iters: int = 3,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Deterministic spherical k-means centroids for IVF cell training.
+
+    Lloyd's iterations, Spark-first: assignment is the same
+    literal-centroid argmax expression ivf_assign uses (codegen, no
+    Python), the per-cell mean is ``dim`` aggregate expressions in one
+    groupBy (map-side partial agg -> k rows cross the wire), and only
+    the k x dim centroid matrix is collected to the driver per
+    iteration — model state, the one thing that SHOULD live
+    driver-side (MLlib's KMeans does exactly this each step).
+
+    Determinism: init = the k vectors with the smallest
+    ``xxhash64(id)`` (a seeded, order-independent sample); every
+    iteration's centroids are rounded to 6 decimals so partial-agg
+    float-order noise cannot accumulate into different assignments
+    across runs; empty cells keep their previous centroid. Centroids
+    are unit-normalized (cosine / spherical k-means).
+
+    At 100 TB: train on a hash-sample (``WHERE xxhash64(id) % m = 0``)
+    — centroid quality converges long before the full corpus is seen;
+    assignment of the full corpus stays one narrow map.
+    """
+    # rows are assigned on RAW vectors: argmax of dot against UNIT
+    # centroids is scale-invariant, so per-row normalization (an
+    # O(dim^2) interpreted subtree per row) is unnecessary — only the
+    # k centroids are normalized, driver-side.
+    dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
+    # decouple from input file layout: a single parquet file would run
+    # every interpreted dot product on one core
+    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
+    def _unit(v: list[float]) -> list[float]:
+        n = sum(x * x for x in v) ** 0.5 or 1.0
+        return [round(x / n, 6) for x in v]
+
+    init = (
+        df.select(F.xxhash64(F.col(id_col) + F.lit(seed)).alias("__h"), dvec.alias("__v"))
+        .orderBy("__h")
+        .limit(k)
+        .collect()
+    )
+    centroids = [_unit([float(x) for x in r["__v"]]) for r in init]
+    for _ in range(iters):
+        assigned = df.select(
+            ivf_assign(F.col(vec_col), centroids, nprobe=1)[0].alias("cell"),
+            dvec.alias("__v"),
+        )
+        means = (
+            assigned.groupBy("cell")
+            .agg(*[F.avg(F.col("__v")[i]).alias(f"m{i}") for i in range(dim)])
+            .collect()
+        )
+        new = {r.cell: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        centroids = [
+            _unit(new[ci]) if ci in new else centroids[ci]  # empty cell: keep
+            for ci in range(k)
+        ]
+    return centroids
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -150,6 +219,7 @@ def ivf_topk(
     n_cells: int = 16,
     nprobe: int = 4,
     seed: int = 7,
+    centroids: list[list[float]] | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors live in their single nearest cell;
     queries probe their ``nprobe`` nearest cells; exact cosine re-ranks
@@ -157,22 +227,28 @@ def ivf_topk(
 
     Scale shape: the corpus partitions by cell (one narrow map + one
     hash shuffle at index-build time, amortized across queries); each
-    query touches nprobe/n_cells of the corpus. Centroids here are
-    deterministic pseudo-random directions — a production build would
-    k-means them, which changes recall, not the dataflow.
+    query touches nprobe/n_cells of the corpus. Default centroids are
+    deterministic pseudo-random directions; pass
+    ``kmeans_centroids(...)`` output for data-trained cells (better
+    recall at the same nprobe — cells follow the data's density).
     """
-    # unit-normalize centroids: raw LCG directions have varying norms,
-    # which would bias the dot-product argmax toward long centroids
-    raw = make_planes(dim, n_cells, seed=seed)
-    centroids = [
-        [x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw
-    ]
+    if centroids is None:
+        # unit-normalize: raw LCG directions have varying norms, which
+        # would bias the dot-product argmax toward long centroids
+        raw = make_planes(dim, n_cells, seed=seed)
+        centroids = [
+            [x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw
+        ]
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(vec_col).alias("__qv"),
         F.explode(ivf_assign(F.col(vec_col), centroids, nprobe=nprobe)).alias("cell"),
     )
-    c = corpus.select(
+    # corpus assignment is the heavy map (n_cells dots per row) — don't
+    # inherit a single input file's one-partition layout
+    c = corpus.repartition(
+        corpus.sparkSession.sparkContext.defaultParallelism
+    ).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         ivf_assign(F.col(vec_col), centroids, nprobe=1)[0].alias("cell"),

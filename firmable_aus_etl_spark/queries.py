@@ -777,6 +777,24 @@ def q_lsh_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return V.lsh_topk(queries, corpus, dim=64, k=3, n_planes=6, n_tables=6)
 
 
+@register("ivf_ann_top3")  # rows-only: trained-centroid probe is engine-specific
+def q_ivf_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search scale path #2: IVF with deterministic k-means
+    cells — corpus partitions by nearest trained centroid, queries
+    probe 4 cells, exact cosine re-ranks. Approximate — rows-only
+    driver check; tests/test_vectors.py asserts recall against brute
+    force and centroid determinism."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    cents = V.kmeans_centroids(corpus, dim=64, k=16, iters=2, seed=7)
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    return V.ivf_topk(
+        queries, corpus, dim=64, k=3, n_cells=16, nprobe=4, centroids=cents
+    )
+
+
 @register("minhash_lsh_candidates")  # rows-only: xxhash64 is Spark-specific
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup scale path: MinHash banding candidates. Verified subset

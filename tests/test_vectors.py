@@ -99,6 +99,46 @@ def test_ivf_recall_against_brute_force(spark):
     assert recall >= 0.6, f"IVF recall too low: {recall}"
 
 
+def test_kmeans_centroids_deterministic_and_unit(spark):
+    state, rows = 11, []
+    for i in range(120):
+        vec = []
+        for _ in range(8):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            vec.append(state / float(1 << 31) - 0.5)
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    a = V.kmeans_centroids(df, dim=8, k=4, iters=2, seed=3)
+    b = V.kmeans_centroids(df, dim=8, k=4, iters=2, seed=3)
+    assert a == b  # rounding per iter pins agg-order float noise
+    for c in a:
+        assert abs(sum(x * x for x in c) - 1.0) < 1e-3  # unit centroids
+
+
+def test_ivf_kmeans_recall_against_brute_force(spark):
+    """Trained cells must do at least as well as the random-direction
+    floor on clustered data (10 gaussian-ish blobs, 16 dims)."""
+    state, rows = 99, []
+    for i in range(200):
+        blob = i % 10
+        vec = []
+        for d in range(16):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            noise = (state / float(1 << 31) - 0.5) * 0.3
+            vec.append((1.0 if d % 10 == blob else 0.0) + noise)
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") % 20 == 0)
+
+    exact = V.brute_force_topk(qs, df, k=3)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    cents = V.kmeans_centroids(df, dim=16, k=8, iters=3, seed=5)
+    approx = V.ivf_topk(qs, df, dim=16, k=3, nprobe=3, centroids=cents)
+    got = {(r.query_id, r.neighbor_id) for r in approx.collect()}
+    recall = len(truth & got) / len(truth)
+    assert recall >= 0.7, f"k-means IVF recall too low: {recall}"
+
+
 def test_ivf_assign_deterministic(spark):
     cents = V.make_planes(3, 4, seed=3)
     df = vec_df(spark).select("vec_id", V.ivf_assign(F.col("embedding"), cents, nprobe=2).alias("cells"))
