@@ -12,10 +12,16 @@ from firmable_aus_etl_spark.streaming.ops import (
     streaming_dedup,
     foreach_batch_merge,
 )
+from firmable_aus_etl_spark.streaming.stateful import (
+    sessionize_stream,
+    sessionize_stream_eventtime,
+)
 
 __all__ = [
     "read_stream_parquet",
     "windowed_event_counts",
     "streaming_dedup",
     "foreach_batch_merge",
+    "sessionize_stream",
+    "sessionize_stream_eventtime",
 ]

@@ -15,6 +15,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
+    ArrayType,
     LongType,
     StructField,
     StructType,
@@ -100,4 +101,90 @@ def sessionize_stream(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+BUFFER_STATE_SCHEMA = StructType(
+    [StructField("ts_us", ArrayType(LongType()), True)]
+)
+
+
+def sessionize_stream_eventtime(
+    events: DataFrame, *, gap_minutes: int = 30, watermark: str = "1 hour"
+) -> DataFrame:
+    """Disorder-robust sessionizer: per-user events buffer in state and
+    sessions are emitted in EVENT-TIME order once the watermark proves
+    them final — the production hardening the arrival-order variant's
+    docstring promises.
+
+    A session [start, last] is final when ``watermark > last + gap``:
+    any not-yet-seen event admitted by the watermark has
+    ``ts >= watermark > last + gap`` and therefore starts a LATER
+    session — it can never extend or merge a finalized one. So late
+    events that cross micro-batch boundaries out of order reorder
+    inside the buffer instead of splitting sessions.
+
+    State per user = the open tail of the event stream (events not yet
+    in a finalized session): bounded by the watermark horizon, the
+    knob that trades completeness for memory at 100 TB/day rates.
+    Event-time timeout flushes users whose stream goes quiet without
+    needing another event to arrive for that user.
+    """
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        buf: list[int] = list(state.get[0]) if state.exists else []
+        if not state.hasTimedOut:
+            for pdf in pdfs:
+                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
+                buf.extend(int(t) for t in ts_us)
+        buf.sort()
+        wm_us = state.getCurrentWatermarkMs() * 1000
+
+        # split the buffer into gap-delimited sessions, oldest first
+        sessions: list[tuple[int, int, int]] = []  # (start, last, n)
+        for t in buf:
+            if sessions and t - sessions[-1][1] <= gap_us:
+                s, _, n = sessions[-1]
+                sessions[-1] = (s, t, n + 1)
+            else:
+                sessions.append((t, t, 1))
+        final = [s for s in sessions if s[1] + gap_us < wm_us]
+        keep = [t for t in buf if not final or t > final[-1][1]]
+
+        if keep:
+            state.update((keep,))
+            # wake this user at the earliest instant the watermark can
+            # finalize its FIRST open session, so quiet users still
+            # flush without another event of their own arriving
+            first_open_end = sessions[len(final)][1]
+            state.setTimeoutTimestamp(
+                max(first_open_end + gap_us, wm_us) // 1000 + 1
+            )
+        else:
+            state.remove()
+
+        if final:
+            yield pd.DataFrame(
+                {
+                    "user_id": [user_id] * len(final),
+                    "session_start": [pd.Timestamp(s, unit="us") for s, _, _ in final],
+                    "session_end": [pd.Timestamp(e, unit="us") for _, e, _ in final],
+                    "n_events": [n for _, _, n in final],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            fn,
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=BUFFER_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
     )

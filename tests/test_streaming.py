@@ -95,6 +95,61 @@ def test_foreach_batch_merge(spark, events_dir, tmp_path):
     assert out.filter(F.col("value") == -1.0).count() == 0
 
 
+def test_eventtime_sessionize_survives_cross_batch_disorder(spark, tmp_path):
+    """A late event arriving in a LATER micro-batch but falling in the
+    MIDDLE of an earlier session must merge, not split (the failure
+    mode the arrival-order sessionizer documents)."""
+    from firmable_aus_etl_spark.streaming.stateful import (
+        SESSION_SCHEMA,
+        sessionize_stream_eventtime,
+    )
+
+    t0 = 1_700_000_000_000_000  # us
+    MIN = 60 * 1_000_000
+    d = str(tmp_path / "stream_in")
+
+    def write_file(rows):
+        spark.createDataFrame(rows, "user_id long, ts_us long").select(
+            "user_id", F.timestamp_micros(F.col("ts_us")).alias("ts")
+        ).coalesce(1).write.mode("append").parquet(d)
+
+    # batch 1: session A events at 0,10min; new session at 60min
+    write_file([(1, t0), (1, t0 + 10 * MIN), (1, t0 + 60 * MIN)])
+    import time as _t
+
+    _t.sleep(1.1)  # file source orders batches by mod time
+    # batch 2: LATE event at 20min (inside session A) + wm pusher at 5h
+    write_file([(1, t0 + 20 * MIN), (1, t0 + 300 * MIN)])
+    _t.sleep(1.1)
+    # batch 3: other-user event far ahead -> watermark passes, user 1
+    # flushes via event-time timeout without any new user-1 event
+    write_file([(2, t0 + 600 * MIN)])
+
+    stream = (
+        spark.readStream.schema("user_id long, ts timestamp")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    sessions = sessionize_stream_eventtime(stream, gap_minutes=30, watermark="1 hour")
+    q = (
+        sessions.writeStream.format("memory").queryName("et_sessions")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    got = sorted(
+        (r.user_id, r.session_start.timestamp(), r.session_end.timestamp(), r.n_events)
+        for r in spark.sql("select * from et_sessions").collect()
+    )
+    want = [
+        (1, t0 / 1e6, (t0 + 20 * MIN) / 1e6, 3),        # merged despite disorder
+        (1, (t0 + 60 * MIN) / 1e6, (t0 + 60 * MIN) / 1e6, 1),
+        # wm after batch 3 (t0+540min) finalizes the 5h session via the
+        # event-time timeout batch availableNow drains before stopping
+        (1, (t0 + 300 * MIN) / 1e6, (t0 + 300 * MIN) / 1e6, 1),
+    ]
+    assert got == sorted(want), f"got {got}"
+
+
 def test_stateful_sessionize_stream(spark, events_dir, tmp_path):
     from firmable_aus_etl_spark.streaming.stateful import sessionize_stream
 
