@@ -474,53 +474,56 @@ def ngram_jaccard_pairs(
     )
 
 
-def ngram_jaccard_pairs_prefix(
-    df: DataFrame,
-    id_col: str,
-    text_col: str,
-    *,
-    shingle_n: int = 3,
-    threshold: float = 0.8,
-) -> DataFrame:
-    """Exact n-gram Jaccard pairs via prefix filtering (PPJoin/Vernica).
-
-    Same result set as :func:`ngram_jaccard_pairs`, asymptotically
-    cheaper: under ANY global total order on shingles, a pair with
-    J >= t must collide within the first ``|s| - ceil(t*|s|) + 1``
-    shingles of each side, so only those prefixes enter the
-    inverted-index join. The classic formulation (Vernica, Carey, Li,
-    SIGMOD'10) orders by ascending document frequency, which costs a
-    global agg + join + per-doc window; here the order is
-    ``(xxhash64(shingle), shingle)`` — an unbiased proxy computable
-    INSIDE the per-doc array (sort + slice, zero extra shuffles), which
-    is the right trade on Spark: prefix selection stays in the narrow
-    map stage and only ~(1-t)·|s| shingles per doc reach the shuffle.
-    A length filter (``min_sz >= t * max_sz``) prunes candidates
-    before exact verification on the full distinct-shingle arrays.
-    """
-    # shingle_frame repartitions first (single-file inputs would run the
-    # HOF on one core); immediately collapse each distinct-shingle set
-    # to a SORTED array<long> of xxhash64 values — strings never leave
-    # the map stage, so every shuffle/broadcast below moves 8-byte
-    # tokens, and the sorted array doubles as the hash global order.
-    # (Exactness caveat: a 64-bit collision between two distinct
-    # shingles inside ONE compared pair could perturb a count — odds
-    # ~|s|^2/2^64 per pair; the sf0.01 oracle hash-gate would surface
-    # it. Same trade as every production fingerprint dedup.)
-    docs = shingle_frame(df, id_col, text_col, shingle_n=shingle_n).select(
-        "__id",
-        F.array_sort(F.transform(F.col("__sh"), lambda s: F.xxhash64(s))).alias("__h"),
-    )
-    sz = F.size(F.col("__h"))
-    # ceil(t*sz) with an epsilon so FP noise can only LENGTHEN the
-    # prefix (shorter-than-true prefixes would silently drop pairs).
+def _prefix_len(sz: Column, threshold: float) -> Column:
+    """|s| - ceil(t*|s|) + 1 — with an epsilon so FP noise can only
+    LENGTHEN the prefix (shorter-than-true prefixes drop pairs)."""
     req = F.ceil(sz.cast("double") * F.lit(threshold) - F.lit(1e-9))
-    plen = (sz - req + F.lit(1)).cast("int")
-    pref = docs.select(
-        "__id",
-        sz.alias("sz"),
-        F.posexplode(F.slice(F.col("__h"), 1, plen)).alias("pos", "sh"),
-    )
+    return (sz - req + F.lit(1)).cast("int")
+
+
+def jaccard_prefix_candidates(
+    docs: DataFrame, *, threshold: float, order: str = "hash"
+) -> DataFrame:
+    """Candidate (a_id, b_id) pairs for the prefix-filtered Jaccard
+    join, from a ``(__id, __h: sorted array<long>)`` frame.
+
+    ``order`` picks the global shingle order the prefixes live under:
+
+    - ``"hash"`` — the sorted hash array itself: prefix = slice, zero
+      extra shuffles; frequent shingles stay in prefixes with
+      probability ~(1-t), so fan-out shrinks by (1-t)^2 but remains
+      quadratic in shingle frequency. Right when skew is benign.
+    - ``"df"`` — ascending document frequency (the Vernica SIGMOD'10
+      order): costs a global count + join + per-doc rank (3 extra
+      shuffles), but the frequent shingles land at the END of the
+      order and drop out of every long-enough document's prefix —
+      candidate fan-out stops being quadratic in df. Right at 100 TB
+      or any adversarial corpus (boilerplate, templated text).
+
+    Both orders are total and globally consistent, so the prefix
+    theorem and the positional filter hold for either.
+    """
+    sz = F.size(F.col("__h"))
+    plen = _prefix_len(sz, threshold)
+    if order == "hash":
+        pref = docs.select(
+            "__id",
+            sz.alias("sz"),
+            F.posexplode(F.slice(F.col("__h"), 1, plen)).alias("pos", "sh"),
+        )
+    elif order == "df":
+        sh = docs.select("__id", sz.alias("sz"), F.explode("__h").alias("sh"))
+        freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
+        ranked = sh.join(freq, "sh").withColumn(
+            "pos",
+            F.row_number().over(Window.partitionBy("__id").orderBy("df", "sh"))
+            - F.lit(1),
+        )
+        pref = ranked.filter(F.col("pos") < _prefix_len(F.col("sz"), threshold)).select(
+            "__id", "sz", "pos", "sh"
+        )
+    else:  # pragma: no cover - guard
+        raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
     l, r = pref.alias("l"), pref.alias("r")
     szs = F.col("l.sz") + F.col("r.sz")
     # PPJoin positional filter: J>=t needs overlap >= t/(1+t)*(|A|+|B|);
@@ -552,6 +555,43 @@ def ngram_jaccard_pairs_prefix(
         .select(F.col("l.__id").alias("a_id"), F.col("r.__id").alias("b_id"))
         .distinct()
     )
+    return cand
+
+
+def ngram_jaccard_pairs_prefix(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    shingle_n: int = 3,
+    threshold: float = 0.8,
+    order: str = "hash",
+) -> DataFrame:
+    """Exact n-gram Jaccard pairs via prefix filtering (PPJoin/Vernica).
+
+    Same result set as :func:`ngram_jaccard_pairs`, asymptotically
+    cheaper: under any global total order on shingles, a pair with
+    J >= t must collide within the first ``|s| - ceil(t*|s|) + 1``
+    shingles of each side, so only those prefixes enter the
+    inverted-index join — see :func:`jaccard_prefix_candidates` for
+    the ``order`` trade-off (shuffle-free "hash" vs skew-proof "df").
+    Length and positional filters prune candidates before exact
+    verification on the full distinct-shingle arrays.
+    """
+    # shingle_frame repartitions first (single-file inputs would run the
+    # HOF on one core); immediately collapse each distinct-shingle set
+    # to a SORTED array<long> of xxhash64 values — strings never leave
+    # the map stage, so every shuffle/broadcast below moves 8-byte
+    # tokens, and the sorted array doubles as the hash global order.
+    # (Exactness caveat: a 64-bit collision between two distinct
+    # shingles inside ONE compared pair could perturb a count — odds
+    # ~|s|^2/2^64 per pair; the sf0.01 oracle hash-gate would surface
+    # it. Same trade as every production fingerprint dedup.)
+    docs = shingle_frame(df, id_col, text_col, shingle_n=shingle_n).select(
+        "__id",
+        F.array_sort(F.transform(F.col("__sh"), lambda s: F.xxhash64(s))).alias("__h"),
+    )
+    cand = jaccard_prefix_candidates(docs, threshold=threshold, order=order)
     a = docs.select(F.col("__id").alias("a_id"), F.col("__h").alias("__h_a"))
     b = docs.select(F.col("__id").alias("b_id"), F.col("__h").alias("__h_b"))
     inter = F.size(F.array_intersect(F.col("__h_a"), F.col("__h_b"))).cast("double")

@@ -92,16 +92,63 @@ def test_prefix_jaccard_equals_naive(spark):
         docs_fixture(spark),
         spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
     ):
-        for t in (0.5, 0.7):
+        for t, order in ((0.5, "hash"), (0.7, "hash"), (0.5, "df")):
             naive = dedup.ngram_jaccard_pairs(
                 docs, "doc_id", "text", shingle_n=3, threshold=t
             )
             pref = dedup.ngram_jaccard_pairs_prefix(
-                docs, "doc_id", "text", shingle_n=3, threshold=t
+                docs, "doc_id", "text", shingle_n=3, threshold=t, order=order
             )
             n = {(r.a_id, r.b_id): round(r.jaccard, 9) for r in naive.collect()}
             p = {(r.a_id, r.b_id): round(r.jaccard, 9) for r in pref.collect()}
-            assert p == n, f"t={t}: missing {set(n) - set(p)} extra {set(p) - set(n)}"
+            assert p == n, (
+                f"t={t} {order}: missing {set(n) - set(p)} extra {set(p) - set(n)}"
+            )
+
+
+def test_prefix_jaccard_df_order_kills_boilerplate_fanout(spark):
+    """On a skewed corpus (every doc shares boilerplate), df-ordering
+    drops the frequent shingles from all prefixes -> ~zero candidates,
+    while hash-ordering keeps them with prob ~(1-t) -> quadratic
+    candidate pairs. Both must still return the exact result."""
+    from pyspark.sql import functions as F2
+
+    boiler = "terms and conditions apply to all services provided herein by"
+    rows = [
+        (i, f"{boiler} client {i} alpha{i} beta{i} gamma{i} delta{i} "
+            f"eps{i} zeta{i} eta{i} theta{i} iota{i} kappa{i}")
+        for i in range(150)
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    def cand_count(order):
+        frame = dedup.shingle_frame(docs, "doc_id", "text", shingle_n=3).select(
+            "__id",
+            F2.array_sort(
+                F2.transform(F2.col("__sh"), lambda s: F2.xxhash64(s))
+            ).alias("__h"),
+        )
+        return dedup.jaccard_prefix_candidates(
+            frame, threshold=0.8, order=order
+        ).count()
+
+    n_hash, n_df = cand_count("hash"), cand_count("df")
+    assert n_df < n_hash / 10, f"df-order should prune skew: {n_df} vs {n_hash}"
+
+    for order in ("hash", "df"):
+        got = {
+            (r.a_id, r.b_id)
+            for r in dedup.ngram_jaccard_pairs_prefix(
+                docs, "doc_id", "text", threshold=0.8, order=order
+            ).collect()
+        }
+        naive = {
+            (r.a_id, r.b_id)
+            for r in dedup.ngram_jaccard_pairs(
+                docs, "doc_id", "text", threshold=0.8
+            ).collect()
+        }
+        assert got == naive
 
 
 def test_verified_near_dups_match_exact_on_testdata(spark):
