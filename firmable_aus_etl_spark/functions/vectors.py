@@ -62,7 +62,11 @@ def brute_force_topk(
     )
     if broadcast_queries:
         q = F.broadcast(q)
-    c = corpus.select(
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    # the per-pair cosine is the heavy map on the corpus side; never let
+    # a single input file serialize it (no-op when the scan is wide)
+    c = ensure_parallelism(corpus).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
         *[c2 for c2 in corpus.columns if c2 not in (corpus_id, vec_col)],
     )
@@ -175,8 +179,10 @@ def kmeans_centroids(
     # k centroids are normalized, driver-side.
     dvec = F.transform(F.col(vec_col), lambda x: x.cast("double"))
     # decouple from input file layout: a single parquet file would run
-    # every interpreted dot product on one core
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    # every interpreted dot product on one core (no-op on wide scans)
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    df = ensure_parallelism(df)
 
     def _unit(v: list[float]) -> list[float]:
         n = sum(x * x for x in v) ** 0.5 or 1.0
@@ -245,10 +251,10 @@ def ivf_topk(
         F.explode(ivf_assign(F.col(vec_col), centroids, nprobe=nprobe)).alias("cell"),
     )
     # corpus assignment is the heavy map (n_cells dots per row) — don't
-    # inherit a single input file's one-partition layout
-    c = corpus.repartition(
-        corpus.sparkSession.sparkContext.defaultParallelism
-    ).select(
+    # inherit a single input file's one-partition layout (no-op at scale)
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    c = ensure_parallelism(corpus).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         ivf_assign(F.col(vec_col), centroids, nprobe=1)[0].alias("cell"),

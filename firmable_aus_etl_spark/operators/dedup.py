@@ -240,12 +240,17 @@ def shingle_frame(
     The repartition decouples signature parallelism from input file
     layout (a single small parquet file arrives as ONE partition and
     the O(rows·k) hashing would run on one core — measured 32x slowdown
-    locally) AND gives downstream branches an identical Exchange to
-    reuse: candidate generation and pair verification both consume this
-    frame, so the shingle build runs once, not three times.
+    locally) AND gives downstream branches an identical Exchange for
+    AQE's runtime stage reuse: candidate generation and pair
+    verification both consume this frame. Conditional
+    (ensure_parallelism): at 100 TB the scan already has thousands of
+    splits and the repartition must NOT become a full shuffle — there,
+    branches recompute the narrow shingle map instead, the correct
+    trade at that size.
     """
-    par = df.sparkSession.sparkContext.defaultParallelism
-    return df.repartition(par).select(
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    return ensure_parallelism(df).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
@@ -357,7 +362,9 @@ def simhash_candidate_pairs(
     width = 64 // blocks
     toks = F.array_distinct(F.split(normalize_name(F.col(text_col)), " "))
     # same file-layout decoupling as minhash_lsh_pairs
-    df = df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    df = ensure_parallelism(df)
     hashed = df.select(
         F.col(id_col).alias("__id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"),

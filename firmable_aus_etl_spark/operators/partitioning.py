@@ -74,3 +74,21 @@ def repartition_for(df: DataFrame, *keys: str, partitions: int | None = None) ->
     on the same key -> one Exchange instead of two)."""
     cols = [F.col(k) for k in keys]
     return df.repartition(partitions, *cols) if partitions else df.repartition(*cols)
+
+
+def ensure_parallelism(df: DataFrame, *, min_partitions: int | None = None) -> DataFrame:
+    """Repartition ONLY if the plan currently has fewer partitions than
+    the cluster's default parallelism.
+
+    Heavy per-row map work (similarity scoring, signature hashing,
+    tokenization) inherits the input's partitioning: a single small
+    parquet file arrives as ONE partition and runs on one core. But an
+    UNCONDITIONAL repartition is wrong at scale — at 100 TB the scan
+    already yields thousands of splits and a round-robin repartition
+    would be a full, pointless shuffle of the fact data. This helper
+    is the scale-safe form: a no-op exactly when the input is already
+    parallel enough.
+    """
+    want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
+    have = df.rdd.getNumPartitions()  # plan-only; no job is triggered
+    return df.repartition(want) if have < want else df

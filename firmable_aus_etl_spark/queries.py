@@ -857,7 +857,12 @@ def q_tfidf_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     from firmable_aus_etl_spark.functions.similarity import normalize_name
 
-    toks = docs.select(
+    # repartition before tokenize: the single-file input would run the
+    # explode + map-side tf aggregation of every downstream branch
+    # (dfreq, norms, both join sides) on one core (no-op at scale)
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    toks = ensure_parallelism(docs).select(
         "doc_id", "source", "lang",
         F.explode(F.split(normalize_name(F.col("text")), " ")).alias("t"),
     )

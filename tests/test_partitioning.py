@@ -59,3 +59,24 @@ def test_repartition_for_reuses_exchange(spark):
     # groupBy reuses the repartition's hash distribution: exactly one
     # exchange (the explicit one), not two
     assert plans.count_exchanges(agg) == 1, plans.physical_plan(agg)
+
+
+def test_ensure_parallelism_widens_narrow_input(spark, tmp_path):
+    p = str(tmp_path / "one_file")
+    spark.range(1000).coalesce(1).write.parquet(p)
+    narrow = spark.read.parquet(p)
+    assert narrow.rdd.getNumPartitions() == 1
+    widened = partitioning.ensure_parallelism(narrow)
+    assert (
+        widened.rdd.getNumPartitions()
+        == spark.sparkContext.defaultParallelism
+    )
+    assert widened.count() == 1000
+
+
+def test_ensure_parallelism_noop_when_already_wide(spark):
+    wide = spark.range(1000, numPartitions=64)
+    out = partitioning.ensure_parallelism(wide, min_partitions=32)
+    # already wider than the floor -> same plan, NO repartition shuffle
+    assert out.rdd.getNumPartitions() == 64
+    assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
