@@ -201,6 +201,58 @@ def minhash_signature(
     )
 
 
+def minhash_signatures_arrow(
+    sh: DataFrame, *, num_hashes: int = 32
+) -> DataFrame:
+    """MinHash signatures via Arrow-batched numpy — the sanctioned
+    escape hatch for the interpreted-HOF ceiling.
+
+    Bit-identical to the ``minhash_signature_from`` fast path: the
+    31-bit base hash is still xxhash64 mod p computed JVM-side (no
+    numpy xxhash exists), only the k-fold Carter-Wegman min reduction
+    moves to numpy — one (k x m) broadcasted mul-add-mod-min per row,
+    vectorized instead of interpreted. a < p < 2^31 and h < 2^31 keep
+    a*h + b < 2^62: no int64 overflow, same as the ANSI-safe
+    expression. Use when the signature stage dominates (large k or
+    very long documents); the pure-expression path stays default so
+    benched plans keep zero Python nodes.
+    """
+    family = _hash_family(num_hashes)
+    a_vals = [a for a, _ in family]
+    b_vals = [b for _, b in family]
+    p = _MERSENNE_31
+    hashed = sh.select(
+        "__id",
+        F.transform(
+            F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(p))
+        ).alias("__h"),
+    )
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [sh.schema["__id"], StructField("__sig", ArrayType(LongType()), True)]
+    )
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        an = np.array(a_vals, dtype=np.int64)[:, None]
+        bn = np.array(b_vals, dtype=np.int64)[:, None]
+        empty = np.full(num_hashes, p, dtype=np.int64)
+        for pdf in batches:
+            sigs = []
+            for h in pdf["__h"]:
+                hv = np.asarray(h, dtype=np.int64)
+                if hv.size:
+                    sigs.append(((an * hv[None, :] + bn) % p).min(axis=1))
+                else:
+                    sigs.append(empty)  # matches the expression's init
+            yield pd.DataFrame({"__id": pdf["__id"], "__sig": sigs})
+
+    return hashed.mapInPandas(fn, out_schema)
+
+
 def minhash_lsh_pairs(
     df: DataFrame,
     id_col: str,
@@ -210,6 +262,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     portable: bool = False,
+    impl: str = "expr",
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
@@ -228,7 +281,7 @@ def minhash_lsh_pairs(
     """
     sh = shingle_frame(df, id_col, text_col, shingle_n=shingle_n)
     return minhash_lsh_pairs_from_shingles(
-        sh, num_hashes=num_hashes, bands=bands, portable=portable
+        sh, num_hashes=num_hashes, bands=bands, portable=portable, impl=impl
     )
 
 
@@ -262,19 +315,30 @@ def minhash_lsh_pairs_from_shingles(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
+    impl: str = "expr",
 ) -> DataFrame:
-    """Banding + bucket join over a prepared (__id, __sh) frame."""
+    """Banding + bucket join over a prepared (__id, __sh) frame.
+
+    ``impl="arrow"`` computes the signature stage via numpy
+    (minhash_signatures_arrow, bit-identical values) when interpreted
+    HOF throughput is the bottleneck; default stays pure-expression.
+    """
     rows_per_band = num_hashes // bands
-    # Projection boundaries: shingle array computed once, signature
-    # computed once — Catalyst keeps the boundaries because the lower
-    # outputs are expensive and referenced many times (CollapseProject
-    # cost rule), so neither subtree is duplicated per band.
-    sig = sh.select(
-        "__id",
-        minhash_signature_from(
-            F.col("__sh"), num_hashes=num_hashes, portable=portable
-        ).alias("__sig"),
-    )
+    if impl == "arrow":
+        if portable:
+            raise ValueError("portable md5 base hash is expression-only")
+        sig = minhash_signatures_arrow(sh, num_hashes=num_hashes)
+    else:
+        # Projection boundaries: shingle array computed once, signature
+        # computed once — Catalyst keeps the boundaries because the lower
+        # outputs are expensive and referenced many times (CollapseProject
+        # cost rule), so neither subtree is duplicated per band.
+        sig = sh.select(
+            "__id",
+            minhash_signature_from(
+                F.col("__sh"), num_hashes=num_hashes, portable=portable
+            ).alias("__sig"),
+        )
 
     def band_key(b: int):
         elems = [F.col("__sig")[i] for i in range(b * rows_per_band, (b + 1) * rows_per_band)]

@@ -85,6 +85,28 @@ def test_shingles_short_text(spark):
     assert out.sh == ["one two"]  # shorter than n -> whole text as one shingle
 
 
+def test_arrow_minhash_signatures_bit_identical(spark):
+    """The numpy signature stage must reproduce the expression path's
+    signatures exactly (same base hash, same Carter-Wegman family)."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = dedup.shingle_frame(docs, "doc_id", "text", shingle_n=3)
+    expr = sh.select(
+        "__id", dedup.minhash_signature_from(F.col("__sh"), num_hashes=16).alias("s")
+    )
+    arrow = dedup.minhash_signatures_arrow(sh, num_hashes=16)
+    e = {r["__id"]: list(r.s) for r in expr.collect()}
+    a = {r["__id"]: list(r["__sig"]) for r in arrow.collect()}
+    assert e == a
+    # and the candidate pairs built on them agree
+    pe = dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=16, bands=8)
+    pa = dedup.minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=8, impl="arrow"
+    )
+    assert {(r.a_id, r.b_id) for r in pe.collect()} == {
+        (r.a_id, r.b_id) for r in pa.collect()
+    }
+
+
 def test_prefix_jaccard_equals_naive(spark):
     """Prefix filtering is exact: same pairs AND same jaccard values as
     the naive inverted-index join, on fixture + testdata."""
