@@ -1288,6 +1288,35 @@ def q_insert_only_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joins.insert_only_rows(orders, updates, ["o_orderkey"])
 
 
+@register(
+    "customers_with_urgent_orders",
+    """
+    SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c_mktsegment
+    """,
+)
+def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-SEMI join (the one join flavor the §2.4 note leaves to the
+    engine): customers having at least one urgent order, counted per
+    segment. Plans as a broadcast/shuffled semi join — the probe side
+    never duplicates rows, so the count needs no post-join dedup."""
+    customer = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    urgent = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_custkey")
+    return (
+        customer.join(
+            urgent, customer.c_custkey == urgent.o_custkey, "left_semi"
+        )
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
 @register("minhash_verified_near_dups")  # rows-only: LSH recall is probabilistic
 def q_minhash_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup SCALE pipeline: MinHash-LSH candidates + exact
