@@ -36,6 +36,7 @@ COMPARE = [
     "fingerprint_documents",
     "tfidf_cosine_top1",
     "ngram_jaccard_near_dups",
+    "ngram_jaccard_prefix_near_dups",
     "ann_cosine_top3_per_label",
     "moving_avg_order_totals",
     "pivot_event_counts",
