@@ -122,6 +122,50 @@ def language_id_ngram(col: Column | str, *, min_overlap: float = 0.05) -> Column
     return expr
 
 
+# PII redaction patterns, applied in order (URL first so emails inside
+# URLs don't leave fragments). Kept to regex features shared by Java
+# regex and RE2 so a SQL twin behaves identically.
+PII_PATTERNS: tuple[tuple[str, str], ...] = (
+    (r"https?://[^\s]+", "<URL>"),
+    (r"[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}", "<EMAIL>"),
+    (r"\+?[0-9][0-9() -]{6,}[0-9]", "<PHONE>"),
+)
+
+
+def redact_pii(col: Column | str) -> Column:
+    """Training-data hygiene: replace URLs, emails, and phone-like
+    number runs with typed placeholder tokens. Pure regexp_replace
+    chain — scan-stage cost, no shuffle, trivially parallel at 100 TB.
+    """
+    out = F.col(col) if isinstance(col, str) else col
+    for pat, rep in PII_PATTERNS:
+        out = F.regexp_replace(out, pat, rep)
+    return out
+
+
+def word_ngrams(col: Column | str, n: int = 2) -> Column:
+    """Word n-grams WITH multiplicity (array<string>); texts shorter
+    than n collapse to one whole-text gram (same convention as the
+    dedup shingles)."""
+    from firmable_aus_etl_spark.operators.dedup import shingles
+
+    return shingles(col, n)
+
+
+def dup_ngram_ratio(col: Column | str, n: int = 2) -> Column:
+    """Gopher-style repetition filter: fraction of duplicate word
+    n-grams within the document — (total - distinct) / total in [0,1).
+    Integer-counts division: bit-identical across engines, no rounding
+    needed at comparison boundaries.
+    """
+    grams = word_ngrams(col, n)
+    total = F.size(grams)
+    distinct = F.size(F.array_distinct(grams))
+    return (total - distinct).cast("double") / F.greatest(total, F.lit(1)).cast(
+        "double"
+    )
+
+
 def quality_score(col: Column | str) -> Column:
     """Document quality heuristic in [0,1]: length band + mean word
     length band + stopword presence (the C4/Gopher-style cheap filters).

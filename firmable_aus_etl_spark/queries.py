@@ -1289,6 +1289,82 @@ def q_insert_only_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_repetition_scores",
+    f"""
+    WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    g AS (
+      SELECT doc_id,
+             list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                            i -> array_to_string(w[i:i+1], ' ')) AS grams
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(len(grams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(grams)) AS BIGINT) AS n_distinct,
+           CAST(len(grams) - len(list_distinct(grams)) AS DOUBLE)
+             / CAST(greatest(len(grams), 1) AS DOUBLE) AS dup_ratio
+    FROM g
+    """,
+)
+def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: Gopher-style intra-document repetition — the
+    fraction of duplicate word bigrams. Integer-count division, so the
+    value hashes bit-identically against DuckDB with no rounding."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    grams = T.word_ngrams("text", 2)
+    return docs.select(
+        "doc_id",
+        F.size(grams).cast("long").alias("n_bigrams"),
+        F.size(F.array_distinct(grams)).cast("long").alias("n_distinct"),
+        T.dup_ngram_ratio("text", 2).alias("dup_ratio"),
+    )
+
+
+@register(
+    "top_terms_per_lang",
+    f"""
+    WITH d AS (SELECT doc_id, lang, unnest(list_distinct({_TOKENS_SQL})) AS t
+               FROM documents),
+    tf AS (SELECT lang, t, count(*) AS doc_freq FROM d GROUP BY lang, t),
+    r AS (SELECT lang, t AS term, CAST(doc_freq AS BIGINT) AS doc_freq,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY doc_freq DESC, t) AS rnk
+          FROM tf)
+    SELECT lang, term, doc_freq, CAST(rnk AS BIGINT) AS rnk
+    FROM r WHERE rnk <= 10
+    """,
+)
+def q_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: top-10 terms per language by document frequency
+    (distinct-per-doc explode -> count -> WindowGroupLimit top-k). The
+    per-corpus vocabulary view every tokenizer/quality audit starts
+    from."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang", F.explode(F.array_distinct(T.tokens("text"))).alias("t")
+    )
+    tf = d.groupBy("lang", "t").agg(F.count("*").alias("doc_freq"))
+    top = topk_per_group(
+        tf,
+        ["lang"],
+        [F.col("doc_freq").desc(), F.col("t").asc()],
+        k=10,
+        keep_rank=True,
+        rank_col="rnk",
+    )
+    return top.select(
+        "lang",
+        F.col("t").alias("term"),
+        F.col("doc_freq").cast("long").alias("doc_freq"),
+        F.col("rnk").cast("long").alias("rnk"),
+    )
+
+
+@register(
     "customers_with_urgent_orders",
     """
     SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers

@@ -65,6 +65,36 @@ def test_fingerprints_stable_and_normalizing(spark):
     assert 0 <= rows[0].r < T.ROLLING_MOD
 
 
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            ("contact bob@example.com.au or see https://foo.au/x?y=1 now",),
+            ("call +61 (02) 9999 1234 today",),
+            ("nothing sensitive here",),
+        ],
+        ["text"],
+    )
+    out = [r.t for r in df.select(T.redact_pii("text").alias("t")).collect()]
+    assert out[0] == "contact <EMAIL> or see <URL> now"
+    assert out[1] == "call <PHONE> today"
+    assert out[2] == "nothing sensitive here"
+
+
+def test_dup_ngram_ratio(spark):
+    df = spark.createDataFrame(
+        [
+            ("a b a b a b",),   # bigrams: ab ba ab ba ab -> 5 total, 2 distinct
+            ("all words unique here now",),
+            ("x",),             # shorter than n -> 1 whole-text gram, 0 dup
+        ],
+        ["text"],
+    )
+    out = [r.r for r in df.select(T.dup_ngram_ratio("text", 2).alias("r")).collect()]
+    assert abs(out[0] - 3 / 5) < 1e-12
+    assert out[1] == 0.0
+    assert out[2] == 0.0
+
+
 def test_char_trigrams(spark):
     df = spark.createDataFrame([("abcd",), ("ab",)], ["text"])
     rows = [r.g for r in df.select(T.char_trigrams("text").alias("g")).collect()]
