@@ -1365,6 +1365,38 @@ def q_top_terms_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "order_price_stats",
+    """
+    SELECT o_orderpriority,
+           CAST(count(*) AS BIGINT)                         AS cnt,
+           round(quantile_cont(o_totalprice, 0.5), 4)       AS p50,
+           round(quantile_cont(o_totalprice, 0.95), 4)      AS p95,
+           round(stddev_samp(o_totalprice), 4)              AS sd,
+           round(corr(o_totalprice, CAST(o_custkey AS DOUBLE)), 6)
+                                                            AS price_cust_corr
+    FROM orders
+    GROUP BY o_orderpriority
+    """,
+)
+def q_order_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Statistical aggregates (§2.5 widening): exact interpolated
+    percentiles, sample stddev, Pearson correlation per priority class.
+    All JVM-side aggregate expressions — one hash-shuffle on the group
+    key with map-side partials; values rounded on both engines since
+    variance/corr accumulate in float order."""
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderpriority").agg(
+        F.count("*").alias("cnt"),
+        F.round(F.percentile("o_totalprice", F.lit(0.5)), 4).alias("p50"),
+        F.round(F.percentile("o_totalprice", F.lit(0.95)), 4).alias("p95"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("sd"),
+        F.round(
+            F.corr("o_totalprice", F.col("o_custkey").cast("double")), 6
+        ).alias("price_cust_corr"),
+    )
+
+
+@register(
     "customers_with_urgent_orders",
     """
     SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers
