@@ -1486,6 +1486,53 @@ def q_moving_avg_order_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "trailing_30d_revenue",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey,
+             date_diff('day', DATE '1970-01-01', o_orderdate) AS day_no,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 50 = 0
+    )
+    SELECT o_custkey, o_orderkey, CAST(day_no AS BIGINT) AS day_no,
+           CAST(sum(cents) OVER w AS BIGINT) AS trailing_cents,
+           CAST(count(*) OVER w AS BIGINT)   AS n_orders_30d
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day_no
+                 RANGE BETWEEN 30 PRECEDING AND CURRENT ROW)
+    """,
+)
+def q_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frame spec (§2.6: frames are native, zero custom work):
+    per-customer trailing-30-day revenue — a VALUE-based frame over
+    days-since-epoch, so two orders 40 days apart never share a frame
+    even when adjacent by row. Integer-cents sum keeps the hash gate
+    exact. RANGE frames are order-dependent state per partition: at
+    100 TB the shuffle is one hash exchange on the partition key, same
+    as any window — the frame bound adds no extra pass."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 50 == 0)
+    day_no = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    base = orders.select(
+        "o_custkey", "o_orderkey", day_no.alias("day_no"), cents.alias("cents")
+    )
+    w = (
+        Window.partitionBy("o_custkey")
+        .orderBy("day_no")
+        .rangeBetween(-30, Window.currentRow)
+    )
+    return base.select(
+        "o_custkey",
+        "o_orderkey",
+        F.col("day_no").cast("long").alias("day_no"),
+        F.sum("cents").over(w).alias("trailing_cents"),
+        F.count("*").over(w).alias("n_orders_30d"),
+    )
+
+
+@register(
     "part_brand_stats",
     """
     SELECT p_brand,
