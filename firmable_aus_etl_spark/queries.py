@@ -1533,6 +1533,45 @@ def q_trailing_30d_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "customer_order_gaps",
+    """
+    WITH o AS (
+      SELECT o_custkey, o_orderkey, o_orderdate,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders WHERE o_custkey % 100 = 0
+    )
+    SELECT o_custkey, o_orderkey,
+           CAST(date_diff('day', o_orderdate,
+                lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey))
+                AS BIGINT) AS days_to_next,
+           CAST(ntile(4) OVER (PARTITION BY o_custkey ORDER BY cents, o_orderkey)
+                AS BIGINT) AS price_quartile
+    FROM o
+    """,
+)
+def q_customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic functions (§2.6 widening): lead() inter-order gap in
+    days and ntile(4) price quartile per customer. Deterministic via
+    orderkey tie-breaks; ntile ranks integer cents so equal prices
+    cannot flip quartiles between engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") % 100 == 0)
+    cents = F.floor(F.col("o_totalprice") * 100.0 + 0.5).cast("long")
+    wd = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    wp = Window.partitionBy("o_custkey").orderBy(cents, "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.datediff(F.lead("o_orderdate").over(wd), F.col("o_orderdate"))
+        .cast("long")
+        .alias("days_to_next"),
+        F.ntile(4).over(wp).cast("long").alias("price_quartile"),
+    )
+
+
+@register(
     "part_brand_stats",
     """
     SELECT p_brand,
