@@ -490,12 +490,21 @@ def verified_near_dup_pairs(
     """
     sh = shingle_frame(df, id_col, text_col, shingle_n=shingle_n)
     cand = minhash_lsh_pairs_from_shingles(sh, num_hashes=num_hashes, bands=bands)
-    # a/b verify sides reuse the SAME shingle frame -> identical
-    # Exchange subtree -> Spark's ReusedExchange computes shingles once
-    a = sh.select(F.col("__id").alias("a_id"), F.col("__sh").alias("__sh_a"))
-    b = sh.select(F.col("__id").alias("b_id"), F.col("__sh").alias("__sh_b"))
-    inter = F.size(F.array_intersect(F.col("__sh_a"), F.col("__sh_b"))).cast("double")
-    union = F.size(F.array_union(F.col("__sh_a"), F.col("__sh_b"))).cast("double")
+    # verify on xxhash64'd shingle sets: the candidate volume is
+    # O(colliding pairs) and each verification intersects two ~|s|
+    # arrays — on 8-byte longs instead of strings, with
+    # |A∪B| = |A|+|B|-|A∩B| replacing the array_union materialization
+    # (same move as ngram_jaccard_pairs_prefix; same 2^-64 collision
+    # caveat, surfaced by the exact-parity test).
+    h = sh.select(
+        "__id", F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__h")
+    )
+    a = h.select(F.col("__id").alias("a_id"), F.col("__h").alias("__h_a"))
+    b = h.select(F.col("__id").alias("b_id"), F.col("__h").alias("__h_b"))
+    inter = F.size(F.array_intersect(F.col("__h_a"), F.col("__h_b"))).cast("double")
+    union = (
+        F.size(F.col("__h_a")) + F.size(F.col("__h_b"))
+    ).cast("double") - inter
     return (
         cand.join(a, "a_id")
         .join(b, "b_id")
