@@ -77,3 +77,39 @@ def test_indel_ratio_properties(a, b):
     assert ra == pytest.approx(rb), "symmetry"
     assert 0.0 <= ra <= 100.0, "bounds"
     assert _py_indel_ratio(_token_sort_py(a), _token_sort_py(a)) == 100.0, "identity"
+
+
+WORDS = st.sampled_from(["spark", "table", "row", "key", "scan", "fast", "the"])
+DOCS = st.lists(
+    st.lists(WORDS, min_size=0, max_size=10).map(" ".join),
+    min_size=0,
+    max_size=10,
+)
+
+
+@given(texts=DOCS, t=st.sampled_from([0.3, 0.5, 0.8]))
+@_SETTINGS
+def test_prefix_jaccard_exact_property(spark, texts, t):
+    """Prefix filtering (both global orders) must reproduce the naive
+    exact Jaccard join on arbitrary small corpora — including empty
+    texts, whole-corpus duplicates, and sub-n-gram-length docs."""
+    rows = [(i, s) for i, s in enumerate(texts)]
+    docs = (
+        spark.createDataFrame(rows, "doc_id long, text string")
+        if rows
+        else spark.createDataFrame([], "doc_id long, text string")
+    )
+    naive = {
+        (r.a_id, r.b_id): round(r.jaccard, 9)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", shingle_n=2, threshold=t
+        ).collect()
+    }
+    for order in ("hash", "df"):
+        pref = {
+            (r.a_id, r.b_id): round(r.jaccard, 9)
+            for r in dedup.ngram_jaccard_pairs_prefix(
+                docs, "doc_id", "text", shingle_n=2, threshold=t, order=order
+            ).collect()
+        }
+        assert pref == naive, (order, t)
