@@ -13,6 +13,7 @@ from firmable_aus_etl_spark.multimodal.ops import (
     read_binary_dir,
     with_media_metadata,
     decode_image_features,
+    dedup_media_exact,
     frame_sample_plan,
 )
 
@@ -22,5 +23,6 @@ __all__ = [
     "read_binary_dir",
     "with_media_metadata",
     "decode_image_features",
+    "dedup_media_exact",
     "frame_sample_plan",
 ]

@@ -127,6 +127,33 @@ def decode_image_features(
     return df.select("media_id", "content").mapInPandas(run, schema=IMAGE_FEATURES_SCHEMA)
 
 
+def dedup_media_exact(df: DataFrame) -> DataFrame:
+    """Exact binary dedup: one survivor per distinct content blob
+    (sha2-256 over the bytes, lowest media_id wins; null-content rows
+    pass through untouched — they are URI references, not duplicates).
+
+    Same shape as text exact-dedup: one narrow hash map + one keyed
+    window shuffle — the first stage of any media training-data
+    pipeline at 100 TB, where the hash also becomes the content
+    address for downstream caching."""
+    from pyspark.sql import Window
+
+    with_hash = df.withColumn(
+        "__sha", F.when(F.col("content").isNotNull(), F.sha2(F.col("content"), 256))
+    )
+    w = Window.partitionBy("__sha").orderBy(F.col("media_id").asc())
+    return (
+        with_hash.withColumn(
+            "__rn",
+            F.when(F.col("__sha").isNull(), F.lit(1)).otherwise(
+                F.row_number().over(w)
+            ),
+        )
+        .filter(F.col("__rn") == 1)
+        .drop("__sha", "__rn")
+    )
+
+
 def frame_sample_plan(
     df: DataFrame, *, every_ms: int = 1000
 ) -> DataFrame:

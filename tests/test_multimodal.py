@@ -74,3 +74,18 @@ def test_frame_sample_plan(spark):
     out = frame_sample_plan(df, every_ms=1000)
     frames = {(r.media_id, r.frame_ts_ms) for r in out.collect()}
     assert frames == {(1, 0), (1, 1000), (1, 2000), (1, 3000), (2, 0)}
+
+
+def test_dedup_media_exact(spark):
+    from firmable_aus_etl_spark.multimodal import MEDIA_SCHEMA, dedup_media_exact
+
+    rows = [
+        (1, "a://1", None, None, bytearray(PNG), None),
+        (2, "a://2", None, None, bytearray(PNG), None),   # dup of 1
+        (3, "a://3", None, None, bytearray(JPG), None),
+        (4, "a://4", None, None, None, None),             # URI reference
+        (5, "a://5", None, None, None, None),             # URI reference
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = dedup_media_exact(df)
+    assert {r.media_id for r in out.collect()} == {1, 3, 4, 5}
