@@ -1,0 +1,44 @@
+"""Smoke tests for the executable examples — both demos must run
+end-to-end in-process (get_session getOrCreate reuses the test JVM)."""
+
+from __future__ import annotations
+
+import importlib.util
+import sys
+
+
+def _load(path: str, name: str):
+    spec = importlib.util.spec_from_file_location(name, path)
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_reference_pipeline_demo(spark, tmp_path):
+    mod = _load("/root/repo/examples/run_reference_pipeline.py", "ref_demo")
+    old = sys.argv
+    sys.argv = ["run_reference_pipeline.py", str(tmp_path / "ref_out")]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    out = spark.read.parquet(str(tmp_path / "ref_out" / "companies_unified"))
+    assert out.count() > 0
+
+
+def test_llm_data_pipeline_demo(spark, tmp_path):
+    mod = _load("/root/repo/examples/run_llm_data_pipeline.py", "llm_demo")
+    old = sys.argv
+    sys.argv = [
+        "run_llm_data_pipeline.py",
+        "/root/testdata/sf0.001",
+        str(tmp_path / "llm_out"),
+    ]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    clean = spark.read.parquet(str(tmp_path / "llm_out" / "clean_documents"))
+    ann = spark.read.parquet(str(tmp_path / "llm_out" / "ann_neighbors"))
+    assert 0 < clean.count() <= 500
+    assert ann.count() > 0
