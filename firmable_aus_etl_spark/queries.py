@@ -1723,6 +1723,57 @@ def q_minhash_lsh_candidates_portable(spark: SparkSession, sf_dir: str) -> DataF
     )
 
 
+def _portable_simhash_oracle() -> str:
+    """DuckDB twin of the md5-based 31-bit SimHash: per-bit majority
+    over the distinct-token hash list, folded back into one BIGINT.
+    Generated from the same constants as the Spark side."""
+    p = dedup._MERSENNE_31
+    md5_sql = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS BIGINT))), "
+        f"(a, b) -> a * 16 + b) % {p}"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN 2 * list_sum(list_transform(hl, h -> (h >> {b}) & 1)) > n "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(31)
+    )
+    return f"""
+    WITH d AS (SELECT doc_id, list_distinct({_TOKENS_SQL}) AS tl FROM documents),
+    base AS (SELECT doc_id, CAST(len(tl) AS BIGINT) AS n,
+                    list_transform(tl, s -> {md5_sql}) AS hl
+             FROM d)
+    SELECT doc_id, CAST({bit_terms} AS BIGINT) AS simhash FROM base
+    """
+
+
+@register("simhash_portable_documents", _portable_simhash_oracle())
+def q_simhash_portable_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document SimHash with the md5 portable base hash — the
+    whole signature computation (normalize -> distinct tokens -> base
+    hash -> per-bit majority -> bit fold) replays bit-for-bit in
+    DuckDB, upgrading the SimHash family from rows-only to
+    hash-gated. (The xxhash64 fast path stays default in the
+    candidate-pair operator; base hashes are < 2^31 so only bits
+    0..30 can be set.)"""
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(F.split(normalize_name(F.col("text")), " "))
+    hashed = ensure_parallelism(docs).select(
+        "doc_id",
+        F.transform(toks, dedup.md5_base_hash).alias("hl"),
+    )
+    return hashed.select(
+        "doc_id",
+        dedup.simhash64_from(
+            F.col("hl"), F.size(F.col("hl")).cast("long")
+        ).alias("simhash"),
+    )
+
+
 # =========================================================================
 # Grouping-set / set-op / pivot coverage (SURVEY §2.5 note: rollup/cube
 # are native — exercised here; §2.8 intersect/except).
