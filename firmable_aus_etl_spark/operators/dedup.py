@@ -478,6 +478,7 @@ def verified_near_dup_pairs(
     shingle_n: int = 3,
     num_hashes: int = 32,
     bands: int = 16,
+    portable: bool = False,
 ) -> DataFrame:
     """The 100 TB near-dup pipeline: MinHash-LSH candidates -> exact
     n-gram Jaccard verification on candidates only.
@@ -489,7 +490,9 @@ def verified_near_dup_pairs(
     for higher recall at more shuffle.
     """
     sh = shingle_frame(df, id_col, text_col, shingle_n=shingle_n)
-    cand = minhash_lsh_pairs_from_shingles(sh, num_hashes=num_hashes, bands=bands)
+    cand = minhash_lsh_pairs_from_shingles(
+        sh, num_hashes=num_hashes, bands=bands, portable=portable
+    )
     # verify on xxhash64'd shingle sets: the candidate volume is
     # O(colliding pairs) and each verification intersects two ~|s|
     # arrays — on 8-byte longs instead of strings, with

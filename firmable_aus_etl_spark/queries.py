@@ -1665,9 +1665,13 @@ def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Portable MinHash: the ENTIRE LSH banding pipeline oracle-checked.
 # =========================================================================
 
-def _portable_minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+def _portable_minhash_oracle(
+    num_hashes: int = 16, bands: int = 8, verify_threshold: float | None = None
+) -> str:
     """Generate the DuckDB twin of minhash_lsh_pairs(portable=True)
-    from the same Carter-Wegman constants (single source of truth)."""
+    from the same Carter-Wegman constants (single source of truth).
+    With ``verify_threshold``, extends to the full LSH+verify pipeline:
+    exact shingle-set Jaccard on the candidates."""
     family = dedup._hash_family(num_hashes)
     p = dedup._MERSENNE_31
     rows_per_band = num_hashes // bands
@@ -1681,7 +1685,7 @@ def _portable_minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
         )
         for b in range(bands)
     )
-    return f"""
+    body = f"""
     WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
     sh AS (
       SELECT doc_id, list_distinct(
@@ -1703,11 +1707,49 @@ def _portable_minhash_oracle(num_hashes: int = 16, bands: int = 8) -> str:
       SELECT doc_id, unnest([{band_exprs}]) AS band_hash,
              unnest(generate_series(1, {bands})) AS band
       FROM sig
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )"""
+    if verify_threshold is None:
+        return body + "\n    SELECT a_id, b_id FROM cand"
+    return (
+        body
+        + f""",
+    ver AS (
+      SELECT c.a_id, c.b_id,
+             CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE) AS inter,
+             CAST(len(x.shl) + len(y.shl) AS DOUBLE) AS szs
+      FROM cand c JOIN sh x ON c.a_id = x.doc_id JOIN sh y ON c.b_id = y.doc_id
     )
-    SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
-    FROM bands a JOIN bands b
-      ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    SELECT a_id, b_id, inter / (szs - inter) AS jaccard
+    FROM ver WHERE inter / (szs - inter) >= {verify_threshold}
     """
+    )
+
+
+@register(
+    "minhash_verified_portable",
+    _portable_minhash_oracle(num_hashes=16, bands=8, verify_threshold=0.5),
+)
+def q_minhash_verified_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE near-dup scale pipeline — md5 MinHash signatures ->
+    banding -> candidate join -> exact Jaccard verification -> threshold
+    — replayed bit-for-bit by DuckDB: signatures, candidate set, AND
+    verified jaccard values all hash-gated, not just rows-counted."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.verified_near_dup_pairs(
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        shingle_n=3,
+        num_hashes=16,
+        bands=8,
+        portable=True,
+    )
 
 
 @register("minhash_lsh_candidates_portable", _portable_minhash_oracle())
