@@ -479,6 +479,7 @@ def verified_near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     portable: bool = False,
+    impl: str = "expr",
 ) -> DataFrame:
     """The 100 TB near-dup pipeline: MinHash-LSH candidates -> exact
     n-gram Jaccard verification on candidates only.
@@ -488,10 +489,13 @@ def verified_near_dup_pairs(
     O(sum_token df_token^2). With 2-row bands, recall for jaccard>=0.5
     is 1-(1-j^2)^bands (~0.99 at j=0.5, ~1.0 at j>=0.8); tune bands up
     for higher recall at more shuffle.
+
+    ``impl="arrow"`` runs the signature stage via the bit-identical
+    Arrow/numpy kernel (minhash_signatures_arrow) — same output pairs.
     """
     sh = shingle_frame(df, id_col, text_col, shingle_n=shingle_n)
     cand = minhash_lsh_pairs_from_shingles(
-        sh, num_hashes=num_hashes, bands=bands, portable=portable
+        sh, num_hashes=num_hashes, bands=bands, portable=portable, impl=impl
     )
     # verify on xxhash64'd shingle sets: the candidate volume is
     # O(colliding pairs) and each verification intersects two ~|s|
