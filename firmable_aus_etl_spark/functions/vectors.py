@@ -66,7 +66,7 @@ def brute_force_topk(
 
     # the per-pair cosine is the heavy map on the corpus side; never let
     # a single input file serialize it (no-op when the scan is wide)
-    c = ensure_parallelism(corpus).select(
+    c = ensure_parallelism(corpus, corpus_id).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
         *[c2 for c2 in corpus.columns if c2 not in (corpus_id, vec_col)],
     )
@@ -182,7 +182,7 @@ def kmeans_centroids(
     # every interpreted dot product on one core (no-op on wide scans)
     from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, id_col)
 
     def _unit(v: list[float]) -> list[float]:
         n = sum(x * x for x in v) ** 0.5 or 1.0
@@ -254,7 +254,7 @@ def ivf_topk(
     # inherit a single input file's one-partition layout (no-op at scale)
     from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
-    c = ensure_parallelism(corpus).select(
+    c = ensure_parallelism(corpus, corpus_id).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(vec_col).alias("__cv"),
         ivf_assign(F.col(vec_col), centroids, nprobe=1)[0].alias("cell"),

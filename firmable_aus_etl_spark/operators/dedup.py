@@ -303,7 +303,7 @@ def shingle_frame(
     """
     from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
-    return ensure_parallelism(df).select(
+    return ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
     )
@@ -428,7 +428,7 @@ def simhash_candidate_pairs(
     # same file-layout decoupling as minhash_lsh_pairs
     from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
-    df = ensure_parallelism(df)
+    df = ensure_parallelism(df, id_col)
     hashed = df.select(
         F.col(id_col).alias("__id"),
         F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"),

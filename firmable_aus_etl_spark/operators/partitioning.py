@@ -76,7 +76,9 @@ def repartition_for(df: DataFrame, *keys: str, partitions: int | None = None) ->
     return df.repartition(partitions, *cols) if partitions else df.repartition(*cols)
 
 
-def ensure_parallelism(df: DataFrame, *, min_partitions: int | None = None) -> DataFrame:
+def ensure_parallelism(
+    df: DataFrame, *keys: str, min_partitions: int | None = None
+) -> DataFrame:
     """Repartition ONLY if the plan currently has fewer partitions than
     the cluster's default parallelism.
 
@@ -88,7 +90,21 @@ def ensure_parallelism(df: DataFrame, *, min_partitions: int | None = None) -> D
     would be a full, pointless shuffle of the fact data. This helper
     is the scale-safe form: a no-op exactly when the input is already
     parallel enough.
+
+    Pass ``keys`` (any well-distributed column, e.g. the row id) to get
+    HASH partitioning instead of round-robin. Round-robin repartition
+    is non-deterministic, so Spark prepends a full local sort of every
+    column to make retries safe (``spark.sql.execution.
+    sortBeforeRepartition``) — on wide text rows that sort costs more
+    than the downstream work (measured 2.5x on the TF-IDF join), and it
+    recurs in every unshared branch of a self-joining plan. Hash
+    partitioning is deterministic: no sort, and skew only if ``keys``
+    are skewed (use the row id, which never is).
     """
     want = min_partitions or df.sparkSession.sparkContext.defaultParallelism
     have = df.rdd.getNumPartitions()  # plan-only; no job is triggered
-    return df.repartition(want) if have < want else df
+    if have >= want:
+        return df
+    if keys:
+        return df.repartition(want, *[F.col(k) for k in keys])
+    return df.repartition(want)

@@ -862,7 +862,7 @@ def q_tfidf_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (dfreq, norms, both join sides) on one core (no-op at scale)
     from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
-    toks = ensure_parallelism(docs).select(
+    toks = ensure_parallelism(docs, "doc_id").select(
         "doc_id", "source", "lang",
         F.explode(F.split(normalize_name(F.col("text")), " ")).alias("t"),
     )
@@ -1804,7 +1804,7 @@ def q_simhash_portable_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     toks = F.array_distinct(F.split(normalize_name(F.col("text")), " "))
-    hashed = ensure_parallelism(docs).select(
+    hashed = ensure_parallelism(docs, "doc_id").select(
         "doc_id",
         F.transform(toks, dedup.md5_base_hash).alias("hl"),
     )
