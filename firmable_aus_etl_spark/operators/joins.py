@@ -239,3 +239,100 @@ def insert_only_rows(
 ) -> DataFrame:
     """op24 insert side as an anti-join (SURVEY §2.4 coverage note)."""
     return updates.join(existing, on=list(keys), how="left_anti")
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    on: str,
+    right_on: str | None = None,
+    by: Sequence[str] = (),
+    right_by: Sequence[str] | None = None,
+    value_cols: Sequence[str] | None = None,
+    direction: str = "backward",
+    allow_exact_matches: bool = True,
+    tolerance: Column | None = None,
+    tiebreak: str | None = None,
+) -> DataFrame:
+    """As-of join: for each left row, the single temporally nearest
+    right row per ``by`` group (pandas ``merge_asof`` semantics;
+    engine analog: the reference has no time-series ops, this is part
+    of the engine-widening surface alongside windows/sessionization).
+
+    Implementation is the union+window merge, NOT a range join: tag
+    both inputs, union them, and run ``last(value, ignorenulls)`` over
+    a window partitioned by ``by`` and ordered by event time. One
+    shuffle + sort over |L|+|R| rows — no per-row candidate fan-out, so
+    the plan survives dense right sides where a range join explodes
+    quadratically. Skew bound = rows per ``by`` group, same as any
+    window; 100 TB guidance: salt or sub-bucket pathological groups.
+
+    - ``direction="backward"``: nearest right row at-or-before the left
+      timestamp ("forward": at-or-after; both respect
+      ``allow_exact_matches=False`` by excluding equal timestamps).
+    - ``tolerance``: optional max |left_t - right_t| as an INTERVAL
+      column (e.g. ``F.expr("INTERVAL 7 DAYS")``); farther matches
+      return null, like pandas.
+    - Ties (several right rows at one timestamp): greatest ``tiebreak``
+      (default: last ``value_cols`` entry) wins — explicit so results
+      stay deterministic/oracle-hashable.
+
+    Unmatched left rows keep null value columns (left-join semantics).
+    """
+    right_on = right_on or on
+    right_by = list(right_by or by)
+    by = list(by)
+    value_cols = list(value_cols or [c for c in right.columns if c not in (*right_by, right_on)])
+    tiebreak = tiebreak or value_cols[-1]
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+
+    lt = F.col(on)
+    # right rows must sort before left rows at equal timestamps iff
+    # exact matches are allowed (the window frame ends at CURRENT ROW,
+    # so "before" == "visible").
+    # null right timestamps would sort to the frame edge and leak into
+    # matches; they can never be "nearest", so drop them up front.
+    r_tagged = right.filter(F.col(right_on).isNotNull()).select(
+        *[F.col(c).alias(b) for c, b in zip(right_by, by)],
+        F.col(right_on).alias("__t"),
+        F.lit(0 if allow_exact_matches else 1).alias("__is_left"),
+        F.struct(
+            F.col(right_on).alias("__rt"), *[F.col(c) for c in value_cols]
+        ).alias("__val"),
+    )
+    l_tagged = left.select(
+        *by,
+        lt.alias("__t"),
+        F.lit(1 if allow_exact_matches else 0).alias("__is_left"),
+        F.lit(None).cast(r_tagged.schema["__val"].dataType).alias("__val"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__row"),
+    )
+    r_tagged = r_tagged.withColumn("__row", F.lit(None).cast(l_tagged.schema["__row"].dataType))
+
+    unioned = l_tagged.unionByName(r_tagged)
+    if direction == "backward":
+        order = [F.col("__t").asc(), F.col("__is_left").asc(), F.col(f"__val.{tiebreak}").asc_nulls_first()]
+    else:
+        order = [F.col("__t").desc(), F.col("__is_left").asc(), F.col(f"__val.{tiebreak}").asc_nulls_first()]
+    w = (
+        Window.partitionBy(*by)
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    matched = unioned.withColumn("__m", F.last("__val", ignorenulls=True).over(w)).filter(
+        F.col("__row").isNotNull()
+    )
+    if tolerance is not None:
+        gap = (
+            (F.col("__t") - F.col("__m.__rt")) if direction == "backward"
+            else (F.col("__m.__rt") - F.col("__t"))
+        )
+        matched = matched.withColumn(
+            "__m", F.when(F.col("__m").isNotNull() & (gap <= tolerance), F.col("__m"))
+        )
+    return matched.select(
+        *[F.col(f"__row.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__m.{c}").alias(c) for c in value_cols],
+    )

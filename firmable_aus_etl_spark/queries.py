@@ -2021,3 +2021,51 @@ def q_language_id_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("lang", "detected")
         .agg(F.count("*").alias("cnt"))
     )
+
+
+# --- as-of join (engine widening: time-series surface) --------------------
+
+_ASOF_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+), p AS (
+  SELECT event_id AS purchase_event_id, user_id, ts,
+         value AS purchase_value
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value,
+         row_number() OVER (
+           PARTITION BY e.event_id
+           ORDER BY p.ts DESC, p.purchase_event_id DESC) AS rn
+  FROM e LEFT JOIN p
+    ON e.user_id = p.user_id AND p.ts <= e.ts
+)
+SELECT event_id, user_id, purchase_event_id, purchase_value
+FROM m WHERE rn = 1
+"""
+
+
+@register("asof_error_last_purchase", _ASOF_ORACLE)
+def q_asof_error_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: for each 'error' event, the same user's most recent
+    'purchase' at-or-before it (null if none). Union+window merge —
+    one shuffle over |L|+|R|, no range-join fan-out; the oracle is the
+    equivalent (quadratic) lateral top-1, proving the merge loses no
+    rows. Raw ts is never emitted (ns-vs-us parquet precision)."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select("event_id", "user_id", "ts")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = joins.asof_join(
+        errors,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        value_cols=["purchase_event_id", "purchase_value"],
+        tiebreak="purchase_event_id",
+    )
+    return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")

@@ -118,3 +118,87 @@ def test_sampled_similarity_join(spark):
     )
     # right side limited to 2 rows -> matches only against abr_id 1,2
     assert {r.abr_id for r in out.collect()} <= {1, 2}
+
+
+# --- asof_join ------------------------------------------------------------
+
+def _asof_frames(spark):
+    left = spark.createDataFrame(
+        [(1, "u1", 100), (2, "u1", 205), (3, "u2", 50), (4, "u3", 10)],
+        "lid long, u string, t long",
+    )
+    right = spark.createDataFrame(
+        [("u1", 100, 11, 1.0), ("u1", 200, 12, 2.0), ("u2", 49, 13, 3.0),
+         ("u2", 60, 14, 4.0)],
+        "u string, t long, rid long, rv double",
+    )
+    return left, right
+
+
+def test_asof_backward_basic(spark):
+    left, right = _asof_frames(spark)
+    out = joins.asof_join(
+        left, right, on="t", by=["u"], value_cols=["rid", "rv"], tiebreak="rid"
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    # lid=1: exact match at t=100 allowed; lid=2: latest <=205 is t=200;
+    # lid=3: t=49 <= 50; lid=4 (u3): no right rows -> null
+    assert got == {1: 11, 2: 12, 3: 13, 4: None}
+
+
+def test_asof_backward_excludes_exact_when_disallowed(spark):
+    left, right = _asof_frames(spark)
+    out = joins.asof_join(
+        left, right, on="t", by=["u"], value_cols=["rid"],
+        tiebreak="rid", allow_exact_matches=False,
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got[1] is None  # t=100 exact excluded, no earlier u1 row
+
+
+def test_asof_forward(spark):
+    left, right = _asof_frames(spark)
+    out = joins.asof_join(
+        left, right, on="t", by=["u"], value_cols=["rid"],
+        tiebreak="rid", direction="forward",
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    # lid=1: t=100 exact; lid=2: nothing >=205; lid=3: t=60 >= 50 is
+    # nearest forward (t=49 is behind); lid=4: nothing for u3
+    assert got == {1: 11, 2: None, 3: 14, 4: None}
+
+
+def test_asof_tie_takes_greatest_tiebreak(spark):
+    left = spark.createDataFrame([(1, "u", 100)], "lid long, u string, t long")
+    right = spark.createDataFrame(
+        [("u", 90, 7), ("u", 90, 9)], "u string, t long, rid long"
+    )
+    out = joins.asof_join(left, right, on="t", by=["u"], value_cols=["rid"], tiebreak="rid")
+    assert out.collect()[0].rid == 9
+
+
+def test_asof_null_right_timestamps_dropped(spark):
+    left = spark.createDataFrame([(1, "u", 100)], "lid long, u string, t long")
+    right = spark.createDataFrame(
+        [("u", None, 7)], "u string, t long, rid long"
+    )
+    out = joins.asof_join(left, right, on="t", by=["u"], value_cols=["rid"], tiebreak="rid")
+    assert out.collect()[0].rid is None
+
+
+def test_asof_tolerance(spark):
+    from pyspark.sql import functions as F
+
+    left = spark.createDataFrame(
+        [(1, "u", "2024-01-10 00:00:00"), (2, "u", "2024-01-30 00:00:00")],
+        "lid long, u string, ts string",
+    ).select("lid", "u", F.col("ts").cast("timestamp").alias("ts"))
+    right = spark.createDataFrame(
+        [("u", "2024-01-08 00:00:00", 5)], "u string, ts string, rid long"
+    ).select("u", F.col("ts").cast("timestamp").alias("ts"), F.col("rid"))
+    out = joins.asof_join(
+        left, right, on="ts", by=["u"], value_cols=["rid"], tiebreak="rid",
+        tolerance=F.expr("INTERVAL 7 DAYS"),
+    )
+    got = {r.lid: r.rid for r in out.collect()}
+    assert got == {1: 5, 2: None}  # 2 days in range; 22 days beyond tolerance
