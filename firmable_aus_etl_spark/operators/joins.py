@@ -336,3 +336,54 @@ def asof_join(
         *[F.col(f"__row.{c}").alias(c) for c in left.columns],
         *[F.col(f"__m.{c}").alias(c) for c in value_cols],
     )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    *,
+    point_ts: str,
+    start_ts: str,
+    end_ts: str,
+    by: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+    how: str = "inner",
+) -> DataFrame:
+    """Range join (point ∈ [start, end]) as a binned equi-join.
+
+    A naive inequality join forces Spark into BroadcastNestedLoopJoin —
+    O(|P|·|I|) and undistributable when neither side fits in memory.
+    Binning restores hash partitioning: each interval explodes into the
+    time buckets it covers (``sequence`` — ceil(len/bucket)+1 rows),
+    points map to exactly one bucket, and the join becomes an equi-join
+    on (by..., bucket) followed by the exact containment filter. Shuffle
+    volume is |P| + |I|·avg_buckets; pick ``bucket_seconds`` near the
+    typical interval length so avg_buckets stays ~2. Same trick as the
+    blocking rewrite of the fuzzy join (SURVEY §4 item 1), applied to
+    the time axis.
+
+    Both inputs keep all their columns (caller projects); ``how`` other
+    than inner is not supported (range semantics of outer rows are
+    ambiguous — filter-join then recover unmatched with an anti join).
+    """
+    if how != "inner":
+        raise ValueError("point_in_interval_join supports inner joins only")
+    by = list(by)
+    w = F.lit(int(bucket_seconds))
+    p_bucket = F.floor(F.unix_timestamp(F.col(point_ts)) / w)
+    i_buckets = F.sequence(
+        F.floor(F.unix_timestamp(F.col(start_ts)) / w),
+        F.floor(F.unix_timestamp(F.col(end_ts)) / w),
+    )
+    p = points.withColumn("__bucket", p_bucket).alias("p")
+    i = intervals.withColumn("__bucket", F.explode(i_buckets)).alias("i")
+    cond = [F.col(f"p.{b}") == F.col(f"i.{b}") for b in by]
+    cond.append(F.col("p.__bucket") == F.col("i.__bucket"))
+    out = p.join(i, on=cond).filter(
+        (F.col(f"p.{point_ts}") >= F.col(f"i.{start_ts}"))
+        & (F.col(f"p.{point_ts}") <= F.col(f"i.{end_ts}"))
+    )
+    keep = [F.col(f"p.{c}") for c in points.columns] + [
+        F.col(f"i.{c}") for c in intervals.columns if c not in (*by, "__bucket")
+    ]
+    return out.select(*keep)

@@ -2069,3 +2069,47 @@ def q_asof_error_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
         tiebreak="purchase_event_id",
     )
     return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")
+
+
+_RANGE_ORACLE = """
+WITH p AS (
+  SELECT event_id AS purchase_event_id, user_id, ts AS start_ts,
+         ts + INTERVAL 1 HOUR AS end_ts
+  FROM events WHERE event_type = 'purchase'
+), e AS (
+  SELECT event_id AS error_event_id, user_id, ts FROM events
+  WHERE event_type = 'error'
+)
+SELECT p.purchase_event_id, e.error_event_id, p.user_id
+FROM p JOIN e
+  ON p.user_id = e.user_id AND e.ts >= p.start_ts AND e.ts <= p.end_ts
+"""
+
+
+@register("errors_within_hour_after_purchase", _RANGE_ORACLE)
+def q_errors_within_hour_after_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (point-in-interval): error events inside the hour
+    after each purchase, per user. Binned equi-join on (user, time
+    bucket) — hash-partitionable — where the naive inequality join
+    would be a nested-loop; the oracle runs exactly that naive form,
+    proving the binning loses no pairs."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_event_id"),
+        "user_id",
+        F.col("ts").alias("start_ts"),
+        (F.col("ts") + F.expr("INTERVAL 1 HOUR")).alias("end_ts"),
+    )
+    errors = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_event_id"), "user_id", "ts"
+    )
+    out = joins.point_in_interval_join(
+        errors,
+        purchases,
+        point_ts="ts",
+        start_ts="start_ts",
+        end_ts="end_ts",
+        by=["user_id"],
+        bucket_seconds=3600,
+    )
+    return out.select("purchase_event_id", "error_event_id", "user_id")

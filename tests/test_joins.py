@@ -202,3 +202,66 @@ def test_asof_tolerance(spark):
     )
     got = {r.lid: r.rid for r in out.collect()}
     assert got == {1: 5, 2: None}  # 2 days in range; 22 days beyond tolerance
+
+
+# --- point_in_interval_join ----------------------------------------------
+
+def _range_frames(spark):
+    from pyspark.sql import functions as F
+
+    points = spark.createDataFrame(
+        [(1, "u", "2024-01-01 10:30:00"), (2, "u", "2024-01-01 12:00:00"),
+         (3, "v", "2024-01-01 10:30:00")],
+        "pid long, u string, ts string",
+    ).select("pid", "u", F.col("ts").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [("u", "2024-01-01 10:00:00", "2024-01-01 11:00:00", 100),
+         ("u", "2024-01-01 10:30:00", "2024-01-01 10:30:00", 200),
+         ("w", "2024-01-01 10:00:00", "2024-01-01 11:00:00", 300)],
+        "u string, s string, e string, iid long",
+    ).select("u", F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"), "iid")
+    return points, intervals
+
+
+def test_range_join_containment_and_bounds(spark):
+    points, intervals = _range_frames(spark)
+    out = joins.point_in_interval_join(
+        points, intervals, point_ts="ts", start_ts="s", end_ts="e",
+        by=["u"], bucket_seconds=3600,
+    )
+    got = sorted((r.pid, r.iid) for r in out.collect())
+    # pid=1 in both u intervals (zero-length one matches exactly at bound);
+    # pid=2 outside; pid=3 is user v (no intervals)
+    assert got == [(1, 100), (1, 200)]
+
+
+def test_range_join_interval_spanning_buckets(spark):
+    from pyspark.sql import functions as F
+
+    points = spark.createDataFrame(
+        [(1, "2024-01-01 13:59:00")], "pid long, ts string"
+    ).select("pid", F.col("ts").cast("timestamp").alias("ts"))
+    intervals = spark.createDataFrame(
+        [("2024-01-01 09:30:00", "2024-01-01 14:30:00", 1)],
+        "s string, e string, iid long",
+    ).select(F.col("s").cast("timestamp").alias("s"),
+             F.col("e").cast("timestamp").alias("e"), "iid")
+    # 5-hour interval with a 1-hour bucket: the point's bucket (13:00)
+    # is in the middle of the covered bucket sequence
+    out = joins.point_in_interval_join(
+        points, intervals, point_ts="ts", start_ts="s", end_ts="e",
+        bucket_seconds=3600,
+    )
+    assert [(r.pid, r.iid) for r in out.collect()] == [(1, 1)]
+
+
+def test_range_join_no_duplicate_pairs(spark):
+    points, intervals = _range_frames(spark)
+    out = joins.point_in_interval_join(
+        points, intervals, point_ts="ts", start_ts="s", end_ts="e",
+        by=["u"], bucket_seconds=60,  # tiny buckets: intervals span many
+    )
+    rows = [(r.pid, r.iid) for r in out.collect()]
+    assert sorted(rows) == [(1, 100), (1, 200)]
+    assert len(rows) == len(set(rows))  # one output row per (point, interval)
