@@ -2113,3 +2113,45 @@ def q_errors_within_hour_after_purchase(spark: SparkSession, sf_dir: str) -> Dat
         bucket_seconds=3600,
     )
     return out.select("purchase_event_id", "error_event_id", "user_id")
+
+
+_TIME_ROLLUP_ORACLE = """
+WITH e AS (
+  SELECT strftime(date_trunc('day', CAST(ts AS TIMESTAMP)), '%Y-%m-%d') AS day,
+         strftime(date_trunc('hour', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H') AS hour,
+         strftime(date_trunc('minute', CAST(ts AS TIMESTAMP)), '%Y-%m-%d %H:%M') AS minute,
+         value
+  FROM events
+)
+SELECT day, hour, minute,
+       CAST(GROUPING(day, hour, minute) AS BIGINT) AS lvl,
+       count(*) AS cnt,
+       CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT)) AS DOUBLE) / 100.0 AS total_value
+FROM e GROUP BY ROLLUP(day, hour, minute)
+"""
+
+
+@register("time_rollup_events", _TIME_ROLLUP_ORACLE)
+def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hypertable-style continuous aggregate: minute/hour/day/total
+    resolutions of the event stream in ONE pass via ROLLUP — partial
+    aggregation combines map-side, so the fact table is read and
+    shuffled once for all four resolutions (vs. four separate
+    scans+aggs). grouping_id tags the resolution; integer-cents sums
+    keep the value hash order-independent."""
+    ev = load_table(spark, sf_dir, "events")
+    bucketed = ev.select(
+        F.date_format(F.date_trunc("day", F.col("ts")), "yyyy-MM-dd").alias("day"),
+        F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH").alias("hour"),
+        F.date_format(F.date_trunc("minute", F.col("ts")), "yyyy-MM-dd HH:mm").alias("minute"),
+        "value",
+    )
+    return (
+        bucketed.rollup("day", "hour", "minute")
+        .agg(
+            F.grouping_id().cast("long").alias("lvl"),
+            F.count("*").alias("cnt"),
+            (F.sum(_cents(F.col("value"))).cast("double") / 100.0).alias("total_value"),
+        )
+        .select("day", "hour", "minute", "lvl", "cnt", "total_value")
+    )
