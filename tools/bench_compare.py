@@ -40,6 +40,9 @@ COMPARE = [
     "ann_cosine_top3_per_label",
     "moving_avg_order_totals",
     "pivot_event_counts",
+    "asof_error_last_purchase",
+    "errors_within_hour_after_purchase",
+    "time_rollup_events",
 ]
 
 
@@ -57,7 +60,9 @@ def main() -> None:
 
     lines = [
         "# BENCH_COMPARE — Spark engine vs DuckDB oracle, same query, same data\n",
-        f"sf_dir: {sf_dir}; Spark local[32] noop sink vs DuckDB fetchall.",
+        f"sf_dir: {sf_dir}; Spark local[32] noop sink vs DuckDB fetchall;",
+        "min of 3 runs per engine (same methodology as bench.py — reads",
+        "through codegen/JIT ramp and scheduler noise).",
         "Single-node comparison only — Spark's architecture pays fixed",
         "task/JVM overheads here and returns them as horizontal scaling;",
         "see PERF.md for the plan properties that carry to 100 TB.\n",
@@ -67,12 +72,15 @@ def main() -> None:
     for name in COMPARE:
         if name not in ORACLE:
             continue
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        s = time.time() - t0
-        t0 = time.time()
-        con.execute(ORACLE[name]).fetchall()
-        d = time.time() - t0
+        s_runs, d_runs = [], []
+        for _ in range(3):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            s_runs.append(time.time() - t0)
+            t0 = time.time()
+            con.execute(ORACLE[name]).fetchall()
+            d_runs.append(time.time() - t0)
+        s, d = min(s_runs), min(d_runs)
         ratio = s / d if d > 0 else float("inf")
         lines.append(f"| {name} | {s:.2f} | {d:.2f} | {ratio:.1f}x |")
         print(f"{name}: spark={s:.2f}s duckdb={d:.2f}s")
