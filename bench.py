@@ -34,6 +34,10 @@ HEADLINE = [
     "ann_cosine_top3_per_label",  # vector similarity top-k
     "tfidf_cosine_top1",          # sparse TF-IDF cosine join
     "quality_score_documents",    # text-quality scoring scan
+    "ngram_jaccard_prefix_near_dups",  # exact set-similarity, prefix-filtered
+    "asof_error_last_purchase",   # as-of join (union+window merge)
+    "errors_within_hour_after_purchase",  # range join (binned equi-join)
+    "time_rollup_events",         # multi-resolution rollup, one pass
 ]
 
 

@@ -2155,3 +2155,30 @@ def q_time_rollup_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("day", "hour", "minute", "lvl", "cnt", "total_value")
     )
+
+
+@register("approx_stats_events")  # rows-only: sketch internals are engine-specific
+def q_approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate aggregates — the 100 TB scale path for distincts and
+    quantiles: HyperLogLog++ count-distinct and a quantile sketch are
+    single-pass, mergeable, fixed-memory (vs exact percentile's
+    per-group sort / exact distinct's full shuffle of the key set).
+    Engine-specific sketch contents -> rows-only driver check;
+    tests/test_aggregates.py bounds the error vs the exact answers
+    (relative error <= 5% for HLL at default rsd, exact-vs-approx
+    percentile within the value spread)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id").alias("approx_users"),
+            F.percentile_approx("value", [0.5, 0.95], 10000).alias("value_q"),
+            F.count("*").alias("cnt"),
+        )
+        .select(
+            "event_type", "approx_users",
+            F.col("value_q")[0].alias("p50"),
+            F.col("value_q")[1].alias("p95"),
+            "cnt",
+        )
+    )

@@ -98,3 +98,28 @@ def test_audit_suite_single_pass(spark):
     clean = spark.createDataFrame([("12345678901", "A", "Active", 1.0)],
                                   "abn string, name string, status string, score double")
     assert_audits(clean, spec)  # no raise
+
+
+def test_approx_stats_error_bounds(spark):
+    from firmable_aus_etl_spark.queries import QUERIES
+
+    sf_dir = "/root/testdata/sf0.001"
+    approx = {r.event_type: r for r in QUERIES["approx_stats_events"](spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    exact = {
+        r.event_type: r
+        for r in ev.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+            F.expr("percentile(value, 0.95)").alias("p95"),
+        )
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for et, a in approx.items():
+        e = exact[et]
+        assert abs(a.approx_users - e.users) <= max(2, 0.05 * e.users)
+        # percentile_approx returns a real data value near the quantile
+        assert abs(a.p50 - e.p50) <= 0.1 * (abs(e.p95) + 1)
+        assert a.p95 <= e.p95 * 1.2 + 1
