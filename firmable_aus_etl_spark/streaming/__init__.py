@@ -11,6 +11,7 @@ from firmable_aus_etl_spark.streaming.ops import (
     windowed_event_counts,
     streaming_dedup,
     foreach_batch_merge,
+    stream_stream_interval_join,
 )
 from firmable_aus_etl_spark.streaming.stateful import (
     sessionize_stream,
@@ -22,6 +23,7 @@ __all__ = [
     "windowed_event_counts",
     "streaming_dedup",
     "foreach_batch_merge",
+    "stream_stream_interval_join",
     "sessionize_stream",
     "sessionize_stream_eventtime",
 ]

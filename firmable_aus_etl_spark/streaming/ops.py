@@ -127,3 +127,38 @@ def foreach_batch_merge(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_stream_interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_ts: str,
+    right_ts: str,
+    by: Sequence[tuple[str, str]] = (),
+    within: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join within an event-time interval: right
+    rows with ``left_ts <= right_ts <= left_ts + within`` per key pair.
+
+    The streaming twin of operators/joins.point_in_interval_join. Both
+    sides carry watermarks and the join condition bounds the time gap
+    in BOTH directions — that pair of constraints is what lets Spark
+    evict buffered state (unbounded stream-stream joins hold both
+    streams forever; at 100 TB/day that is an OOM, not a design).
+    Inner-join matches emit immediately; state for rows older than
+    watermark + within is dropped.
+
+    ``by`` is a list of (left_col, right_col) equality pairs; column
+    names must be disjoint across the two inputs (rename before
+    joining, same contract as the batch range join).
+    """
+    l = left.withWatermark(left_ts, watermark).alias("l")
+    r = right.withWatermark(right_ts, watermark).alias("r")
+    cond = (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}")) & (
+        F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {within}")
+    )
+    for lc, rc in by:
+        cond = cond & (F.col(f"l.{lc}") == F.col(f"r.{rc}"))
+    return l.join(r, on=cond, how="inner")

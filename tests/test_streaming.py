@@ -176,3 +176,57 @@ def test_stateful_sessionize_stream(spark, events_dir, tmp_path):
         assert r.closed == batch[r.user_id] - 1, (
             f"user {r.user_id}: {r.closed} closed vs batch {batch[r.user_id]}"
         )
+
+
+def test_stream_stream_interval_join_matches_batch(spark, events_dir):
+    from firmable_aus_etl_spark.operators.joins import point_in_interval_join
+    from firmable_aus_etl_spark.streaming import stream_stream_interval_join
+
+    def purchases_of(df):
+        return df.filter(F.col("event_type") == "purchase").select(
+            F.col("event_id").alias("p_id"),
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("p_ts"),
+        )
+
+    def errors_of(df):
+        return df.filter(F.col("event_type") == "error").select(
+            F.col("event_id").alias("e_id"),
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+        )
+
+    joined = stream_stream_interval_join(
+        purchases_of(read_stream_parquet(spark, events_dir)),
+        errors_of(read_stream_parquet(spark, events_dir)),
+        left_ts="p_ts",
+        right_ts="e_ts",
+        by=[("p_user", "e_user")],
+        within="1 hour",
+        watermark="2 hours",
+    ).select("p_id", "e_id")
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {(r.p_id, r.e_id) for r in spark.table("ss_join").collect()}
+
+    batch = load_table(spark, SF_DIR, "events")
+    intervals = purchases_of(batch).withColumn(
+        "p_end", F.col("p_ts") + F.expr("INTERVAL 1 HOUR")
+    )
+    expected_df = point_in_interval_join(
+        errors_of(batch),
+        intervals,
+        point_ts="e_ts",
+        start_ts="p_ts",
+        end_ts="p_end",
+        bucket_seconds=3600,
+    ).filter(F.col("p_user") == F.col("e_user"))
+    expected = {(r.p_id, r.e_id) for r in expected_df.collect()}
+    assert got == expected
+    assert len(got) > 0
