@@ -692,3 +692,70 @@ def ngram_jaccard_pairs_prefix(
         .filter(F.col("jaccard") >= threshold)
         .select("a_id", "b_id", "jaccard")
     )
+
+
+def connected_components(
+    edges: DataFrame,
+    *,
+    src: str = "a_id",
+    dst: str = "b_id",
+    nodes: DataFrame | None = None,
+    node_id: str = "id",
+    max_iter: int = 50,
+) -> DataFrame:
+    """Connected components by min-label propagation: each node's
+    label starts as its own id and iteratively becomes the minimum
+    label among itself and its neighbors, until a fixpoint.
+
+    This is the clustering step of the dedup pipeline — near-dup PAIRS
+    become dedup GROUPS (keep min-id representative per group). Each
+    iteration is one distributed join + groupBy (no driver-side graph);
+    the driver only coordinates the loop and checks convergence, the
+    standard Spark idiom for iterative algorithms. localCheckpoint
+    truncates lineage so plan depth stays O(1) per iteration.
+
+    Rounds needed = graph diameter; near-dup clusters are small and
+    dense, so this converges in a few rounds. For adversarial
+    long-chain graphs at 100 TB, swap in the alternating
+    large-star/small-star contraction (Kiveris et al., "Connected
+    Components in MapReduce and Beyond") — same per-round machinery,
+    O(log^2 n) rounds; not needed for dedup-shaped graphs.
+
+    Returns (node_id, cluster) where cluster = min node id reachable —
+    fully deterministic, so the output is oracle-hashable (DuckDB twin:
+    recursive-CTE reachability + min).
+    """
+    und = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).union(
+        edges.select(F.col(dst).alias("x"), F.col(src).alias("y"))
+    )
+    if nodes is None:
+        node_frame = und.select(F.col("x").alias(node_id)).distinct()
+    else:
+        node_frame = nodes.select(F.col(node_id)).distinct()
+    labels = node_frame.select(node_id, F.col(node_id).alias("cluster"))
+    for _ in range(max_iter):
+        neighbor_min = (
+            und.join(labels, und["y"] == labels[node_id])
+            .groupBy("x")
+            .agg(F.min("cluster").alias("nbr"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels[node_id] == neighbor_min["x"], "left")
+            .select(
+                labels[node_id],
+                F.least(F.col("cluster"), F.coalesce(F.col("nbr"), F.col("cluster"))).alias(
+                    "cluster"
+                ),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), node_id)
+            .filter(F.col("n.cluster") != F.col("o.cluster"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels

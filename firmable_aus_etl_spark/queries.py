@@ -2182,3 +2182,35 @@ def q_approx_stats_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cnt",
         )
     )
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE pairs AS (
+  SELECT a_id, b_id FROM ({_JACCARD_ORACLE.strip()})
+),
+und AS (SELECT a_id AS x, b_id AS y FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS root FROM documents
+  UNION
+  SELECT u.y AS node, r.root
+  FROM reach r JOIN und u ON u.x = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster FROM reach GROUP BY node
+"""
+
+
+@register("near_dup_clusters", _CLUSTER_ORACLE)
+def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup clustering: exact-Jaccard near-dup pairs (>= 0.5) grouped
+    into connected components; cluster id = min reachable doc_id, so
+    keep-the-representative is `filter(doc_id == cluster)`. The oracle
+    is a DuckDB recursive-CTE reachability closure over the same pair
+    set — every singleton doc keeps its own id as cluster."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).select("a_id", "b_id")
+    return dedup.connected_components(
+        pairs, nodes=docs.select(F.col("doc_id")), node_id="doc_id"
+    )

@@ -183,3 +183,27 @@ def test_verified_near_dups_match_exact_on_testdata(spark):
     f = {(r.a_id, r.b_id) for r in fast.collect()}
     assert e, "fixture should contain planted near-dups"
     assert f == e, f"LSH pipeline missed pairs: {e - f} / extra: {f - e}"
+
+
+def test_connected_components_basic(spark):
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11)], "a_id long, b_id long"
+    )
+    out = {r.id: r.cluster for r in dedup.connected_components(edges, node_id="id").collect()}
+    assert out == {1: 1, 2: 1, 3: 1, 10: 10, 11: 10}
+
+
+def test_connected_components_chain_and_singletons(spark):
+    # chain 5-4-3-2-1 forces multiple propagation rounds; node 99 is a
+    # singleton supplied via the nodes frame
+    edges = spark.createDataFrame(
+        [(5, 4), (4, 3), (3, 2), (2, 1)], "a_id long, b_id long"
+    )
+    nodes = spark.createDataFrame([(i,) for i in [1, 2, 3, 4, 5, 99]], "nid long")
+    out = {
+        r.nid: r.cluster
+        for r in dedup.connected_components(
+            edges, src="a_id", dst="b_id", nodes=nodes, node_id="nid"
+        ).collect()
+    }
+    assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 99: 99}
