@@ -57,11 +57,17 @@ def main() -> None:
     )
 
     # 3. exact dedup, then near-dup dedup: LSH candidates + verified
-    #    Jaccard >= 0.5; drop the higher doc_id of each verified pair
+    #    Jaccard >= 0.5 -> connected components -> keep one
+    #    representative (min doc_id) per transitive near-dup cluster
     exact = dedup.dedup_exact_text(kept, "text", "doc_id")
     near = dedup.verified_near_dup_pairs(exact, "doc_id", "text", threshold=0.5)
-    losers = near.select(F.col("b_id").alias("doc_id")).distinct()
-    clean = exact.join(losers, "doc_id", "left_anti")
+    clusters = dedup.connected_components(
+        near.select("a_id", "b_id"),
+        nodes=exact.select(F.col("doc_id")),
+        node_id="doc_id",
+    )
+    reps = clusters.filter(F.col("doc_id") == F.col("cluster")).select("doc_id")
+    clean = exact.join(reps, "doc_id", "left_semi")
 
     # 4. fingerprint the surviving corpus and write
     final = dedup.with_text_fingerprint(clean, "text")
