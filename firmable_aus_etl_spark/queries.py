@@ -2214,3 +2214,36 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.connected_components(
         pairs, nodes=docs.select(F.col("doc_id")), node_id="doc_id"
     )
+
+
+_SCD2_ORACLE = """
+SELECT o_custkey, o_orderkey, o_orderpriority,
+       strftime(o_orderdate, '%Y-%m-%d') AS valid_from,
+       strftime(lead(o_orderdate) OVER w, '%Y-%m-%d') AS valid_to,
+       CAST(CASE WHEN lead(o_orderkey) OVER w IS NULL THEN 1 ELSE 0 END
+            AS BIGINT) AS is_current
+FROM orders
+WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+"""
+
+
+@register("scd2_order_priority_history", _SCD2_ORACLE)
+def q_scd2_order_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 history build: a change log (orders per customer) becomes
+    slowly-changing-dimension rows with [valid_from, valid_to) validity
+    and an is_current flag — one lead() window per key, no self-join
+    (the classic ETL dimension-maintenance op the reference's UPSERT
+    loaders approximate destructively). Tie-break on o_orderkey keeps
+    same-day changes deterministic."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    orders = load_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderpriority",
+        F.date_format("o_orderdate", "yyyy-MM-dd").alias("valid_from"),
+        F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("valid_to"),
+        F.lead("o_orderkey").over(w).isNull().cast("long").alias("is_current"),
+    )
