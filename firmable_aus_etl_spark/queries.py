@@ -2247,3 +2247,63 @@ def q_scd2_order_priority_history(spark: SparkSession, sf_dir: str) -> DataFrame
         F.date_format(F.lead("o_orderdate").over(w), "yyyy-MM-dd").alias("valid_to"),
         F.lead("o_orderkey").over(w).isNull().cast("long").alias("is_current"),
     )
+
+
+@register(
+    "distinct_agg_lineitem",
+    """
+    SELECT l_returnflag,
+           CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+           CAST(count(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           count(*) AS n_rows
+    FROM lineitem GROUP BY l_returnflag
+    """,
+)
+def q_distinct_agg_lineitem(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped DISTINCT aggregation — Spark plans multi-distinct via
+    Expand (one replicated row-set per distinct column) with partial
+    aggregation before the shuffle; no driver-side distinct."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_suppkey").alias("n_suppliers"),
+        F.countDistinct("l_partkey").alias("n_parts"),
+        F.count("*").alias("n_rows"),
+    )
+
+
+@register(
+    "order_rank_metrics",
+    """
+    WITH w AS (
+      SELECT o_custkey, o_orderkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             percent_rank() OVER win AS pr,
+             cume_dist() OVER win AS cd,
+             first_value(o_orderkey) OVER win AS cheapest_order
+      FROM orders
+      WINDOW win AS (PARTITION BY o_custkey ORDER BY
+                     CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT),
+                     o_orderkey)
+    )
+    SELECT o_custkey, o_orderkey, round(pr, 6) AS pr, round(cd, 6) AS cd,
+           cheapest_order
+    FROM w
+    """,
+)
+def q_order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Analytic window functions: percent_rank / cume_dist /
+    first_value per customer, ordered by exact integer cents (+ key
+    tie-break) so rank positions cannot flip between engines on equal
+    doubles (verify-skill gotcha)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    cents = _cents(F.col("o_totalprice"))
+    w = Window.partitionBy("o_custkey").orderBy(cents, "o_orderkey")
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(F.percent_rank().over(w), 6).alias("pr"),
+        F.round(F.cume_dist().over(w), 6).alias("cd"),
+        F.first("o_orderkey").over(w).alias("cheapest_order"),
+    )
