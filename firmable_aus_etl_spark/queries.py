@@ -2307,3 +2307,35 @@ def q_order_rank_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.cume_dist().over(w), 6).alias("cd"),
         F.first("o_orderkey").over(w).alias("cheapest_order"),
     )
+
+
+@register(
+    "stratified_sample_customers",
+    """
+    WITH r AS (
+      SELECT c_custkey, c_mktsegment,
+             row_number() OVER (
+               PARTITION BY c_mktsegment
+               ORDER BY md5(CAST(c_custkey AS VARCHAR)), c_custkey) AS rn
+      FROM customer
+    )
+    SELECT c_custkey, c_mktsegment FROM r WHERE rn <= 10
+    """,
+)
+def q_stratified_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic stratified sampling: top-10 per stratum under an
+    md5 hash order — the reproducible form of per-group random
+    sampling (df.sampleBy is seed- and partitioning-dependent; a hash
+    order gives the same sample on any cluster layout, any engine —
+    which is why it is oracle-checkable at all). Plans as
+    WindowGroupLimit: only 10 survivors per stratum per mapper cross
+    the shuffle."""
+    from firmable_aus_etl_spark.operators.windows import topk_per_group
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    return topk_per_group(
+        cust.withColumn("__h", F.md5(F.col("c_custkey").cast("string"))),
+        ["c_mktsegment"],
+        [F.col("__h").asc(), F.col("c_custkey").asc()],
+        k=10,
+    ).select("c_custkey", "c_mktsegment")
