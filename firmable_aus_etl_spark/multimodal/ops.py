@@ -166,3 +166,53 @@ def frame_sample_plan(
     return df.select(
         "media_id", "uri", F.explode(ts).alias("frame_ts_ms")
     )
+
+
+RESIZED_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", LongType(), True),
+        StructField("height", LongType(), True),
+        StructField("content", BinaryType(), True),
+    ]
+)
+
+
+def resize_images(
+    df: DataFrame, *, width: int = 224, height: int = 224, fake: bool = False
+) -> DataFrame:
+    """Resize plumbing over image bytes via mapInPandas (same contract
+    as decode_image_features: Arrow batches of binary columns in, a
+    typed frame out; partitioning and batch shape are the real
+    distributed path).
+
+    ``fake=False``: raises DecodeUnavailable inside the task (no codec
+    libs in this container). ``fake=True``: deterministic stand-in —
+    emits a (width*height)-byte tile cycled from the source digest, so
+    output sizes and values are verifiable without a codec. A real
+    implementation decodes, resamples to (width, height), re-encodes.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        n_out = width * height
+        for pdf in batches:
+            ids, ws, hs, outs = [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                if fake:
+                    # STUB: digest-cycled bytes in place of resampled pixels
+                    digest = hashlib.sha256(b).digest()
+                    reps = n_out // len(digest) + 1
+                    outs.append((digest * reps)[:n_out])
+                else:
+                    raise DecodeUnavailable(
+                        "image resize requires codec libs absent from this container"
+                    )
+                ids.append(mid)
+                ws.append(width)
+                hs.append(height)
+            yield pd.DataFrame(
+                {"media_id": ids, "width": ws, "height": hs, "content": outs}
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema=RESIZED_SCHEMA)

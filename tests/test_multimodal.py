@@ -89,3 +89,27 @@ def test_dedup_media_exact(spark):
     df = spark.createDataFrame(rows, MEDIA_SCHEMA)
     out = dedup_media_exact(df)
     assert {r.media_id for r in out.collect()} == {1, 3, 4, 5}
+
+
+def test_resize_images_fake_path(spark, media_df):
+    from firmable_aus_etl_spark.multimodal.ops import resize_images
+
+    out = resize_images(media_df, width=16, height=16, fake=True).collect()
+    assert len(out) == media_df.count()
+    for r in out:
+        assert (r.width, r.height) == (16, 16)
+        assert len(r.content) == 16 * 16
+    # determinism: same input bytes -> same resized bytes
+    again = {r.media_id: bytes(r.content) for r in
+             resize_images(media_df, width=16, height=16, fake=True).collect()}
+    assert {r.media_id: bytes(r.content) for r in out} == again
+
+
+def test_resize_images_real_path_gated(spark, media_df):
+    import pytest as _pytest
+
+    from firmable_aus_etl_spark.multimodal.ops import resize_images
+
+    with _pytest.raises(Exception) as exc_info:
+        resize_images(media_df, fake=False).collect()
+    assert "DecodeUnavailable" in str(exc_info.value) or "resize" in str(exc_info.value)
