@@ -76,7 +76,9 @@ def _type_mismatches(sdf, dcols, dtypes):
 
 def main() -> int:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    # accept both space- and comma-separated query names (an unknown
+    # name would otherwise silently check nothing and print success)
+    only = {n for arg in sys.argv[2:] for n in arg.replace("--only", "").split(",") if n}
 
     spark = get_session("check_oracle")
     con = duckdb.connect()
@@ -87,6 +89,10 @@ def main() -> int:
 
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
+    unknown = only - set(qs)
+    if unknown:
+        print(f"unknown query name(s): {sorted(unknown)}")
+        return 2
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
