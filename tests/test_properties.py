@@ -113,3 +113,75 @@ def test_prefix_jaccard_exact_property(spark, texts, t):
             ).collect()
         }
         assert pref == naive, (order, t)
+
+
+# --- asof_join / point_in_interval_join vs brute force --------------------
+
+_TS = st.integers(min_value=0, max_value=50)
+_GRP = st.integers(min_value=0, max_value=2)
+_LEFT = st.lists(st.tuples(_GRP, _TS), min_size=0, max_size=8)
+_RIGHT = st.lists(st.tuples(_GRP, _TS), min_size=0, max_size=8)
+
+
+@given(left=_LEFT, right=_RIGHT, direction=st.sampled_from(["backward", "forward"]))
+@_SETTINGS
+def test_asof_join_matches_bruteforce(spark, left, right, direction):
+    """The union+window merge must agree with the obvious per-row scan:
+    nearest right timestamp (<= / >=) per group, greatest rid on ties."""
+    lrows = [(i, g, t) for i, (g, t) in enumerate(left)]
+    rrows = [(100 + i, g, t) for i, (g, t) in enumerate(right)]
+    ldf = spark.createDataFrame(lrows, "lid long, g long, t long") if lrows else (
+        spark.createDataFrame([], "lid long, g long, t long"))
+    rdf = spark.createDataFrame(rrows, "rid long, g long, t long") if rrows else (
+        spark.createDataFrame([], "rid long, g long, t long"))
+
+    got = {
+        r.lid: r.rid
+        for r in joins.asof_join(
+            ldf, rdf, on="t", by=["g"], value_cols=["rid"],
+            tiebreak="rid", direction=direction,
+        ).collect()
+    }
+
+    def brute(g, t):
+        if direction == "backward":
+            cands = [(rt, rid) for rid, rg, rt in rrows if rg == g and rt <= t]
+            return max(cands, key=lambda x: (x[0], x[1]))[1] if cands else None
+        cands = [(rt, rid) for rid, rg, rt in rrows if rg == g and rt >= t]
+        return min(cands, key=lambda x: (x[0], -x[1]))[1] if cands else None
+
+    expected = {lid: brute(g, t) for lid, g, t in lrows}
+    assert got == expected
+
+
+@given(points=_LEFT, intervals=_RIGHT, length=st.integers(min_value=0, max_value=9),
+       bucket=st.sampled_from([1, 3, 7]))
+@_SETTINGS
+def test_range_join_matches_bruteforce(spark, points, intervals, length, bucket):
+    """Binned range join == brute-force containment scan for arbitrary
+    bucket widths (including buckets smaller and larger than spans)."""
+    prows = [(i, g, t) for i, (g, t) in enumerate(points)]
+    irows = [(100 + i, g, t, t + length) for i, (g, t) in enumerate(intervals)]
+    pdf = spark.createDataFrame(prows, "pid long, g long, t long") if prows else (
+        spark.createDataFrame([], "pid long, g long, t long"))
+    idf = spark.createDataFrame(irows, "iid long, g long, s long, e long") if irows else (
+        spark.createDataFrame([], "iid long, g long, s long, e long"))
+
+    # integer epochs stand in for timestamps: cast to timestamp seconds
+    pdf = pdf.withColumn("ts", F.timestamp_seconds("t"))
+    idf = idf.withColumn("ss", F.timestamp_seconds("s")).withColumn(
+        "ee", F.timestamp_seconds("e"))
+    got = {
+        (r.pid, r.iid)
+        for r in joins.point_in_interval_join(
+            pdf, idf, point_ts="ts", start_ts="ss", end_ts="ee",
+            by=["g"], bucket_seconds=bucket,
+        ).collect()
+    }
+    expected = {
+        (pid, iid)
+        for pid, pg, pt in prows
+        for iid, ig, s, e in irows
+        if pg == ig and s <= pt <= e
+    }
+    assert got == expected
