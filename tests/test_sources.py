@@ -120,3 +120,45 @@ def test_jdbc_writer_builder(spark):
     df = spark.createDataFrame([(1,)], "id long")
     w = files.jdbc_writer(df, "jdbc:postgresql://h/db", "t", batchsize=5000, num_partitions=4)
     assert w is not None  # builder configured without a live DB
+
+
+# --- zip ingest (http-zip-source) ----------------------------------------
+
+def test_unzip_members_idempotent(tmp_path):
+    import zipfile
+
+    from firmable_aus_etl_spark.sources import ingest
+
+    zp = str(tmp_path / "abr.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("nested/20240101_a.xml", "<ABR>1</ABR>")
+        zf.writestr("20240101_b.XML", "<ABR>2</ABR>")
+        zf.writestr("readme.txt", "not xml")
+
+    dest = str(tmp_path / "out")
+    assert ingest.list_members(zp) == ["20240101_b.XML", "nested/20240101_a.xml"]
+
+    first = ingest.unzip_members(zp, dest)
+    assert sorted(os.path.basename(p) for p in first) == [
+        "20240101_a.xml", "20240101_b.XML",
+    ]
+    # idempotence: second run extracts nothing (reference's re-run rule)
+    assert ingest.unzip_members(zp, dest) == []
+    # and the contents landed intact
+    with open(os.path.join(dest, "20240101_a.xml")) as f:
+        assert f.read() == "<ABR>1</ABR>"
+
+
+def test_fetch_zip_is_gated(tmp_path):
+    from firmable_aus_etl_spark.sources import ingest
+
+    try:
+        import requests  # noqa: F401
+        has_requests = True
+    except ImportError:
+        has_requests = False
+    if not has_requests:
+        import pytest as _pytest
+
+        with _pytest.raises(RuntimeError, match="requests"):
+            ingest.fetch_zip("http://localhost:1/x.zip", str(tmp_path / "x.zip"))
