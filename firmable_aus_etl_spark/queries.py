@@ -2339,3 +2339,36 @@ def q_stratified_sample_customers(spark: SparkSession, sf_dir: str) -> DataFrame
         [F.col("__h").asc(), F.col("c_custkey").asc()],
         k=10,
     ).select("c_custkey", "c_mktsegment")
+
+
+@register(
+    "salted_join_segments",
+    """
+    WITH dim AS (
+      SELECT c_mktsegment AS seg,
+             row_number() OVER (ORDER BY c_mktsegment) AS seg_rank
+      FROM (SELECT DISTINCT c_mktsegment FROM customer)
+    )
+    SELECT c.c_custkey, c.c_mktsegment, d.seg_rank
+    FROM customer c JOIN dim d ON c.c_mktsegment = d.seg
+    """,
+)
+def q_salted_join_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-mitigated equi-join: c_mktsegment has 5 values, so a plain
+    hash join lands the whole fact side on 5 reducers — the textbook
+    hot-key case. salted_join scatters each hot key across 8 salt
+    buckets (deterministic row-hash salt) and replicates the 5-row dim
+    side per salt. The oracle runs the UNSALTED join: salting must be
+    invisible in the result, and the gate proves it."""
+    from firmable_aus_etl_spark.operators.partitioning import salted_join
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    dim = (
+        cust.select(F.col("c_mktsegment").alias("seg"))
+        .distinct()
+        .withColumn("seg_rank", F.row_number().over(Window.orderBy("seg")))
+        .withColumnRenamed("seg", "c_mktsegment")
+    )
+    out = salted_join(cust, dim, "c_mktsegment", salt_buckets=8)
+    return out.select("c_custkey", "c_mktsegment", "seg_rank")
