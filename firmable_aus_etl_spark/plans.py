@@ -67,3 +67,21 @@ def plan_report(df: DataFrame) -> dict:
         "sort_merge_join": has_sort_merge_join(df),
         "codegen_spans": len(wholestage_codegen_ids(df)),
     }
+
+
+def final_adaptive_plan(df: DataFrame) -> str:
+    """Execute ``df`` and return the FINAL adaptive plan string.
+
+    ``executedPlan`` before an action prints the INITIAL AQE plan —
+    runtime decisions (exchange reuse, skew splits, join demotion) only
+    appear after execution finalizes the plan, so asserting on the
+    pre-action string understates the real plan (it shows zero
+    ReusedExchange on plans that do reuse). Collects the result:
+    test-scale inputs only.
+    """
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_reused_exchanges_final(df: DataFrame) -> int:
+    return final_adaptive_plan(df).count("ReusedExchange")

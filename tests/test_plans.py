@@ -102,3 +102,12 @@ def test_partitioned_layout_prunes_scan(spark, tmp_path):
     # exactly the rows of the one selected partition
     expected = orders.filter(F.date_format("o_orderdate", "yyyy-MM") == "1995-03").count()
     assert expected > 0 and df.count() == expected
+
+
+def test_minhash_pipeline_reuses_shingle_exchange_at_runtime(spark):
+    """The LSH+verify pipeline consumes the shingle frame in three
+    branches; AQE must materialize it once and reuse the exchange —
+    the property that keeps the 100 TB signature stage from running
+    multiple times."""
+    df = QUERIES["minhash_verified_near_dups"](spark, SF)
+    assert plans.count_reused_exchanges_final(df) >= 1
