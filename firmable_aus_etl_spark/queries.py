@@ -2549,3 +2549,70 @@ def q_price_histogram_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("max_price"),
         )
     )
+
+
+@register(
+    "label_centroids_embeddings",
+    """
+    WITH ex AS (
+      SELECT label, unnest(range(len(embedding))) AS pos,
+             CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT) AS sv
+      FROM embeddings
+    )
+    SELECT label, CAST(pos AS INTEGER) AS pos,
+           CAST(sum(sv) AS DOUBLE) / (1000000.0 * count(*)) AS centroid,
+           count(*) AS n_vecs
+    FROM ex GROUP BY label, pos
+    """,
+)
+def q_label_centroids_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Element-wise per-label centroid of the embedding vectors —
+    posexplode + groupBy(label, pos): the distributed alternative to
+    collecting vectors to the driver (how ivf_topk trains its
+    centroids, here as a standalone oracle-checked query). One
+    map-side-combinable shuffle on (label, pos); element sums go
+    through exact integer micro-units so accumulation order can't
+    drift the hash."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    ex = emb.select("label", F.posexplode("embedding").alias("pos", "val"))
+    ex = ex.select(
+        "label", "pos", _cents(F.col("val").cast("double"), 6).alias("sv")
+    )
+    return ex.groupBy("label", "pos").agg(
+        (F.sum("sv").cast("double") / (F.lit(1000000.0) * F.count("*"))).alias(
+            "centroid"
+        ),
+        F.count("*").alias("n_vecs"),
+    )
+
+
+@register(
+    "daily_order_spine",
+    """
+    WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+                      CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+    days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             FROM b),
+    cnt AS (SELECT CAST(o_orderdate AS DATE) AS day, count(*) AS n_orders
+            FROM orders GROUP BY 1)
+    SELECT d.day, coalesce(c.n_orders, 0) AS n_orders
+    FROM days d LEFT JOIN cnt c USING (day)
+    """,
+)
+def q_daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-spine gap fill: sequence(min, max, 1 day) + explode
+    generates the dense day dimension FROM the data (no driver-side
+    date loop), left-joined to per-day counts with zero fill. The
+    spine derives from a 1-row aggregate, so at 100 TB the only real
+    work is the map-side-combined count; the join is dim-sized."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day")
+    )
+    bounds = orders.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    cnt = orders.groupBy("day").agg(F.count("*").alias("n_orders"))
+    return days.join(cnt, "day", "left").select(
+        "day", F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("n_orders")
+    )

@@ -111,3 +111,52 @@ def test_minhash_pipeline_reuses_shingle_exchange_at_runtime(spark):
     multiple times."""
     df = QUERIES["minhash_verified_near_dups"](spark, SF)
     assert plans.count_reused_exchanges_final(df) >= 1
+
+
+def test_grouping_sets_single_expand_pass(spark):
+    df = QUERIES["grouping_sets_part_stats"](spark, SF)
+    plan = plans.physical_plan(df)
+    # three grouping sets in ONE pass: Expand -> partial agg -> 1 shuffle,
+    # never a union of three scans
+    assert "Expand" in plan
+    assert plans.count_exchanges(df) == 1, plan
+    assert "Union" not in plan
+
+
+def test_above_customer_avg_is_decorrelated(spark):
+    df = QUERIES["orders_above_customer_avg"](spark, SF)
+    plan = plans.physical_plan(df)
+    # the correlated subquery shape must compile to a window over one
+    # shuffle on o_custkey — no self-join of orders
+    assert "Join" not in plan, plan
+    assert plans.count_exchanges(df) == 1, plan
+    assert "Window" in plan
+
+
+def test_unpivot_is_expand_no_shuffle(spark):
+    df = QUERIES["unpivot_part_attrs"](spark, SF)
+    plan = plans.physical_plan(df)
+    # wide->long in one scan pass: Expand node, zero exchanges
+    assert "Expand" in plan
+    assert plans.count_exchanges(df) == 0, plan
+
+
+def test_conditional_agg_single_shuffle(spark):
+    df = QUERIES["conditional_agg_orders"](spark, SF)
+    # all per-status metrics in one partial-aggregated pass
+    assert plans.count_exchanges(df) == 1, plans.physical_plan(df)
+
+
+def test_histogram_single_shuffle(spark):
+    df = QUERIES["price_histogram_orders"](spark, SF)
+    assert plans.count_exchanges(df) == 1, plans.physical_plan(df)
+
+
+def test_centroids_partial_agg_single_shuffle(spark):
+    df = QUERIES["label_centroids_embeddings"](spark, SF)
+    plan = plans.physical_plan(df)
+    # posexplode (Generate) feeds a map-side-combined agg: the x64 row
+    # blowup is reduced before the single (label, pos) shuffle
+    assert "Generate" in plan
+    assert plans.count_exchanges(df) == 1, plan
+    assert "partial" in plan.lower(), plan
