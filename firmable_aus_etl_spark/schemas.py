@@ -84,13 +84,14 @@ TESTDATA_SCHEMAS: dict[str, StructType] = {
         ("l_linestatus", StringType()),
         ("l_shipdate", TimestampType()),
     ),
-    # events.ts is TIMESTAMP(NANOS) in parquet, which Spark 4 cannot map
-    # to TimestampType (PARQUET_TYPE_ILLEGAL). Declared LongType here;
-    # datasets.load_table sets spark.sql.legacy.parquet.nanosAsLong and
-    # converts to a microsecond TimestampType column transparently.
+    # events.ts encoding varies across testdata generations: TIMESTAMP
+    # MICROS maps straight to TimestampType (declared here), but
+    # TIMESTAMP(NANOS) is rejected by Spark 4 (PARQUET_TYPE_ILLEGAL) —
+    # datasets.load_table probes the parquet footer and falls back to a
+    # nanosAsLong read + /1000 conversion for ns-encoded files.
     "events": _st(
         ("event_id", LongType()),
-        ("ts", LongType()),
+        ("ts", TimestampType()),
         ("user_id", LongType()),
         ("event_type", StringType()),
         ("value", DoubleType()),

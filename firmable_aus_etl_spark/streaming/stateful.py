@@ -12,7 +12,7 @@ from __future__ import annotations
 from collections.abc import Iterator
 
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     ArrayType,
@@ -69,10 +69,7 @@ def sessionize_stream(
 
         closed: list[tuple[int, int, int]] = []
         for pdf in pdfs:
-            # Arrow hands timestamps to pandas as datetime64[ns];
-            # normalize to microseconds explicitly (a bare
-            # astype(int64) would yield ns and shrink the gap 1000x).
-            ts_us = pdf["ts"].astype("datetime64[us]").astype("int64").sort_values()
+            ts_us = pdf["ts_us"].sort_values()
             for t in ts_us:
                 t = int(t)
                 if last_us is None:
@@ -95,6 +92,14 @@ def sessionize_stream(
                 }
             )
 
+    # Timestamps cross the JVM->Arrow->pandas boundary as plain int64
+    # epoch-microseconds (unix_micros), never as a timestamp column:
+    # the stateful-UDF Arrow path can mislabel the raw integer's unit
+    # depending on the source file's timestamp encoding (observed:
+    # ms-encoded input arriving as 1970-era datetime64[ns] values).
+    events = events.select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    )
     return events.groupBy("user_id").applyInPandasWithState(
         fn,
         outputStructType=SESSION_SCHEMA,
@@ -139,8 +144,7 @@ def sessionize_stream_eventtime(
         buf: list[int] = list(state.get[0]) if state.exists else []
         if not state.hasTimedOut:
             for pdf in pdfs:
-                ts_us = pdf["ts"].astype("datetime64[us]").astype("int64")
-                buf.extend(int(t) for t in ts_us)
+                buf.extend(int(t) for t in pdf["ts_us"])
         buf.sort()
         wm_us = state.getCurrentWatermarkMs() * 1000
 
@@ -177,8 +181,13 @@ def sessionize_stream_eventtime(
                 }
             )
 
+    # ts stays for the watermark; the UDF reads the JVM-computed
+    # int64 ts_us (see sessionize_stream for the unit-mislabel rationale)
     return (
-        events.withWatermark("ts", watermark)
+        events.select(
+            "user_id", "ts", F.unix_micros("ts").alias("ts_us")
+        )
+        .withWatermark("ts", watermark)
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
