@@ -48,6 +48,21 @@ def has_sort_merge_join(df: DataFrame) -> bool:
     return "SortMergeJoin" in physical_plan(df)
 
 
+def has_dynamic_partition_pruning(df: DataFrame) -> bool:
+    """True when a scan carries a dynamicpruningexpression — the
+    partitions to read are resolved at runtime from the other join
+    side instead of being enumerated statically."""
+    return "dynamicpruning" in physical_plan(df).lower()
+
+
+def has_runtime_bloom_filter(df: DataFrame) -> bool:
+    """True when the optimizer injected a bloom_filter_agg /
+    might_contain pair: probe-side rows are dropped by a sketch of the
+    selective build side before reaching the join's shuffle."""
+    plan = physical_plan(df)
+    return "bloom_filter_agg" in plan and "might_contain" in plan.lower()
+
+
 def wholestage_codegen_ids(df: DataFrame) -> set[int]:
     """Distinct WholeStageCodegen span ids — wider spans = more of the
     plan fused into generated JVM loops."""

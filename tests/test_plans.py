@@ -160,3 +160,105 @@ def test_centroids_partial_agg_single_shuffle(spark):
     assert "Generate" in plan
     assert plans.count_exchanges(df) == 1, plan
     assert "partial" in plan.lower(), plan
+
+
+def test_dynamic_partition_pruning_on_partitioned_fact(spark, tmp_path):
+    """Joining a hive-partitioned fact to a filtered dim must inject a
+    dynamic-pruning subquery into the fact scan (DPP): at 100 TB the
+    partition set to read is discovered at runtime from the dim-side
+    filter, so the fact scan never enumerates the full table even when
+    the wanted partitions aren't known until the dim is evaluated."""
+    from firmable_aus_etl_spark.datasets import load_table
+
+    path = str(tmp_path / "orders_by_month_dpp")
+    orders = load_table(spark, SF, "orders")
+    orders.withColumn(
+        "month", F.date_format("o_orderdate", "yyyy-MM")
+    ).write.partitionBy("month").mode("overwrite").parquet(path)
+
+    fact = spark.read.parquet(path)
+    dim = (
+        orders.select(
+            F.date_format("o_orderdate", "yyyy-MM").alias("month"),
+            "o_orderpriority",
+        )
+        .distinct()
+        .filter(
+            (F.col("o_orderpriority") == "1-URGENT")
+            & F.col("month").startswith("1995")
+        )
+    )
+    joined = fact.join(dim.select("month").distinct(), "month").groupBy("month").agg(
+        F.count("*").alias("n")
+    )
+    assert plans.has_dynamic_partition_pruning(joined), plans.physical_plan(joined)
+    # pruning must be invisible to results: same rows as the unpruned form
+    got = {(r.month, r.n) for r in joined.collect()}
+    want = {
+        (r.month, r.n)
+        for r in orders.withColumn("month", F.date_format("o_orderdate", "yyyy-MM"))
+        .join(dim.select("month").distinct(), "month")
+        .groupBy("month")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    assert got == want and got
+
+
+def test_runtime_bloom_filter_prunes_probe_side(spark):
+    """In the shuffle-join regime (broadcast off — the 100 TB shape
+    where neither side fits an executor), a selective dim filter must
+    inject a bloom_filter_agg/might_contain pair so probe-side rows
+    drop BEFORE the join's shuffle. Thresholds are lowered to make the
+    local fixture eligible; at real scan sizes the defaults
+    (creationSide <= 10 MB, applicationSide >= 10 GB) self-select."""
+    from firmable_aus_etl_spark.datasets import load_table
+
+    confs = {
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.optimizer.runtime.bloomFilter.enabled": "true",
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold": "100MB",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        li = load_table(spark, SF, "lineitem")
+        ords = load_table(spark, SF, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        joined = (
+            li.join(ords, li.l_orderkey == ords.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("n"))
+        )
+        assert plans.has_runtime_bloom_filter(joined), plans.physical_plan(joined)
+        got = joined.collect()
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # the sketch is a pre-filter, never a correctness device: counts
+    # must equal the plain broadcast-join run
+    want = (
+        load_table(spark, SF, "lineitem")
+        .join(
+            load_table(spark, SF, "orders").filter(
+                F.col("o_orderpriority") == "1-URGENT"
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    )
+    assert {(r.o_orderpriority, r.n) for r in got} == {
+        (r.o_orderpriority, r.n) for r in want
+    }
