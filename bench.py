@@ -38,6 +38,8 @@ HEADLINE = [
     "asof_error_last_purchase",   # as-of join (union+window merge)
     "errors_within_hour_after_purchase",  # range join (binned equi-join)
     "time_rollup_events",         # multi-resolution rollup, one pass
+    "doc_chunks_overlap",         # LLM chunking: sequence+explode+slice
+    "interval_islands_events",    # gaps-and-islands window merge
 ]
 
 

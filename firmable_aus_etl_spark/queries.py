@@ -2616,3 +2616,342 @@ def q_daily_order_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return days.join(cnt, "day", "left").select(
         "day", F.coalesce(F.col("n_orders"), F.lit(0).cast("long")).alias("n_orders")
     )
+
+
+# =========================================================================
+# Training-data pipeline surface II: deterministic splits, leave-one-out
+# encoding, LLM chunking, PII redaction; time-series surface II:
+# gaps-and-islands, forward fill, per-group mode.
+# =========================================================================
+
+_HEXVAL = "strpos('0123456789abcdef', {c}) - 1"
+
+
+@register(
+    "train_test_split_hash",
+    f"""
+    WITH h AS (
+      SELECT doc_id, n_chars, md5(CAST(doc_id AS VARCHAR)) AS hx
+      FROM documents
+    ), b AS (
+      SELECT doc_id, n_chars,
+             16 * ({_HEXVAL.format(c="substr(hx, 1, 1)")})
+                + ({_HEXVAL.format(c="substr(hx, 2, 1)")}) AS bucket
+      FROM h
+    )
+    SELECT CASE WHEN bucket < 204 THEN 'train'
+                WHEN bucket < 230 THEN 'val'
+                ELSE 'test' END AS split,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars
+    FROM b GROUP BY 1
+    """,
+)
+def q_train_test_split_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic train/val/test split by key hash — the standard
+    leakage-proof split for a training corpus: assignment depends only
+    on doc_id (never on partitioning, row order, or a seed table), so
+    re-runs and incremental appends land every doc in the same split.
+    Bucket = first byte of md5 (0..255): <204 train (~80%), <230 val
+    (~10%), else test (~10%). At 100 TB this is a map-only projection —
+    no shuffle until the audit aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10).cast("int")
+    return (
+        docs.select(
+            F.when(bucket < 204, "train")
+            .when(bucket < 230, "val")
+            .otherwise("test")
+            .alias("split"),
+            "n_chars",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_chars").alias("total_chars"),
+        )
+    )
+
+
+@register(
+    "loo_avg_order_value",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents,
+             CAST(count(*) OVER (PARTITION BY o_custkey) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY o_custkey) AS BIGINT) AS total_cents
+      FROM orders
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(total_cents - cents AS DOUBLE) / CAST(n - 1 AS DOUBLE) / 100.0
+             AS loo_avg
+    FROM c WHERE n >= 2
+    """,
+)
+def q_loo_avg_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leave-one-out mean of the customer's other orders — the
+    target-encoding primitive (each row's feature excludes its own
+    target to avoid leakage). One window over the group key computes
+    sum and count; LOO = (total - own)/(n-1) needs no self-join.
+    Integer-cents arithmetic keeps the division bit-identical across
+    engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    c = orders.select(
+        "o_orderkey",
+        "o_custkey",
+        _cents(F.col("o_totalprice")).alias("cents"),
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("cents").over(w).alias("total_cents"),
+    )
+    return c.filter(F.col("n") >= 2).select(
+        "o_orderkey",
+        "o_custkey",
+        (
+            (F.col("total_cents") - F.col("cents")).cast("double")
+            / (F.col("n") - 1).cast("double")
+            / 100.0
+        ).alias("loo_avg"),
+    )
+
+
+@register(
+    "doc_chunks_overlap",
+    """
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks
+      FROM documents WHERE lang = 'en'
+    ), starts AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(0, len(toks) - 1, 25)) AS start
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(start / 25 AS BIGINT) AS chunk_idx,
+           CAST(len(toks[start + 1 : start + 50]) AS BIGINT) AS chunk_len,
+           md5(array_to_string(toks[start + 1 : start + 50], ' ')) AS chunk_md5
+    FROM starts
+    """,
+)
+def q_doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LLM-context chunking: split each document into 50-token windows
+    with stride 25 (50% overlap) — sequence() + explode + slice(), all
+    native array ops, no UDF. Emits a content hash per chunk so the
+    oracle gates the exact chunk text. At 100 TB chunking is map-only;
+    downstream dedup/packing reuse the standard operators."""
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("lang") == "en")
+    t = docs.select("doc_id", F.split("text", " ").alias("toks"))
+    starts = t.select(
+        "doc_id",
+        "toks",
+        F.explode(
+            F.sequence(F.lit(0), F.size("toks") - 1, F.lit(25))
+        ).alias("start"),
+    )
+    chunk = F.slice(F.col("toks"), F.col("start") + 1, 50)
+    return starts.select(
+        "doc_id",
+        (F.col("start") / 25).cast("long").alias("chunk_idx"),
+        F.size(chunk).cast("long").alias("chunk_len"),
+        F.md5(F.concat_ws(" ", chunk)).alias("chunk_md5"),
+    )
+
+
+@register(
+    "pii_redact_documents",
+    r"""
+    WITH synth AS (
+      SELECT doc_id,
+             'contact user' || CAST(doc_id AS VARCHAR) || '@example.com or +61 4'
+               || lpad(CAST(doc_id % 100000000 AS VARCHAR), 8, '0') || ' re: '
+               || substr(text, 1, 40) AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           regexp_replace(
+             regexp_replace(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                            '[EMAIL]', 'g'),
+             '\+?[0-9][0-9 ]{7,14}[0-9]', '[PHONE]', 'g') AS redacted
+    FROM synth
+    """,
+)
+def q_pii_redact_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing for a training corpus: email and phone patterns
+    replaced with typed placeholder tokens, pure regexp_replace — a
+    map-only pass that pipelines with chunking and dedup. The fixture
+    text carries no live PII, so deterministic synthetic contact lines
+    (derived from doc_id) are planted first; the oracle gates the
+    redacted output byte-for-byte."""
+    docs = load_table(spark, sf_dir, "documents")
+    raw = F.concat(
+        F.lit("contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com or +61 4"),
+        F.lpad((F.col("doc_id") % 100000000).cast("string"), 8, "0"),
+        F.lit(" re: "),
+        F.substring("text", 1, 40),
+    )
+    email = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+    phone = r"\+?[0-9][0-9 ]{7,14}[0-9]"
+    return docs.select(
+        "doc_id",
+        F.regexp_replace(
+            F.regexp_replace(raw, email, "[EMAIL]"), phone, "[PHONE]"
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "interval_islands_events",
+    """
+    WITH iv AS (
+      SELECT user_id, event_id,
+             epoch_us(ts) AS s,
+             epoch_us(ts) + 300000000 AS e
+      FROM events
+    ), m AS (
+      SELECT user_id, event_id, s, e,
+             max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prev_max_e
+      FROM iv
+    ), flagged AS (
+      SELECT user_id, s, e,
+             CASE WHEN prev_max_e IS NULL OR s > prev_max_e THEN 1 ELSE 0 END
+               AS new_island
+      FROM m
+    ), isl AS (
+      SELECT user_id, s, e,
+             sum(new_island) OVER (PARTITION BY user_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS island_id
+      FROM flagged
+    ), spans AS (
+      SELECT user_id, island_id, min(s) AS i_start, max(e) AS i_end
+      FROM isl GROUP BY user_id, island_id
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_islands,
+           CAST(sum(i_end - i_start) AS BIGINT) AS covered_us
+    FROM spans GROUP BY user_id
+    """,
+)
+def q_interval_islands_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gaps-and-islands: each event covers [ts, ts+5min]; overlapping
+    intervals merge into islands via the cumulative-max-end window (no
+    self-join, one shuffle on user_id reused by every window). Emits
+    per-user island count and exact covered time — the classic
+    coverage/uptime shape. Arithmetic on unix_micros longs keeps sums
+    order-independent."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 300_000_000).alias("e"),
+    )
+    w_prev = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    m = ev.withColumn("prev_max_e", F.max("e").over(w_prev))
+    flagged = m.select(
+        "user_id",
+        "s",
+        "e",
+        F.when(
+            F.col("prev_max_e").isNull() | (F.col("s") > F.col("prev_max_e")), 1
+        )
+        .otherwise(0)
+        .alias("new_island"),
+    )
+    w_run = (
+        Window.partitionBy("user_id")
+        .orderBy("s", "e")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    isl = flagged.withColumn("island_id", F.sum("new_island").over(w_run))
+    spans = isl.groupBy("user_id", "island_id").agg(
+        F.min("s").alias("i_start"), F.max("e").alias("i_end")
+    )
+    return spans.groupBy("user_id").agg(
+        F.count("*").alias("n_islands"),
+        F.sum(F.col("i_end") - F.col("i_start")).alias("covered_us"),
+    )
+
+
+@register(
+    "forward_fill_events",
+    """
+    SELECT event_id, user_id,
+           last_value(CASE WHEN event_type = 'error' THEN NULL ELSE value END
+                      IGNORE NULLS)
+             OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+    FROM events
+    """,
+)
+def q_forward_fill_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill (LOCF): error rows lose their reading and inherit
+    the user's most recent non-null value — last(ignoreNulls) over an
+    unbounded-preceding row frame, the sensor/time-series repair
+    primitive. No arithmetic touches the carried value, so the oracle
+    hash is exact."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    nulled = F.when(F.col("event_type") == "error", F.lit(None).cast("double")).otherwise(
+        F.col("value")
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.last(nulled, ignorenulls=True).over(w).alias("filled"),
+    )
+
+
+@register(
+    "mode_event_type_per_user",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY user_id, event_type
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY user_id
+                                   ORDER BY n DESC, event_type) AS rn
+      FROM c
+    )
+    SELECT user_id, event_type AS mode_event_type, n AS n_occurrences
+    FROM r WHERE rn = 1
+    """,
+)
+def q_mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group mode with a pinned tie-break (count desc, then value
+    asc) — statistical mode as count + top-1 window, deterministic
+    where a native mode() would be free to pick either of two equally
+    frequent values."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    top = topk_per_group(
+        c, ["user_id"], [F.col("n").desc(), F.col("event_type").asc()], k=1
+    )
+    return top.select(
+        "user_id",
+        F.col("event_type").alias("mode_event_type"),
+        F.col("n").alias("n_occurrences"),
+    )
