@@ -108,3 +108,74 @@ def ensure_parallelism(
     if keys:
         return df.repartition(want, *[F.col(k) for k in keys])
     return df.repartition(want)
+
+
+def zorder_key(*cols: str, bits: int = 16):
+    """Morton (Z-order) key: interleave the low ``bits`` bits of each
+    column so a single range-sort clusters ALL dimensions at once.
+
+    Sorting a table by one column gives parquet min/max file skipping
+    on that column only; sorting by the interleaved key gives
+    every interleaved dimension locality proportional to bits used —
+    the data-layout move behind Delta/Iceberg Z-ORDER, here as a pure
+    column expression usable with repartitionByRange + sortWithinPartitions.
+    Columns must be non-negative integers < 2^bits (pre-normalize ids
+    or bucketized values; at 100 TB the normalization is a map-only
+    rank/bucket pass).
+    """
+    if not cols:
+        raise ValueError("zorder_key needs at least one column")
+    n = len(cols)
+    key = F.lit(0).cast("long")
+    for bit in range(bits):
+        for i, c in enumerate(cols):
+            key = key.bitwiseOR(
+                F.shiftleft(
+                    F.shiftright(F.col(c).cast("long"), bit).bitwiseAND(F.lit(1)),
+                    bit * n + i,
+                )
+            )
+    return key
+
+
+def write_zordered(
+    df: DataFrame,
+    path: str,
+    *cols: str,
+    files: int = 8,
+    bits: int = 8,
+) -> None:
+    """Persist clustered by the Z-order of ``cols``: range-partition on
+    the Morton key (balanced files via range sampling), sort within
+    each file so row-group stats stay tight on every dimension.
+
+    Columns are first min/max-normalized onto a common ``bits``-wide
+    integer range — interleaving RAW ids of unequal magnitude puts one
+    column's high bits above every bit of the narrower column, which
+    degenerates to a single-column sort (measured in
+    test_zorder_layout_narrows_stats_on_all_dimensions). The min/max
+    pass is a tiny all-agg job; at 100 TB use known domain bounds or
+    sketch them.
+    """
+    top = (1 << bits) - 1
+    bounds = df.agg(
+        *[F.min(c).cast("double").alias(f"min_{c}") for c in cols],
+        *[F.max(c).cast("double").alias(f"max_{c}") for c in cols],
+    ).first()
+    scaled = df
+    for c in cols:
+        lo, hi = bounds[f"min_{c}"], bounds[f"max_{c}"]
+        span = (hi - lo) or 1.0
+        scaled = scaled.withColumn(
+            f"__n_{c}",
+            F.floor((F.col(c).cast("double") - lo) * top / span).cast("long"),
+        )
+    zk = zorder_key(*[f"__n_{c}" for c in cols], bits=bits)
+    (
+        scaled.withColumn("__zk", zk)
+        .repartitionByRange(files, "__zk")
+        .sortWithinPartitions("__zk")
+        .drop("__zk", *[f"__n_{c}" for c in cols])
+        .write.mode("overwrite")
+        .parquet(path)
+    )

@@ -2955,3 +2955,80 @@ def q_mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_type").alias("mode_event_type"),
         F.col("n").alias("n_occurrences"),
     )
+
+
+@register("pack_chunks_512")  # rows-only: greedy FFD packing is not SQL-expressible
+def q_pack_chunks_512(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing (LLM-pipeline stage after chunking/dedup):
+     50-token chunks packed into 512-token training examples with
+    deterministic sharded first-fit-decreasing (operators/packing.py).
+    Rows-only at the driver (bin packing has no ANSI-SQL twin);
+    tests/test_packing.py carries the exactly-once / budget / FFD
+    efficiency-bound proofs."""
+    from firmable_aus_etl_spark.operators.packing import pack_chunks
+
+    chunks = QUERIES["doc_chunks_overlap"](spark, sf_dir).select(
+        (F.col("doc_id") * 1000 + F.col("chunk_idx")).alias("chunk_id"),
+        F.col("chunk_len").alias("n_tokens"),
+    )
+    packed = pack_chunks(
+        chunks, id_col="chunk_id", tokens_col="n_tokens", budget=512, groups=16
+    )
+    return packed.select(
+        "pack_group",
+        "example_id",
+        "n_chunks",
+        "total_tokens",
+        F.array_sort("chunk_ids").alias("chunk_ids"),
+    )
+
+
+@register(
+    "quantize_embeddings_int8",
+    """
+    WITH s AS (
+      SELECT vec_id, label, embedding,
+             CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+               / 127.0 AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(floor(scale * 1000000000.0 + 0.5) AS BIGINT) AS scale_nano,
+           CAST(list_sum(list_transform(embedding,
+                x -> CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT)))
+             AS BIGINT) AS q_sum,
+           CAST(list_max(list_transform(embedding,
+                x -> abs(CAST(floor(CAST(x AS DOUBLE) / scale + 0.5) AS BIGINT))))
+             AS BIGINT) AS q_absmax
+    FROM s
+    """,
+)
+def q_quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 vector quantization — the storage/serving scale
+    path for an embedding corpus (4x smaller than float32, SIMD dot
+    products downstream): per-vector scale = max|x|/127, q =
+    floor(x/scale + 0.5) (explicit half-up — identical in both engines,
+    unlike round(); same for the nano-scaled integer scale column).
+    The oracle gates the quantized sum and the |q| <= 127 invariant
+    per vector; all array math is native transform/aggregate — no UDF,
+    map-only at scale."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x)),
+        F.lit(0.0).cast("float"),
+        lambda acc, x: F.greatest(acc, x),
+    ).cast("double") / 127.0
+    s = emb.select("vec_id", "label", "embedding", scale.alias("scale"))
+    q = F.transform(
+        "embedding",
+        lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5).cast("long"),
+    )
+    return s.select(
+        "vec_id",
+        "label",
+        F.floor(F.col("scale") * 1e9 + 0.5).cast("long").alias("scale_nano"),
+        F.aggregate(q, F.lit(0).cast("long"), lambda a, x: a + x).alias("q_sum"),
+        F.aggregate(
+            q, F.lit(0).cast("long"), lambda a, x: F.greatest(a, F.abs(x))
+        ).alias("q_absmax"),
+    )

@@ -80,3 +80,88 @@ def test_ensure_parallelism_noop_when_already_wide(spark):
     # already wider than the floor -> same plan, NO repartition shuffle
     assert out.rdd.getNumPartitions() == 64
     assert "Exchange" not in out._jdf.queryExecution().executedPlan().toString()
+
+
+def test_zorder_key_interleaves_bits(spark):
+    from firmable_aus_etl_spark.operators.partitioning import zorder_key
+
+    df = spark.createDataFrame([(0, 0), (1, 0), (0, 1), (3, 5)], "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", zorder_key("x", "y", bits=4).alias("z")).collect()
+    }
+
+    def morton(x, y, bits=4):
+        z = 0
+        for b in range(bits):
+            z |= ((x >> b) & 1) << (2 * b)
+            z |= ((y >> b) & 1) << (2 * b + 1)
+        return z
+
+    for (x, y), z in got.items():
+        assert z == morton(x, y), (x, y, z)
+
+
+def test_zorder_layout_narrows_stats_on_all_dimensions(spark, tmp_path):
+    """Measured, not asserted-by-faith: Z-order clustering keeps
+    per-file min/max windows tight on BOTH join keys, while a
+    single-column sort leaves the second key's windows spanning the
+    whole domain — i.e. zero file skipping on that dimension. This is
+    the layout lever that makes point/range scans on either key read
+    a fraction of a 100 TB table."""
+    import pyarrow.parquet as pq
+    import glob
+
+    from firmable_aus_etl_spark.datasets import load_table
+    from firmable_aus_etl_spark.operators.partitioning import write_zordered
+
+    li = load_table(spark, "/root/testdata/sf0.01", "lineitem").select(
+        "l_partkey", "l_suppkey", "l_quantity"
+    )
+    dom = li.agg(
+        F.max("l_partkey").alias("p"), F.max("l_suppkey").alias("s")
+    ).first()
+
+    zpath = str(tmp_path / "z")
+    spath = str(tmp_path / "s")
+    write_zordered(li, zpath, "l_partkey", "l_suppkey", files=8)
+    (
+        li.repartitionByRange(8, "l_partkey")
+        .sortWithinPartitions("l_partkey")
+        .write.mode("overwrite")
+        .parquet(spath)
+    )
+
+    def widths(path):
+        out = []
+        for f in sorted(glob.glob(path + "/part-*.parquet")):
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                cols = {
+                    md.row_group(rg).column(i).path_in_schema: md.row_group(rg)
+                    .column(i)
+                    .statistics
+                    for i in range(md.row_group(rg).num_columns)
+                }
+                out.append(
+                    (
+                        (cols["l_partkey"].max - cols["l_partkey"].min) / dom.p,
+                        (cols["l_suppkey"].max - cols["l_suppkey"].min) / dom.s,
+                    )
+                )
+        return out
+
+    zw = widths(zpath)
+    sw = widths(spath)
+    z_part = sum(w for w, _ in zw) / len(zw)
+    z_supp = sum(w for _, w in zw) / len(zw)
+    s_part = sum(w for w, _ in sw) / len(sw)
+    s_supp = sum(w for _, w in sw) / len(sw)
+
+    # single-column sort: near-perfect on partkey, useless on suppkey
+    assert s_part < 0.35
+    assert s_supp > 0.9
+    # z-order: materially narrow on BOTH dimensions
+    assert z_part < 0.6 and z_supp < 0.6, (z_part, z_supp, s_part, s_supp)
+    # and the clustered write loses no rows
+    assert spark.read.parquet(zpath).count() == li.count()
