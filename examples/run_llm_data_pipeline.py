@@ -86,13 +86,70 @@ def main() -> None:
     )
     neighbors.write.mode("overwrite").parquet(f"{out_dir}/ann_neighbors")
 
+    # 6. trainer-facing: chunk the clean corpus into 50-token windows
+    #    (50% overlap), pack chunks into 512-token examples, and assign
+    #    a leakage-proof hash split — all map-only or group-local
+    from firmable_aus_etl_spark.operators.packing import pack_chunks
+
+    toks = final.select("doc_id", F.split("text", " ").alias("toks"))
+    chunks = (
+        toks.select(
+            "doc_id",
+            "toks",
+            F.explode(
+                F.sequence(F.lit(0), F.size("toks") - 1, F.lit(25))
+            ).alias("start"),
+        )
+        .select(
+            (F.col("doc_id") * 1000 + (F.col("start") / 25).cast("long")).alias(
+                "chunk_id"
+            ),
+            F.concat_ws(" ", F.slice(F.col("toks"), F.col("start") + 1, 50)).alias(
+                "chunk_text"
+            ),
+            F.size(F.slice(F.col("toks"), F.col("start") + 1, 50)).alias("n_tokens"),
+        )
+    )
+    packed = pack_chunks(
+        chunks, id_col="chunk_id", tokens_col="n_tokens", budget=512, groups=16
+    )
+    bucket = F.conv(
+        F.substring(F.md5((F.col("pack_group") * 1_000_000 + F.col("example_id")).cast("string")), 1, 2),
+        16,
+        10,
+    ).cast("int")
+    examples = packed.withColumn(
+        "split",
+        F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test"),
+    )
+    examples.write.mode("overwrite").parquet(f"{out_dir}/packed_examples")
+
+    # 7. int8-quantize the surviving embeddings for serving
+    scale = (
+        V.linf_norm("embedding").cast("double") / 127.0
+    )
+    quant = surviving.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") / F.col("scale") + 0.5).cast("int"),
+        ).alias("q"),
+    )
+    quant.write.mode("overwrite").parquet(f"{out_dir}/embeddings_int8")
+
     n_kept, n_clean = kept.count(), final.count()
+    n_chunks, n_examples = chunks.count(), examples.count()
     print("=== corpus funnel ===")
     print(f"ingested:          {n0}")
     print(f"after filters:     {n_kept}")
     print(f"after dedup:       {n_clean}")
+    print(f"chunks:            {n_chunks}")
+    print(f"packed examples:   {n_examples}")
     print("=== per-language survivors ===")
     final.groupBy("lang_detected").count().orderBy("lang_detected").show()
+    print("=== split sizes ===")
+    examples.groupBy("split").count().orderBy("split").show()
     print(f"ann neighbor rows: {neighbors.count()}")
     print(f"outputs written under {out_dir}")
 

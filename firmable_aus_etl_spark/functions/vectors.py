@@ -33,6 +33,15 @@ def l2_norm(a: Column) -> Column:
     )
 
 
+def linf_norm(a: Column) -> Column:
+    """max|x| — the scale basis for symmetric int8 quantization."""
+    return F.aggregate(
+        F.transform(a, lambda x: F.abs(x)),
+        F.lit(0.0).cast("float"),
+        lambda acc, v: F.greatest(acc, v),
+    )
+
+
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2_norm(a) * l2_norm(b))
 
