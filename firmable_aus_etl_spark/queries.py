@@ -3032,3 +3032,139 @@ def q_quantize_embeddings_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             q, F.lit(0).cast("long"), lambda a, x: F.greatest(a, F.abs(x))
         ).alias("q_absmax"),
     )
+
+
+@register(
+    "zscore_order_value",
+    """
+    WITH c AS (
+      SELECT o_orderkey, o_custkey,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), st AS (
+      SELECT o_orderkey, o_custkey, cents,
+             CAST(count(*) OVER w AS BIGINT) AS n,
+             CAST(sum(cents) OVER w AS BIGINT) AS s,
+             CAST(sum(cents * cents) OVER w AS BIGINT) AS q
+      FROM c
+      WINDOW w AS (PARTITION BY o_custkey)
+    )
+    SELECT o_orderkey, o_custkey,
+           CAST(n * cents - s AS DOUBLE)
+             / (CAST(n AS DOUBLE)
+                * sqrt(CAST(n * q - s * s AS DOUBLE)
+                       / CAST(n * (n - 1) AS DOUBLE))) AS z
+    FROM st
+    WHERE n >= 2 AND n * q - s * s > 0
+    """,
+)
+def q_zscore_order_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Group-wise z-score normalization (feature standardization per
+    entity) computed EXACTLY: variance from integer count/sum/sum-sq
+    windows — (n*Q - S^2)/(n*(n-1)) — so the only floating-point steps
+    (one division, one sqrt, correctly rounded under IEEE 754) are
+    bit-identical across engines; no stddev_samp accumulation-order
+    noise, no rounding needed. One window per group key, no self-join."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey")
+    c = orders.select(
+        "o_orderkey", "o_custkey", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    st = c.select(
+        "o_orderkey",
+        "o_custkey",
+        "cents",
+        F.count("*").over(w).alias("n"),
+        F.sum("cents").over(w).alias("s"),
+        F.sum(F.col("cents") * F.col("cents")).over(w).alias("q"),
+    )
+    num = (F.col("n") * F.col("cents") - F.col("s")).cast("double")
+    var = (F.col("n") * F.col("q") - F.col("s") * F.col("s")).cast("double") / (
+        F.col("n") * (F.col("n") - 1)
+    ).cast("double")
+    return st.filter(
+        (F.col("n") >= 2) & (F.col("n") * F.col("q") - F.col("s") * F.col("s") > 0)
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        (num / (F.col("n").cast("double") * F.sqrt(var))).alias("z"),
+    )
+
+
+@register(
+    "feature_hash_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id,
+             unnest(string_split(lower(trim(text)), ' ')) AS t
+      FROM documents
+    ), b AS (
+      SELECT doc_id,
+             (16 * (strpos('0123456789abcdef', substr(md5(t), 1, 1)) - 1)
+                 + (strpos('0123456789abcdef', substr(md5(t), 2, 1)) - 1)) % 64
+               AS bucket
+      FROM toks WHERE t <> ''
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CAST(count(*) AS BIGINT) AS cnt
+    FROM b GROUP BY doc_id, bucket
+    """,
+)
+def q_feature_hash_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hashing trick (HashingTF without MLlib): token -> fixed
+    64-bucket id via a portable md5-byte hash, emitted as the sparse
+    (doc_id, bucket, count) relation. Fixed dimensionality regardless
+    of vocabulary — the property that lets a 100 TB corpus featurize
+    map-only with no vocabulary broadcast or fit pass."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.split(F.lower(F.trim("text")), " ")).alias("t"),
+    ).filter(F.col("t") != "")
+    bucket = (
+        F.conv(F.substring(F.md5("t"), 1, 2), 16, 10).cast("long") % 64
+    ).alias("bucket")
+    return toks.select("doc_id", bucket).groupBy("doc_id", "bucket").agg(
+        F.count("*").alias("cnt")
+    )
+
+
+@register(
+    "weighted_source_mix",
+    """
+    WITH w AS (
+      SELECT doc_id, source,
+             (CAST(substr(source, 4) AS INTEGER) % 3) + 1 AS wt,
+             md5(CAST(doc_id AS VARCHAR)) AS h
+      FROM documents
+    ), r AS (
+      SELECT *, row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS rn
+      FROM w
+    )
+    SELECT doc_id, source FROM r WHERE rn <= wt * 5
+    """,
+)
+def q_weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus mixing: sample each source to a quota proportional to its
+    mix weight (here wt in {1,2,3} derived from the source id, quota =
+    5*wt docs) under deterministic md5-hash order — the reproducible,
+    layout-independent way to hit target source proportions in a
+    training mix. Same WindowGroupLimit shape as stratified sampling,
+    so the per-source top-quota scan never materializes the full sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = docs.select(
+        "doc_id",
+        "source",
+        ((F.substring("source", 4, 10).cast("int") % 3) + 1).alias("wt"),
+        F.md5(F.col("doc_id").cast("string")).alias("h"),
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("source").orderBy(F.col("h").asc(), F.col("doc_id").asc())
+    return (
+        w.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") <= F.col("wt") * 5)
+        .select("doc_id", "source")
+    )
