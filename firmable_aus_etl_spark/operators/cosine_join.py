@@ -1,0 +1,117 @@
+"""Prefix-filtered exact cosine similarity join (AllPairs / Bayardo,
+Roberto J. Bayardo, Yiming Ma, Ramakrishnan Srikant: "Scaling Up All
+Pairs Similarity Search", WWW 2007) — the weighted-vector counterpart
+of the Jaccard prefix filter in dedup.ngram_jaccard_pairs_prefix.
+
+Why it scales: the naive sparse cosine join pairs every co-token
+posting (|posting|^2 fan-out per token). The L2 suffix bound prunes
+the index side to each vector's few HEAVY dimensions: for a unit
+vector x split into head H and tail T (by descending weight),
+
+    dot(x, y) <= dot_H(x, y) + ||x_T|| * ||y|| = dot_H(x, y) + ||x_T||
+
+so if y shares no head token of x and ||x_T|| < t, then cos(x, y) < t
+— any qualifying pair MUST collide on a head token. Candidates =
+heavy(x) equi-join all(y) (both roles, union) is therefore lossless:
+the oracle-checked query reuses the naive join's oracle verbatim as
+its exactness proof. Fan-out drops from |posting|^2 to
+|heavy_posting| * |posting| per token, and heavy postings shrink as
+weights concentrate — the more skewed the corpus vocabulary, the
+bigger the win (cf. SKEW.md for the Jaccard analog at 100 TB).
+
+reference scope: op22 scale path (SURVEY §4 custom work #4);
+entity_matching_optimized.py:122-191 is the single-node TF-IDF
+original this replaces.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def cosine_prefix_join(
+    wt: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    weight_col: str,
+    threshold: float,
+    block_cols: Sequence[str] = (),
+) -> DataFrame:
+    """Exact cosine-threshold self-join of a sparse weighted term
+    relation ``wt`` = (id, [blocks...], token, weight).
+
+    Returns (a_id, b_id, dp, nrm_a, nrm_b) for every pair a_id < b_id
+    (same block) with cosine = dp/(nrm_a*nrm_b) >= threshold. The dp
+    is computed from the RAW weights over shared tokens — same
+    accumulation the naive join does — so downstream rounding/tie
+    logic is unchanged; the prefix bound only prunes candidates.
+    """
+    blocks = list(block_cols)
+    ids = [id_col, *blocks]
+
+    nrm = wt.groupBy(*ids).agg(
+        F.sqrt(F.sum(F.col(weight_col) * F.col(weight_col))).alias("nrm")
+    )
+    unit = wt.join(nrm, ids).select(
+        *ids,
+        token_col,
+        weight_col,
+        (F.col(weight_col) / F.col("nrm")).alias("u"),
+    )
+    # suffix L2^2 from each token's position (desc weight, token
+    # tie-break): head = rows whose suffix still reaches the threshold
+    w_suffix = (
+        Window.partitionBy(*ids)
+        .orderBy(F.col("u").desc(), F.col(token_col).asc())
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    flagged = unit.withColumn("rev_cum", F.sum(F.col("u") * F.col("u")).over(w_suffix))
+    heavy = flagged.filter(F.col("rev_cum") >= threshold * threshold)
+
+    a_all = wt.select(
+        F.col(id_col).alias("a_id"),
+        *[F.col(c) for c in blocks],
+        F.col(token_col).alias("t"),
+        F.col(weight_col).alias("wa"),
+    )
+    b_all = wt.select(
+        F.col(id_col).alias("b_id"),
+        *[F.col(c) for c in blocks],
+        F.col(token_col).alias("t"),
+        F.col(weight_col).alias("wb"),
+    )
+    h = heavy.select(
+        F.col(id_col).alias("h_id"),
+        *[F.col(c) for c in blocks],
+        F.col(token_col).alias("t"),
+    )
+    # heavy side in either role: a collision with x heavy OR y heavy
+    # covers every qualifying pair (bound above); normalize to a<b
+    cand = (
+        h.join(b_all.select("b_id", *blocks, "t"), [*blocks, "t"])
+        .filter(F.col("h_id") != F.col("b_id"))
+        .select(
+            F.least("h_id", "b_id").alias("a_id"),
+            F.greatest("h_id", "b_id").alias("b_id"),
+            *blocks,
+        )
+        .distinct()
+    )
+    # exact dot over shared tokens, restricted to candidates
+    dots = (
+        cand.join(a_all, ["a_id", *blocks])
+        .join(b_all, ["b_id", *blocks, "t"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    na = nrm.select(F.col(id_col).alias("a_id"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col(id_col).alias("b_id"), F.col("nrm").alias("nrm_b"))
+    return (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .filter(F.col("dp") / (F.col("nrm_a") * F.col("nrm_b")) >= threshold)
+    )

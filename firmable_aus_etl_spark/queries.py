@@ -841,6 +841,32 @@ SELECT a_id, b_id, round(cosine, 6) AS cosine FROM r WHERE rn = 1
 """
 
 
+def _tfidf_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF term relation (doc_id, source, lang, t, wt) with
+    tf * (1/df) weights — shared by the naive and prefix-filtered
+    cosine joins so both score from identical inputs."""
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+
+    # repartition before tokenize: the single-file input would run the
+    # explode + map-side tf aggregation of every downstream branch
+    # (dfreq, norms, both join sides) on one core (no-op at scale)
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ensure_parallelism(docs, "doc_id").select(
+        "doc_id", "source", "lang",
+        F.explode(F.split(normalize_name(F.col("text")), " ")).alias("t"),
+    )
+    tf = toks.groupBy("doc_id", "source", "lang", "t").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    return tf.join(dfreq, "t").select(
+        "doc_id", "source", "lang", "t",
+        (F.col("tf") * (F.lit(1.0) / F.col("df"))).alias("wt"),
+    )
+
+
 @register("tfidf_cosine_top1", _TFIDF_ORACLE)
 def q_tfidf_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op22 — TF-IDF cosine similarity join (reference:
@@ -854,26 +880,7 @@ def q_tfidf_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     the all-pairs quadratic join (measured: 151s vs ~4s at sf0.1).
     Weighting is inv-df (not ln) so the DuckDB oracle is bit-stable;
     cosine rounded to 6 (sum order differs across engines)."""
-    docs = load_table(spark, sf_dir, "documents")
-    from firmable_aus_etl_spark.functions.similarity import normalize_name
-
-    # repartition before tokenize: the single-file input would run the
-    # explode + map-side tf aggregation of every downstream branch
-    # (dfreq, norms, both join sides) on one core (no-op at scale)
-    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
-
-    toks = ensure_parallelism(docs, "doc_id").select(
-        "doc_id", "source", "lang",
-        F.explode(F.split(normalize_name(F.col("text")), " ")).alias("t"),
-    )
-    tf = toks.groupBy("doc_id", "source", "lang", "t").agg(
-        F.count("*").cast("double").alias("tf")
-    )
-    dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
-    wt = tf.join(dfreq, "t").select(
-        "doc_id", "source", "lang", "t",
-        (F.col("tf") * (F.lit(1.0) / F.col("df"))).alias("wt"),
-    )
+    wt = _tfidf_weight_frame(spark, sf_dir)
     nrm = wt.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
     a = wt.alias("a")
     b = wt.alias("b")
@@ -3168,3 +3175,33 @@ def q_weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("wt") * 5)
         .select("doc_id", "source")
     )
+
+
+@register("tfidf_cosine_top1_prefix", _TFIDF_ORACLE)
+def q_tfidf_cosine_top1_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op22 scale path — the SAME query as tfidf_cosine_top1 through
+    the AllPairs L2-suffix prefix filter (operators/cosine_join.py):
+    only each vector's heavy head tokens index the join, pruning the
+    |posting|^2 fan-out to |heavy| * |posting|. Shares the naive
+    query's oracle verbatim — matching it is the losslessness proof
+    (same move as ngram_jaccard_prefix_near_dups)."""
+    from firmable_aus_etl_spark.operators.cosine_join import cosine_prefix_join
+
+    wt = _tfidf_weight_frame(spark, sf_dir)
+    pairs = cosine_prefix_join(
+        wt,
+        id_col="doc_id",
+        token_col="t",
+        weight_col="wt",
+        threshold=0.7,
+        block_cols=["source", "lang"],
+    )
+    cos = pairs.select(
+        "a_id",
+        "b_id",
+        (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+    )
+    top1 = topk_per_group(
+        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
+    )
+    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))

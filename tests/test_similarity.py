@@ -70,3 +70,50 @@ def test_jaccard_tokens(spark):
     assert vals[0] == pytest.approx(0.5)  # {b,c} / {a,b,c,d}
     assert vals[1] == 1.0
     assert vals[2] == 0.0
+
+
+def test_cosine_prefix_join_equals_naive_at_low_threshold(spark):
+    """Losslessness at a PERMISSIVE threshold (0.35): short prefixes
+    prune hardest when t is high, so a low t stresses the bound where
+    heads are long and the candidate superset is widest."""
+    from firmable_aus_etl_spark.operators.cosine_join import cosine_prefix_join
+    from firmable_aus_etl_spark.queries import _tfidf_weight_frame
+
+    wt = _tfidf_weight_frame(spark, "/root/testdata/sf0.001")
+    t = 0.35
+    got = {
+        (r.a_id, r.b_id)
+        for r in cosine_prefix_join(
+            wt, id_col="doc_id", token_col="t", weight_col="wt",
+            threshold=t, block_cols=["source", "lang"],
+        ).collect()
+    }
+    from pyspark.sql import functions as F
+
+    a = wt.select(
+        F.col("doc_id").alias("a_id"), "source", "lang",
+        F.col("t").alias("tok"), F.col("wt").alias("wa"),
+    )
+    b = wt.select(
+        F.col("doc_id").alias("b_id"), "source", "lang",
+        F.col("t").alias("tok"), F.col("wt").alias("wb"),
+    )
+    dots = (
+        a.join(b, ["source", "lang", "tok"])
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    want = {
+        (r.a_id, r.b_id)
+        for r in dots.join(
+            nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("na")), "a_id"
+        )
+        .join(nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nb")), "b_id")
+        .filter(F.col("dp") / (F.col("na") * F.col("nb")) >= t)
+        .collect()
+    }
+    assert got == want and want, (len(got), len(want))
