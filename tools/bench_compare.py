@@ -43,6 +43,14 @@ COMPARE = [
     "asof_error_last_purchase",
     "errors_within_hour_after_purchase",
     "time_rollup_events",
+    "doc_chunks_overlap",
+    "interval_islands_events",
+    "forward_fill_events",
+    "zscore_order_value",
+    "feature_hash_documents",
+    "loo_avg_order_value",
+    "quantize_embeddings_int8",
+    "tfidf_cosine_top1_prefix",
 ]
 
 
