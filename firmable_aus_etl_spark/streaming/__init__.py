@@ -13,6 +13,9 @@ from firmable_aus_etl_spark.streaming.ops import (
     foreach_batch_merge,
     stream_stream_interval_join,
 )
+from firmable_aus_etl_spark.streaming.sketches import (  # noqa: F401
+    streaming_heavy_hitters,
+)
 from firmable_aus_etl_spark.streaming.stateful import (
     sessionize_stream,
     sessionize_stream_eventtime,

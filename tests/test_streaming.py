@@ -230,3 +230,86 @@ def test_stream_stream_interval_join_matches_batch(spark, events_dir):
     expected = {(r.p_id, r.e_id) for r in expected_df.collect()}
     assert got == expected
     assert len(got) > 0
+
+
+def test_streaming_heavy_hitters_guarantee(spark, tmp_path):
+    """Misra-Gries bounds, checked against exact truth: every item
+    with true shard count > shard_total/(capacity+1) must surface,
+    and estimates never overcount nor undercount by more than the
+    bound — across MULTIPLE micro-batches (state carries)."""
+    import random
+
+    from firmable_aus_etl_spark.streaming.sketches import (
+        streaming_heavy_hitters,
+    )
+
+    rng = random.Random(7)
+    # zipf-ish: few heavy items + a long unbounded-domain tail
+    heavy = [f"hot{i}" for i in range(4)]
+    rows = [(rng.choice(heavy),) for _ in range(4000)] + [
+        (f"cold{i}",) for i in range(3000)
+    ]
+    rng.shuffle(rows)
+    d = str(tmp_path / "items")
+    import time as _t
+
+    third = len(rows) // 3
+    for part in (rows[:third], rows[third : 2 * third], rows[2 * third :]):
+        spark.createDataFrame(part, "item string").coalesce(1).write.mode(
+            "append"
+        ).parquet(d)
+        _t.sleep(1.1)  # file source orders batches by mod time
+
+    CAP, SHARDS = 16, 4
+    stream = (
+        spark.readStream.schema("item string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d)
+    )
+    hh = streaming_heavy_hitters(stream, "item", capacity=CAP, shards=SHARDS)
+    q = (
+        hh.writeStream.format("memory").queryName("hh_out")
+        .outputMode("update").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+
+    # latest summary per (shard, item): max micro-batch total wins
+    from pyspark.sql import functions as F
+
+    latest_total = {
+        r.shard: r.mx
+        for r in spark.sql(
+            "select shard, max(shard_total) mx from hh_out group by shard"
+        ).collect()
+    }
+    est = {
+        (r.shard, r.item): r.est_count
+        for r in spark.table("hh_out").collect()
+        if r.shard_total == latest_total[r.shard]
+    }
+
+    truth_df = spark.createDataFrame(rows, "item string").select(
+        "item",
+        (F.crc32(F.col("item")) % SHARDS).cast("long").alias("shard"),
+    )
+    truth = {
+        (r.shard, r.item): r.n
+        for r in truth_df.groupBy("shard", "item")
+        .agg(F.count("*").alias("n"))
+        .collect()
+    }
+    shard_n = {}
+    for (shard, _), n in truth.items():
+        shard_n[shard] = shard_n.get(shard, 0) + n
+    assert latest_total == shard_n  # totals are exact
+
+    for (shard, item), n in truth.items():
+        bound = shard_n[shard] / (CAP + 1)
+        if n > bound:
+            assert (shard, item) in est, f"missed heavy hitter {item} (n={n})"
+        if (shard, item) in est:
+            e = est[(shard, item)]
+            assert e <= n, f"{item}: overcount {e} > {n}"
+            assert n - e <= bound, f"{item}: undercount beyond bound"
+    # all four planted heavies survive
+    assert all(any(i == h for (_, i) in est) for h in heavy)
