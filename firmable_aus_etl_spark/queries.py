@@ -3205,3 +3205,126 @@ def q_tfidf_cosine_top1_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
         cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
     )
     return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register(
+    "decontaminate_documents",
+    """
+    WITH toks AS (
+      SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w
+      FROM documents
+    ), grams AS (
+      SELECT doc_id, source,
+             array_to_string(w[i : i + 7], ' ') AS g
+      FROM (SELECT doc_id, source, w,
+                   unnest(generate_series(1, len(w) - 7)) AS i
+            FROM toks WHERE len(w) >= 8)
+    ), eval_grams AS (
+      SELECT DISTINCT g FROM grams WHERE source = 'src0'
+    ), train_grams AS (
+      SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'
+    )
+    SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_shared_grams
+    FROM train_grams t JOIN eval_grams e ON t.g = e.g
+    GROUP BY t.doc_id
+    """,
+)
+def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination (the n-gram overlap pass every honest
+    LLM training pipeline runs): treating source src0 as the eval set,
+    find training docs sharing any 8-gram with it and how many
+    distinct 8-grams leak. The flagged set is what a real pipeline
+    anti-joins away. Gram generation is native sequence+slice (no
+    UDF); the join keys on the gram string — at 100 TB, hash the gram
+    to a 64-bit key to shrink the shuffle (same move as the
+    fingerprint family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower(F.trim("text")), " ").alias("w")
+    ).filter(F.size("w") >= 8)
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 7),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 8)),
+            )
+        ).alias("g"),
+    )
+    eval_grams = grams.filter(F.col("source") == "src0").select("g").distinct()
+    train_grams = (
+        grams.filter(F.col("source") != "src0").select("doc_id", "g").distinct()
+    )
+    return (
+        train_grams.join(eval_grams, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_shared_grams"))
+    )
+
+
+@register(
+    "remove_repeated_segments",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      FROM documents
+    ), segs AS (
+      SELECT doc_id, i AS pos,
+             array_to_string(w[i : i + 4], ' ') AS seg
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w), 5)) AS i
+            FROM toks)
+    ), freq AS (
+      SELECT seg, count(DISTINCT doc_id) AS nd FROM segs GROUP BY seg
+    ), kept AS (
+      SELECT s.doc_id, s.pos, s.seg
+      FROM segs s JOIN freq f ON s.seg = f.seg
+      WHERE f.nd < 3
+    )
+    SELECT d.doc_id,
+           coalesce(k.cleaned, '') AS cleaned
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, string_agg(seg, ' ' ORDER BY pos) AS cleaned
+               FROM kept GROUP BY doc_id) k
+      ON d.doc_id = k.doc_id
+    """,
+)
+def q_remove_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style boilerplate removal at segment granularity: 5-token
+    non-overlapping segments occurring in >= 3 distinct documents
+    (navigation chrome, cookie banners, license footers at web scale)
+    are dropped from every document; surviving segments reassemble in
+    position order. Two shuffles (segment frequency, doc reassembly),
+    everything native — the reassembly is sort_array(collect_list(
+    struct(pos, seg))) so order is deterministic under any
+    partitioning."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
+    )
+    segs = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w"), F.lit(5)),
+                lambda i: F.struct(
+                    i.alias("pos"),
+                    F.concat_ws(" ", F.slice(F.col("w"), i, 5)).alias("seg"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
+    freq = segs.groupBy("seg").agg(F.count_distinct("doc_id").alias("nd"))
+    kept = segs.join(freq, "seg").filter(F.col("nd") < 3)
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "seg"))),
+                lambda x: x.seg,
+            ),
+        ).alias("cleaned")
+    )
+    return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
+        "doc_id", F.coalesce("cleaned", F.lit("")).alias("cleaned")
+    )
