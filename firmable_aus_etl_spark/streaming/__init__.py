@@ -13,6 +13,10 @@ from firmable_aus_etl_spark.streaming.ops import (
     foreach_batch_merge,
     stream_stream_interval_join,
 )
+from firmable_aus_etl_spark.streaming.incremental import (  # noqa: F401
+    ingest_increment,
+    ingest_stream,
+)
 from firmable_aus_etl_spark.streaming.sketches import (  # noqa: F401
     streaming_heavy_hitters,
 )

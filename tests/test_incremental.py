@@ -1,0 +1,104 @@
+"""Incremental corpus ingestion: cross-batch near-dup filtering must
+equal the from-scratch batch recompute (the signature store remembers
+dropped docs, so chains cannot leak), and the streaming wrapper drives
+the same state."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.datasets import load_table
+from firmable_aus_etl_spark.operators.dedup import verified_near_dup_pairs
+from firmable_aus_etl_spark.streaming.incremental import (
+    ingest_increment,
+    ingest_stream,
+)
+
+SF = "/root/testdata/sf0.001"
+THRESH = 0.5
+
+
+@pytest.fixture()
+def corpus(spark):
+    docs = load_table(spark, SF, "documents").select("doc_id", "text")
+    # plant cross-batch chains: near-identical copies of doc 0 and 1
+    # landing in LATER batches (ids chosen to split across batches)
+    base = {r.doc_id: r.text for r in docs.filter(F.col("doc_id") < 2).collect()}
+    extra = [
+        (10_001, base[0] + " tailtoken"),          # batch 2: dup of 0
+        (20_001, base[0] + " tailtoken moretail"),  # batch 3: dup of 10_001 (and 0)
+        (20_002, base[1] + " x"),                   # batch 3: dup of 1
+    ]
+    return docs.unionByName(
+        docs.sparkSession.createDataFrame(extra, "doc_id long, text string")
+    )
+
+
+def _batches(corpus):
+    return [
+        corpus.filter(F.col("doc_id") < 200),
+        corpus.filter((F.col("doc_id") >= 200) & (F.col("doc_id") < 20_000)),
+        corpus.filter(F.col("doc_id") >= 20_000),
+    ]
+
+
+def _batch_recompute_survivors(corpus):
+    """Pair-min over the FULL corpus: drop any doc with a verified
+    near-dup of smaller id."""
+    pairs = verified_near_dup_pairs(
+        corpus, "doc_id", "text", threshold=THRESH, num_hashes=32, bands=16
+    )
+    dropped = pairs.select(F.col("b_id").alias("doc_id")).distinct()
+    return {
+        r.doc_id
+        for r in corpus.select("doc_id").join(dropped, "doc_id", "left_anti").collect()
+    }
+
+
+def test_incremental_equals_batch_recompute(spark, corpus, tmp_path):
+    state = str(tmp_path / "state")
+    stats = [
+        ingest_increment(spark, b, state, threshold=THRESH) for b in _batches(corpus)
+    ]
+    got = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    want = _batch_recompute_survivors(corpus)
+    assert got == want
+    # the planted later-batch dups were dropped against history
+    assert 10_001 not in got and 20_001 not in got and 20_002 not in got
+    assert sum(s["dropped"] for s in stats) == corpus.count() - len(want)
+    # chain memory: 20_001 collides with dropped 10_001; it must still
+    # be dropped even if it did not collide with surviving 0 directly
+    assert stats[2]["dropped"] >= 2
+
+
+def test_signature_store_remembers_dropped_docs(spark, corpus, tmp_path):
+    state = str(tmp_path / "state")
+    for b in _batches(corpus):
+        ingest_increment(spark, b, state, threshold=THRESH)
+    seen = spark.read.parquet(f"{state}/sig_store").select("doc_id").distinct().count()
+    assert seen == corpus.count()  # survivors AND dropped
+    kept = spark.read.parquet(f"{state}/corpus").count()
+    assert kept < seen
+
+
+def test_streaming_wrapper_drives_same_state(spark, corpus, tmp_path):
+    import time
+
+    src = str(tmp_path / "src")
+    for b in _batches(corpus):
+        b.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)  # file source orders batches by mod time
+
+    state = str(tmp_path / "state_stream")
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ingest_stream(
+        stream, state, checkpoint=str(tmp_path / "ckpt"), threshold=THRESH
+    )
+    q.awaitTermination(180)
+    got = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
+    assert got == _batch_recompute_survivors(corpus)
