@@ -117,3 +117,55 @@ def test_cosine_prefix_join_equals_naive_at_low_threshold(spark):
         .collect()
     }
     assert got == want and want, (len(got), len(want))
+
+
+import pytest
+
+
+@pytest.mark.parametrize("seed,thresh", [(1, 0.5), (2, 0.8), (3, 0.95)])
+def test_cosine_prefix_join_random_corpora(spark, seed, thresh):
+    """Prefix-filter losslessness on randomized weighted corpora
+    (mixed weight skew, shared + unique tokens) across thresholds."""
+    import random
+
+    from firmable_aus_etl_spark.operators.cosine_join import cosine_prefix_join
+    from pyspark.sql import functions as F
+
+    rng = random.Random(seed)
+    vocab = [f"w{i}" for i in range(40)]
+    rows = []
+    for doc in range(60):
+        for tok in rng.sample(vocab, rng.randint(3, 12)):
+            rows.append((doc, tok, rng.choice([0.05, 0.3, 1.0, 3.0])))
+    # planted identical pair: cosine exactly 1.0 keeps every threshold
+    # case non-vacuous
+    clone = [(tok, w) for d, tok, w in rows if d == 0]
+    rows += [(100, tok, w) for tok, w in clone]
+    rows += [(101, tok, w) for tok, w in clone]
+    wt = spark.createDataFrame(rows, "id long, tok string, w double")
+
+    got = {
+        (r.a_id, r.b_id)
+        for r in cosine_prefix_join(
+            wt, id_col="id", token_col="tok", weight_col="w", threshold=thresh
+        ).collect()
+    }
+
+    a = wt.select(F.col("id").alias("a_id"), "tok", F.col("w").alias("wa"))
+    b = wt.select(F.col("id").alias("b_id"), "tok", F.col("w").alias("wb"))
+    dots = (
+        a.join(b, "tok")
+        .filter(F.col("a_id") < F.col("b_id"))
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    nrm = wt.groupBy("id").agg(F.sqrt(F.sum(F.col("w") * F.col("w"))).alias("n"))
+    want = {
+        (r.a_id, r.b_id)
+        for r in dots.join(nrm.select(F.col("id").alias("a_id"), F.col("n").alias("na")), "a_id")
+        .join(nrm.select(F.col("id").alias("b_id"), F.col("n").alias("nb")), "b_id")
+        .filter(F.col("dp") / (F.col("na") * F.col("nb")) >= thresh)
+        .collect()
+    }
+    assert got == want, (len(got), len(want))
+    assert want  # thresholds chosen so each case has real pairs
