@@ -262,3 +262,19 @@ def test_runtime_bloom_filter_prunes_probe_side(spark):
     assert {(r.o_orderpriority, r.n) for r in got} == {
         (r.o_orderpriority, r.n) for r in want
     }
+
+
+def test_event_time_predicates_push_to_scan(spark):
+    """events.ts is a plain scan column (no conversion expression in
+    front of it), so event-time range filters reach the parquet reader
+    as PushedFilters — row-group stats pruning on the 100 TB
+    append-time-ordered table. Regression guard for the loader's
+    timestamp-encoding handling: a derived ts column would silently
+    lose this."""
+    from firmable_aus_etl_spark.datasets import load_table
+
+    ev = load_table(spark, SF, "events").filter(
+        F.col("ts") > "2024-01-15"
+    ).select("event_id", "ts")
+    pushed = plans.pushed_filters(ev)
+    assert any("GreaterThan(ts" in f for f in pushed), pushed
