@@ -14,8 +14,10 @@ from firmable_aus_etl_spark.streaming.ops import (
     stream_stream_interval_join,
 )
 from firmable_aus_etl_spark.streaming.incremental import (  # noqa: F401
+    incremental_agg_stream,
     ingest_increment,
     ingest_stream,
+    read_agg_view,
 )
 from firmable_aus_etl_spark.streaming.sketches import (  # noqa: F401
     streaming_heavy_hitters,

@@ -174,3 +174,95 @@ def ingest_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def _latest_version(path: str) -> int | None:
+    import glob
+    import re
+
+    vs = [
+        int(m.group(1))
+        for d in glob.glob(os.path.join(path, "v*"))
+        if (m := re.fullmatch(r"v(\d+)", os.path.basename(d)))
+    ]
+    return max(vs) if vs else None
+
+
+def incremental_agg_stream(
+    stream: DataFrame,
+    state_dir: str,
+    *,
+    keys: list[str],
+    value_col: str,
+    checkpoint: str,
+):
+    """Incrementally-maintained materialized aggregate (count + sum
+    per key) — the streaming-materialized-view pattern: each
+    micro-batch contributes its partial aggregate, additively merged
+    into the running table, so reading the view is O(keys) regardless
+    of stream length and no batch is ever re-scanned.
+
+    State versioning: batch N writes ``state_dir/vN`` derived from
+    ``v(N-1)``; a retried batch overwrites its own version from the
+    same parent — maintenance is idempotent under foreachBatch's
+    at-least-once replay (the exactly-once trick normally supplied by
+    Delta's txn log, here via batch-id-keyed directories). Readers
+    take the highest complete version.
+    """
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        part = batch.groupBy(*keys).agg(
+            F.count("*").alias("cnt"), F.sum(value_col).alias("total")
+        )
+        # parent = newest version strictly below this batch id, so a
+        # replayed batch re-derives from the same parent
+        import glob
+        import re
+
+        parents = [
+            v
+            for d in glob.glob(os.path.join(state_dir, "v*"))
+            if (m := re.fullmatch(r"v(\d+)", os.path.basename(d)))
+            and (v := int(m.group(1))) < batch_id
+        ]
+        if parents:
+            prev = spark.read.parquet(os.path.join(state_dir, f"v{max(parents)}"))
+            merged = (
+                prev.select(
+                    *keys,
+                    F.col("cnt").alias("p_cnt"),
+                    F.col("total").alias("p_total"),
+                )
+                .join(part, keys, "full_outer")
+                .select(
+                    *keys,
+                    (
+                        F.coalesce("p_cnt", F.lit(0)) + F.coalesce("cnt", F.lit(0))
+                    ).alias("cnt"),
+                    (
+                        F.coalesce("p_total", F.lit(0.0))
+                        + F.coalesce("total", F.lit(0.0))
+                    ).alias("total"),
+                )
+            )
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_agg_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest state of an incremental_agg_stream view."""
+    v = _latest_version(state_dir)
+    if v is None:
+        raise FileNotFoundError(f"no versions under {state_dir}")
+    return spark.read.parquet(os.path.join(state_dir, f"v{v}"))

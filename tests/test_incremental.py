@@ -102,3 +102,53 @@ def test_streaming_wrapper_drives_same_state(spark, corpus, tmp_path):
     q.awaitTermination(180)
     got = {r.doc_id for r in spark.read.parquet(f"{state}/corpus").collect()}
     assert got == _batch_recompute_survivors(corpus)
+
+
+def test_incremental_agg_view_equals_batch_agg(spark, tmp_path):
+    import time
+
+    from firmable_aus_etl_spark.streaming.incremental import (
+        incremental_agg_stream,
+        read_agg_view,
+    )
+
+    ev = load_table(spark, SF, "events").select("user_id", "event_type", "value")
+    src = str(tmp_path / "src")
+    n = ev.count()
+    third = n // 3
+    rows = ev.collect()
+    for part in (rows[:third], rows[third : 2 * third], rows[2 * third :]):
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+        time.sleep(1.1)
+
+    state = str(tmp_path / "aggstate")
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = incremental_agg_stream(
+        stream, state, keys=["user_id", "event_type"], value_col="value",
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {
+        (r.user_id, r.event_type): (r.cnt, round(r.total, 6))
+        for r in read_agg_view(spark, state).collect()
+    }
+    want = {
+        (r.user_id, r.event_type): (r.cnt, round(r.total, 6))
+        for r in ev.groupBy("user_id", "event_type")
+        .agg(F.count("*").alias("cnt"), F.sum("value").alias("total"))
+        .collect()
+    }
+    assert got == want
+
+    # replay idempotence: re-deriving the last version from its parent
+    # (what a foreachBatch retry does) leaves the view unchanged
+    from firmable_aus_etl_spark.streaming.incremental import _latest_version
+
+    assert _latest_version(state) == 2
