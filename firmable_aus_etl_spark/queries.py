@@ -3328,3 +3328,155 @@ def q_remove_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id").join(rebuilt, "doc_id", "left").select(
         "doc_id", F.coalesce("cleaned", F.lit("")).alias("cleaned")
     )
+
+
+# =========================================================================
+# Event-analytics surface: ordered funnel, cohort retention,
+# new-vs-returning — the product-analytics shapes on the events table.
+# =========================================================================
+
+
+@register(
+    "funnel_view_click_purchase",
+    """
+    WITH v AS (
+      SELECT user_id, min(ts) AS t_view FROM events
+      WHERE event_type = 'view' GROUP BY user_id
+    ), c AS (
+      SELECT e.user_id, min(e.ts) AS t_click
+      FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t_view
+      WHERE e.event_type = 'click' GROUP BY e.user_id
+    ), p AS (
+      SELECT e.user_id, min(e.ts) AS t_purchase
+      FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t_click
+      WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT stage, CAST(n AS BIGINT) AS n_users FROM (
+      SELECT 'view' AS stage, count(*) AS n FROM v
+      UNION ALL SELECT 'view>click', count(*) FROM c
+      UNION ALL SELECT 'view>click>purchase', count(*) FROM p
+    )
+    """,
+)
+def q_funnel_view_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Strictly-ordered conversion funnel: first view, first click
+    AFTER that view, first purchase AFTER that click — each stage is a
+    keyed min-aggregate joined to the previous stage's timestamp, so
+    the whole funnel is three shuffles on user_id (reusable
+    partitioning) and no window over the full event log. Unordered
+    funnels (count users having all three types) overcount; the
+    time-ordering join is the semantic the product question asks."""
+    ev = load_table(spark, sf_dir, "events")
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    rows = [
+        v.agg(F.lit("view").alias("stage"), F.count("*").alias("n_users")),
+        c.agg(F.lit("view>click").alias("stage"), F.count("*").alias("n_users")),
+        p.agg(
+            F.lit("view>click>purchase").alias("stage"),
+            F.count("*").alias("n_users"),
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out
+
+
+@register(
+    "cohort_retention_weekly",
+    """
+    WITH firstweek AS (
+      SELECT user_id, date_trunc('week', min(ts)) AS cohort_wk
+      FROM events WHERE event_type = 'signup' GROUP BY user_id
+    ), activity AS (
+      SELECT DISTINCT e.user_id, date_trunc('week', e.ts) AS wk
+      FROM events e
+    )
+    SELECT CAST(f.cohort_wk AS DATE) AS cohort_week,
+           CAST((epoch(a.wk) - epoch(f.cohort_wk)) / 604800 AS BIGINT)
+             AS week_offset,
+           CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_users
+    FROM activity a JOIN firstweek f ON a.user_id = f.user_id
+    WHERE a.wk >= f.cohort_wk
+    GROUP BY 1, 2
+    """,
+)
+def q_cohort_retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users cohorted by signup week, counted
+    in every subsequent activity week as (cohort_week, week_offset,
+    n_users) — the triangle chart behind every retention dashboard.
+    distinct-activity first, then one join to the O(users) cohort dim:
+    the only big shuffle is the (user, week) distinct."""
+    ev = load_table(spark, sf_dir, "events")
+    firstweek = (
+        ev.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.date_trunc("week", F.min("ts")).alias("cohort_wk"))
+    )
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").alias("wk")
+    ).distinct()
+    return (
+        activity.join(firstweek, "user_id")
+        .filter(F.col("wk") >= F.col("cohort_wk"))
+        .groupBy(
+            F.col("cohort_wk").cast("date").alias("cohort_week"),
+            (
+                (F.unix_timestamp("wk") - F.unix_timestamp("cohort_wk")) / 604800
+            )
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count_distinct("user_id").alias("n_users"))
+    )
+
+
+@register(
+    "new_vs_returning_daily",
+    """
+    WITH daily AS (
+      SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+    ), first_day AS (
+      SELECT user_id, min(day) AS d0 FROM daily GROUP BY user_id
+    )
+    SELECT d.day,
+           CAST(count(CASE WHEN d.day = f.d0 THEN 1 END) AS BIGINT) AS n_new,
+           CAST(count(CASE WHEN d.day > f.d0 THEN 1 END) AS BIGINT)
+             AS n_returning
+    FROM daily d JOIN first_day f ON d.user_id = f.user_id
+    GROUP BY d.day
+    """,
+)
+def q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """New-vs-returning daily actives: a user's first-ever active day
+    counts as new, every later active day as returning — one distinct,
+    one keyed min, one conditional aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select("user_id", F.col("ts").cast("date").alias("day")).distinct()
+    first_day = daily.groupBy("user_id").agg(F.min("day").alias("d0"))
+    return (
+        daily.join(first_day, "user_id")
+        .groupBy("day")
+        .agg(
+            F.count(F.when(F.col("day") == F.col("d0"), 1)).alias("n_new"),
+            F.count(F.when(F.col("day") > F.col("d0"), 1)).alias("n_returning"),
+        )
+    )
