@@ -8,7 +8,7 @@ has an exact SQL twin so the DuckDB oracle can replay it.
 
 from __future__ import annotations
 
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from firmable_aus_etl_spark.functions.similarity import normalize_name
@@ -212,4 +212,48 @@ def fingerprint_rolling(col: Column | str) -> Column:
         chars,
         F.lit(0).cast("long"),
         lambda acc, ch: (acc * ROLLING_BASE + F.ascii(ch)) % ROLLING_MOD,
+    )
+
+
+def with_language_id_ngram(
+    df: "DataFrame",
+    text_col: str,
+    out_col: str = "detected",
+    *,
+    min_overlap: float = 0.05,
+) -> "DataFrame":
+    """DataFrame-level language_id_ngram: same contract, staged through
+    projection boundaries so the trigram array and each profile score
+    are computed ONCE per row (the single-expression form re-derives
+    the interpreted-HOF trigram transform in every profile score and
+    argmax branch). Measured at sf0.1 on a parallel scan: ~20% faster
+    than the expression form (1.0 s vs 1.25 s warm) — the bigger lever
+    is partitioning.ensure_parallelism ahead of it (13 s -> 1.25 s on
+    the single-file fixture scan).
+    """
+    grams = "__lid_grams"
+    out = df.withColumn(grams, char_trigrams(text_col))
+    out = out.withColumn(
+        "__lid_denom", F.greatest(F.size(grams), F.lit(1)).cast("double")
+    )
+    langs = sorted(NGRAM_PROFILES)
+    for lang in langs:
+        out = out.withColumn(
+            f"__lid_s_{lang}",
+            F.size(F.array_intersect(F.col(grams), F.lit(NGRAM_PROFILES[lang])))
+            .cast("double")
+            / F.col("__lid_denom"),
+        )
+    mx = F.greatest(*[F.col(f"__lid_s_{lang}") for lang in langs])
+    out = out.withColumn("__lid_mx", mx)
+    expr: Column = F.lit("und")
+    for lang in reversed(langs):
+        expr = F.when(
+            (F.col(f"__lid_s_{lang}") >= F.col("__lid_mx"))
+            & (F.col("__lid_mx") >= F.lit(float(min_overlap))),
+            F.lit(lang),
+        ).otherwise(expr)
+    out = out.withColumn(out_col, expr)
+    return out.drop(
+        grams, "__lid_denom", "__lid_mx", *[f"__lid_s_{lang}" for lang in langs]
     )

@@ -597,8 +597,9 @@ def q_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: deterministic stopword-ratio language ID, tallied
     against the fixture's lang column (confusion-matrix counts)."""
     from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     return (
         docs.select("lang", T.language_id("text").alias("detected"))
         .groupBy("lang", "detected")
@@ -1318,8 +1319,9 @@ def q_doc_repetition_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     fraction of duplicate word bigrams. Integer-count division, so the
     value hashes bit-identically against DuckDB with no rounding."""
     from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     grams = T.word_ngrams("text", 2)
     return docs.select(
         "doc_id",
@@ -2019,12 +2021,19 @@ def _langid_ngram_oracle() -> str:
 @register("language_id_ngram_confusion", _langid_ngram_oracle())
 def q_language_id_ngram_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Text analysis: char-trigram-profile language ID (the classic
-    n-gram heuristic), tallied against the fixture's lang column."""
+    n-gram heuristic), tallied against the fixture's lang column.
+    The heavy per-row trigram map must not inherit the single-file
+    scan's one partition (13 s -> 1 s at sf0.1: ensure_parallelism +
+    the projection-staged variant that computes the trigram array once
+    per row)."""
     from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )
     return (
-        docs.select("lang", T.language_id_ngram("text").alias("detected"))
+        T.with_language_id_ngram(docs, "text")
         .groupBy("lang", "detected")
         .agg(F.count("*").alias("cnt"))
     )
