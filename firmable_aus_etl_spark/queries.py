@@ -3489,3 +3489,101 @@ def q_new_vs_returning_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.when(F.col("day") > F.col("d0"), 1)).alias("n_returning"),
         )
     )
+
+
+@register(
+    "orderkey_gaps",
+    """
+    WITH k AS (
+      SELECT o_orderkey,
+             lead(o_orderkey) OVER (ORDER BY o_orderkey) AS nxt
+      FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    SELECT o_orderkey AS gap_start, nxt AS gap_end,
+           CAST(nxt - o_orderkey - 1 AS BIGINT) AS missing
+    FROM k WHERE nxt - o_orderkey > 1
+    """,
+)
+def q_orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-gap detection (missing-id audit) over the urgent-order
+    key subset (the full keyspace is dense in this testdata, which
+    would make the check vacuous): lead() over the key order finds
+    every hole in one pass — no generate-series blowup.
+    The global window is a deliberate exception to the
+    no-unpartitioned-window rule: gap detection is inherently a total
+    order; at 100 TB run it per key-range partition and stitch the
+    boundaries."""
+    from pyspark.sql import Window
+
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    w = Window.orderBy("o_orderkey")
+    k = orders.withColumn("nxt", F.lead("o_orderkey").over(w))
+    return k.filter(F.col("nxt") - F.col("o_orderkey") > 1).select(
+        F.col("o_orderkey").alias("gap_start"),
+        F.col("nxt").alias("gap_end"),
+        (F.col("nxt") - F.col("o_orderkey") - 1).cast("long").alias("missing"),
+    )
+
+
+@register(
+    "customers_without_orders",
+    """
+    SELECT c.c_nationkey, CAST(count(*) AS BIGINT) AS n_customers
+    FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_orderpriority = '1-URGENT')
+    GROUP BY c.c_nationkey
+    """,
+)
+def q_customers_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NOT EXISTS as a left-anti join (the engine-native form SURVEY
+    §2.4 notes for op24's insert side), aggregated per nation:
+    customers with no urgent order (every customer has SOME order in
+    this testdata, so the unconditioned form is vacuous)."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    return (
+        cust.join(
+            orders, cust.c_custkey == orders.o_custkey, "left_anti"
+        )
+        .groupBy("c_nationkey")
+        .agg(F.count("*").alias("n_customers"))
+    )
+
+
+@register(
+    "all_urgent_customers",
+    """
+    SELECT o_custkey,
+           CAST(count(*) AS BIGINT) AS n_orders
+    FROM orders
+    GROUP BY o_custkey
+    HAVING count(*) = count(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 END)
+       AND count(*) >= 2
+    """,
+)
+def q_all_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relational division ("customers ALL of whose orders are
+    urgent"): the FORALL quantifier as count(*) == count(filtered) in
+    one aggregation — no double anti-join, one shuffle."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.count(
+                F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+            ).alias("n_urgent"),
+        )
+        .filter(
+            (F.col("n_orders") == F.col("n_urgent")) & (F.col("n_orders") >= 2)
+        )
+        .select("o_custkey", "n_orders")
+    )
