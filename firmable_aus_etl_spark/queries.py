@@ -3587,3 +3587,45 @@ def q_all_urgent_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("o_custkey", "n_orders")
     )
+
+
+@register(
+    "native_session_windows",
+    """
+    WITH g AS (
+      SELECT user_id, ts,
+             CASE WHEN epoch_us(ts) - lag(epoch_us(ts))
+                    OVER (PARTITION BY user_id ORDER BY ts) > 1800000000
+                  OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                  THEN 1 ELSE 0 END AS new_s
+      FROM events
+    ), s AS (
+      SELECT user_id, ts,
+             sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS sid
+      FROM g
+    )
+    SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+           CAST(count(*) AS BIGINT) AS n_events
+    FROM s GROUP BY user_id, sid
+    """,
+)
+def q_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in session_window aggregation (30-min gap),
+    oracle-gated against the hand-built lag/cumulative-sum
+    sessionization — proves the native operator and the classic SQL
+    construction define the same sessions. Built-in session_window is
+    the streaming-capable form (state-store backed under
+    readStream); window.end is gap-extended, so session_end is
+    max(ts) not the window bound."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .select("user_id", "session_start", "session_end", "n_events")
+    )
