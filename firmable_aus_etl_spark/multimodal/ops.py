@@ -216,3 +216,38 @@ def resize_images(
             )
 
     return df.select("media_id", "content").mapInPandas(run, schema=RESIZED_SCHEMA)
+
+
+def audio_frame_windows(
+    df: DataFrame,
+    *,
+    frame_bytes: int = 3200,
+    hop_bytes: int = 1600,
+    content_col: str = "content",
+    id_col: str = "media_id",
+) -> DataFrame:
+    """Audio framing plumbing: fixed-size PCM byte windows with hop
+    (e.g. 100 ms frames / 50 ms hop at 16 kHz mono s16le =
+    3200/1600 bytes) — one output row per (media_id, frame_idx),
+    sliced JVM-side with binary substr inside sequence+transform: no
+    UDF, no decode, frame parallelism independent of clip count (the
+    same shape as frame_sample_plan for video). Short trailing
+    windows are emitted (the feature extractor pads); a downstream
+    mapInPandas stage (cf. decode_image_features) owns the
+    codec-dependent decode, gated in this container.
+    """
+    content = F.col(content_col)
+    n = F.length(content)
+    starts = F.sequence(
+        F.lit(1), F.greatest(n - F.lit(frame_bytes) + 1, F.lit(1)), F.lit(hop_bytes)
+    )
+    frames = F.transform(starts, lambda i: content.substr(i, F.lit(frame_bytes)))
+    return df.select(
+        F.col(id_col),
+        F.posexplode(frames).alias("frame_idx", "frame"),
+    ).select(
+        id_col,
+        "frame_idx",
+        "frame",
+        F.length("frame").cast("long").alias("frame_len"),
+    )

@@ -113,3 +113,40 @@ def test_resize_images_real_path_gated(spark, media_df):
     with _pytest.raises(Exception) as exc_info:
         resize_images(media_df, fake=False).collect()
     assert "DecodeUnavailable" in str(exc_info.value) or "resize" in str(exc_info.value)
+
+
+def test_audio_frame_windows_boundaries(spark):
+    from firmable_aus_etl_spark.multimodal.ops import audio_frame_windows
+
+    pcm = bytes(range(256)) * 4  # 1024 bytes
+    short = bytes(range(100))    # shorter than one frame
+    df = spark.createDataFrame(
+        [(1, pcm), (2, short)], "media_id long, content binary"
+    )
+    out = audio_frame_windows(
+        df, frame_bytes=256, hop_bytes=128
+    ).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r.media_id, []).append(r)
+
+    frames1 = sorted(by_id[1], key=lambda r: r.frame_idx)
+    # starts at 0,128,...,768 -> 7 full frames
+    assert len(frames1) == 7
+    assert all(r.frame_len == 256 for r in frames1)
+    for k, r in enumerate(frames1):
+        assert bytes(r.frame) == pcm[k * 128 : k * 128 + 256]
+
+    # short clip: one (short) frame, not zero rows
+    frames2 = by_id[2]
+    assert len(frames2) == 1 and bytes(frames2[0].frame) == short
+    assert frames2[0].frame_len == 100
+
+
+def test_audio_frame_windows_no_python_stage(spark):
+    from firmable_aus_etl_spark import plans
+    from firmable_aus_etl_spark.multimodal.ops import audio_frame_windows
+
+    df = spark.createDataFrame([(1, bytes(64))], "media_id long, content binary")
+    plan = plans.physical_plan(audio_frame_windows(df, frame_bytes=16, hop_bytes=8))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
