@@ -370,3 +370,89 @@ def lsh_topk(
         keep_rank=True,
         rank_col="rank",
     ).drop("__query_id_v", "__neighbor_id_v")
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    *,
+    dim: int,
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    train: bool = True,
+    seed: int = 7,
+) -> list[list[float]]:
+    """Persist an IVF index: centroids (tiny parquet) + the corpus
+    hive-partitioned BY CELL — the build-once/query-many serving shape
+    ivf_topk's docstring promises. Because rows are laid out
+    cell-per-directory, a query probing nprobe cells partition-prunes
+    the scan to nprobe/n_cells of the corpus files (plan-asserted in
+    tests) instead of filtering after a full read. Returns the trained
+    centroids.
+    """
+    spark = corpus.sparkSession
+    if train:
+        cents = kmeans_centroids(
+            corpus, dim=dim, k=n_cells, vec_col=vec_col, id_col=corpus_id,
+            seed=seed,
+        )
+    else:
+        raw = make_planes(dim, n_cells, seed=seed)
+        cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw]
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(cents)], "cell int, centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    assigned = ensure_parallelism(corpus, corpus_id).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("vec"),
+        ivf_assign(F.col(vec_col), cents, nprobe=1)[0].alias("cell"),
+    )
+    assigned.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/cells")
+    return cents
+
+
+def ivf_index_topk(
+    queries: DataFrame,
+    path: str,
+    *,
+    query_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 3,
+    nprobe: int = 4,
+) -> DataFrame:
+    """Query a build_ivf_index store: assign each query to its nprobe
+    nearest stored centroids, join against ONLY those cell partitions
+    (the cell equi-join prunes the hive layout), exact-cosine re-rank.
+    Same output contract as ivf_topk."""
+    spark = queries.sparkSession
+    cents_rows = (
+        spark.read.parquet(f"{path}/centroids").orderBy("cell").collect()
+    )
+    cents = [list(r.centroid) for r in cents_rows]
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        F.explode(ivf_assign(F.col(vec_col), cents, nprobe=nprobe)).alias("cell"),
+    )
+    corpus = spark.read.parquet(f"{path}/cells")
+    scored = (
+        q.join(corpus, on=["cell"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", "__qv", F.col("vec").alias("__cv"))
+        .distinct()
+        .withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    )
+    from firmable_aus_etl_spark.operators.windows import topk_per_group
+
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    ).drop("__qv", "__cv")

@@ -146,3 +146,42 @@ def test_ivf_assign_deterministic(spark):
     b = {r.vec_id: r.cells for r in df.collect()}
     assert a == b
     assert all(len(c) == 2 and c[0] != c[1] for c in a.values())
+
+
+def test_ivf_index_build_query_parity_and_pruning(spark, tmp_path):
+    """Persisted IVF index: same results as the in-memory ivf_topk with
+    the same centroids, and the cell layout actually prunes — the
+    query's scan reads only the probed cell partitions."""
+    from firmable_aus_etl_spark import plans
+    from firmable_aus_etl_spark.datasets import load_table
+    from firmable_aus_etl_spark.functions.vectors import (
+        build_ivf_index,
+        ivf_index_topk,
+        ivf_topk,
+    )
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    dim = len(emb.first().embedding)
+    path = str(tmp_path / "ivf")
+    cents = build_ivf_index(
+        emb, path, dim=dim, n_cells=8, train=True
+    )
+    queries = emb.filter(F.col("vec_id") % 25 == 0)
+
+    got = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_index_topk(queries, path, k=3, nprobe=3).collect()
+    }
+    want = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(
+            queries, emb, dim=dim, k=3, n_cells=8, nprobe=3, centroids=cents
+        ).collect()
+    }
+    assert got == want and got
+
+    # pruning: the cells scan carries a partition filter on cell
+    plan = plans.physical_plan(ivf_index_topk(queries, path, k=3, nprobe=3))
+    assert "PartitionFilters" in plan
+    seg = plan.split("PartitionFilters", 1)[1][:300]
+    assert "cell" in seg, seg
