@@ -3629,3 +3629,149 @@ def q_native_session_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", "session_start", "session_end", "n_events")
     )
+
+
+# =========================================================================
+# TPC-H-shaped depth: Q18 (large-volume customers), Q14 (promo revenue
+# share), Q17 (small-quantity revenue vs per-part average).
+# =========================================================================
+
+
+@register(
+    "large_volume_customers",
+    """
+    WITH big AS (
+      SELECT l_orderkey, CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+                              AS BIGINT) AS qty_c
+      FROM lineitem GROUP BY l_orderkey
+      HAVING sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)) > 30000
+    )
+    SELECT c.c_custkey, c.c_name, o.o_orderkey,
+           CAST(o.o_orderdate AS DATE) AS o_orderdate,
+           CAST(floor(o.o_totalprice * 100.0 + 0.5) AS BIGINT) AS totalprice_c,
+           b.qty_c
+    FROM big b
+    JOIN orders o ON o.o_orderkey = b.l_orderkey
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    """,
+)
+def q_large_volume_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 shape: orders whose total line quantity exceeds a
+    threshold, joined back to orders+customer. The HAVING runs on the
+    pre-aggregated lineitem rollup BEFORE the joins, so the join fan-in
+    is the handful of big orders, not the fact table. Quantities and
+    prices in integer cents for hash-exactness."""
+    li = load_table(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_cents(F.col("l_quantity"))).alias("qty_c"))
+        .filter(F.col("qty_c") > 30000)
+    )
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        big.join(orders, big.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.col("o_orderdate").cast("date").alias("o_orderdate"),
+            _cents(F.col("o_totalprice")).alias("totalprice_c"),
+            "qty_c",
+        )
+    )
+
+
+@register(
+    "promo_revenue_share",
+    """
+    WITH j AS (
+      SELECT CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5)
+                  AS BIGINT) AS rev,
+             CASE WHEN p_type LIKE 'PROMO%' THEN 1 ELSE 0 END AS is_promo
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+    )
+    SELECT CAST(sum(CASE WHEN is_promo = 1 THEN rev ELSE 0 END) AS BIGINT)
+             AS promo_rev_c,
+           CAST(sum(rev) AS BIGINT) AS total_rev_c,
+           CAST(100.0 * sum(CASE WHEN is_promo = 1 THEN rev ELSE 0 END)
+                / sum(rev) AS DOUBLE) AS promo_pct
+    FROM j
+    """,
+)
+def q_promo_revenue_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 shape: share of revenue from promo parts — fact join
+    to the part dim (broadcast-sized) + one conditional aggregate to a
+    single row. Integer-scaled revenue; the final percentage is one
+    exact integer division in double."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev = _cents(F.col("l_extendedprice") * (1.0 - F.col("l_discount")), 4)
+    j = li.join(part, li.l_partkey == part.p_partkey).select(
+        rev.alias("rev"),
+        F.when(F.col("p_type").startswith("PROMO"), 1).otherwise(0).alias(
+            "is_promo"
+        ),
+    )
+    promo = F.sum(F.when(F.col("is_promo") == 1, F.col("rev")).otherwise(0))
+    total = F.sum("rev")
+    return j.agg(
+        promo.alias("promo_rev_c"),
+        total.alias("total_rev_c"),
+        (100.0 * promo / total).cast("double").alias("promo_pct"),
+    )
+
+
+@register(
+    "small_qty_part_revenue",
+    """
+    WITH w AS (
+      SELECT l_partkey,
+             CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS qty_c,
+             CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS price_c,
+             CAST(count(*) OVER (PARTITION BY l_partkey) AS BIGINT) AS n,
+             CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+                  OVER (PARTITION BY l_partkey) AS BIGINT) AS qty_sum_c
+      FROM lineitem
+    )
+    SELECT l_partkey,
+           CAST(count(*) AS BIGINT) AS n_small,
+           CAST(sum(price_c) AS BIGINT) AS small_rev_c
+    FROM w
+    WHERE n >= 2 AND 5 * qty_c * n < qty_sum_c
+    GROUP BY l_partkey
+    """,
+)
+def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 shape: revenue from lineitems whose quantity is below
+    20% of the part's average — the correlated-average filter
+    decorrelated into one window over l_partkey, with the comparison
+    cross-multiplied (5*qty*n < sum) so it stays in exact integer
+    arithmetic (no average division, no FP threshold)."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("l_partkey")
+    frame = li.select(
+        "l_partkey",
+        _cents(F.col("l_quantity")).alias("qty_c"),
+        _cents(F.col("l_extendedprice")).alias("price_c"),
+    ).select(
+        "l_partkey",
+        "qty_c",
+        "price_c",
+        F.count("*").over(w).alias("n"),
+        F.sum("qty_c").over(w).alias("qty_sum_c"),
+    )
+    return (
+        frame.filter(
+            (F.col("n") >= 2)
+            & (5 * F.col("qty_c") * F.col("n") < F.col("qty_sum_c"))
+        )
+        .groupBy("l_partkey")
+        .agg(
+            F.count("*").alias("n_small"),
+            F.sum("price_c").alias("small_rev_c"),
+        )
+    )
