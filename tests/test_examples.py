@@ -42,3 +42,22 @@ def test_llm_data_pipeline_demo(spark, tmp_path):
     ann = spark.read.parquet(str(tmp_path / "llm_out" / "ann_neighbors"))
     assert 0 < clean.count() <= 500
     assert ann.count() > 0
+
+
+def test_streaming_pipeline_demo(spark, tmp_path):
+    mod = _load("/root/repo/examples/run_streaming_pipeline.py", "stream_demo")
+    old = sys.argv
+    work = str(tmp_path / "stream_out")
+    sys.argv = ["run_streaming_pipeline.py", "/root/testdata/sf0.001", work]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    seen = spark.read.parquet(f"{work}/corpus_state/sig_store").select(
+        "doc_id"
+    ).distinct().count()
+    kept = spark.read.parquet(f"{work}/corpus_state/corpus").count()
+    assert seen == 500 and 0 < kept <= seen
+    from firmable_aus_etl_spark.streaming.incremental import read_agg_view
+
+    assert read_agg_view(spark, f"{work}/agg_state").count() > 0
