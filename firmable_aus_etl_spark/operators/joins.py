@@ -387,3 +387,44 @@ def point_in_interval_join(
         F.col(f"i.{c}") for c in intervals.columns if c not in (*by, "__bucket")
     ]
     return out.select(*keep)
+
+
+def apply_cdc(
+    existing: DataFrame,
+    changes: DataFrame,
+    keys: Sequence[str],
+    *,
+    op_col: str = "op",
+) -> DataFrame:
+    """Apply a CDC batch (op column: 'I'nsert / 'U'pdate / 'D'elete)
+    to a snapshot — the Debezium/binlog-apply shape that extends
+    merge_upsert with tombstones.
+
+    Semantics per key (one change row per key per batch; feed the
+    LATEST change per key — dedup_best on an ordering column — when
+    batches can contain several):
+      - D in changes                 -> row absent from the result
+      - I/U in changes               -> change row wins (upsert)
+      - key untouched by the batch   -> existing row kept
+
+    One full-outer hash join on the key, same minimum-shuffle shape as
+    merge_upsert; Delta/Iceberg MERGE WHEN MATCHED DELETE in
+    production.
+    """
+    cols = existing.columns
+    e = existing.alias("e")
+    c = changes.alias("c")
+    joined = e.join(c, on=list(keys), how="full_outer")
+    touched = F.col(f"c.{op_col}").isNotNull()
+    deleted = touched & (F.col(f"c.{op_col}") == "D")
+    out_cols = []
+    for col in cols:
+        if col in keys:
+            out_cols.append(F.col(col))
+        else:
+            out_cols.append(
+                F.when(touched, F.col(f"c.{col}"))
+                .otherwise(F.col(f"e.{col}"))
+                .alias(col)
+            )
+    return joined.filter(~deleted).select(*out_cols)

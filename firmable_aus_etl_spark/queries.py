@@ -3775,3 +3775,119 @@ def q_small_qty_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("price_c").alias("small_rev_c"),
         )
     )
+
+
+@register(
+    "cdc_apply_orders",
+    """
+    WITH chg AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 10 = 0 THEN 'D'
+                  WHEN o_orderkey % 10 = 1 THEN 'U'
+                  ELSE NULL END AS op,
+             o_custkey, o_orderstatus,
+             CASE WHEN o_orderkey % 10 = 1
+                  THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+             o_orderdate, o_orderpriority
+      FROM orders
+    ), c AS (SELECT * FROM chg WHERE op IS NOT NULL)
+    SELECT e.o_orderkey,
+           CASE WHEN c.op IS NOT NULL THEN c.o_custkey ELSE e.o_custkey END
+             AS o_custkey,
+           CAST(floor((CASE WHEN c.op IS NOT NULL THEN c.o_totalprice
+                            ELSE e.o_totalprice END) * 100.0 + 0.5) AS BIGINT)
+             AS totalprice_c,
+           CASE WHEN c.op IS NOT NULL THEN c.o_orderpriority
+                ELSE e.o_orderpriority END AS o_orderpriority
+    FROM orders e LEFT JOIN c ON e.o_orderkey = c.o_orderkey
+    WHERE c.op IS NULL OR c.op <> 'D'
+    """,
+)
+def q_cdc_apply_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply (binlog/Debezium shape): a synthetic change batch
+    derived from orders — keys ending in 0 are deletes, keys ending in
+    1 are updates (+1.00 on the total) — applied to the snapshot with
+    joins.apply_cdc: tombstones drop rows, updates win, untouched rows
+    pass through. One full-outer join; oracle replays the same
+    semantics as a LEFT JOIN + CASE."""
+    orders = load_table(spark, sf_dir, "orders")
+    changes = orders.select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 10 == 0, "D")
+        .when(F.col("o_orderkey") % 10 == 1, "U")
+        .alias("op"),
+        "o_custkey",
+        "o_orderstatus",
+        F.when(
+            F.col("o_orderkey") % 10 == 1, F.col("o_totalprice") + 1.0
+        )
+        .otherwise(F.col("o_totalprice"))
+        .alias("o_totalprice"),
+        "o_orderdate",
+        "o_orderpriority",
+    ).filter(F.col("op").isNotNull())
+    applied = joins.apply_cdc(orders, changes, ["o_orderkey"])
+    return applied.select(
+        "o_orderkey",
+        "o_custkey",
+        _cents(F.col("o_totalprice")).alias("totalprice_c"),
+        "o_orderpriority",
+    )
+
+
+@register(
+    "point_in_time_priority",
+    """
+    WITH hist AS (
+      SELECT o_custkey, o_orderpriority, o_orderdate AS valid_from,
+             lead(o_orderdate) OVER (PARTITION BY o_custkey
+                                     ORDER BY o_orderdate, o_orderkey)
+               AS valid_to
+      FROM orders
+    )
+    SELECT l.l_orderkey, l.l_linenumber, h.o_orderpriority AS priority_at_ship
+    FROM lineitem l
+    JOIN orders o ON l.l_orderkey = o.o_orderkey
+    JOIN hist h ON h.o_custkey = o.o_custkey
+              AND h.valid_from <= l.l_shipdate
+              AND (h.valid_to IS NULL OR l.l_shipdate < h.valid_to)
+    """,
+)
+def q_point_in_time_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time (temporal) join: each lineitem's ship date looks
+    up the customer's priority VERSION valid at that instant — the
+    SCD2 validity intervals built inline via lead() (same construction
+    as scd2_order_priority_history), then an interval-containment
+    join. Versions of one customer don't overlap, so each lineitem
+    matches at most one version; at 100 TB the containment join runs
+    as the binned range join (point_in_interval_join) instead of the
+    BETWEEN theta-join the oracle uses."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    hist = orders.select(
+        "o_custkey",
+        "o_orderpriority",
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    fact = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).select("l_orderkey", "l_linenumber", "o_custkey", "l_shipdate")
+    return (
+        fact.join(
+            hist,
+            on=[
+                fact.o_custkey == hist.o_custkey,
+                hist.valid_from <= fact.l_shipdate,
+                hist.valid_to.isNull() | (fact.l_shipdate < hist.valid_to),
+            ],
+        )
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.col("o_orderpriority").alias("priority_at_ship"),
+        )
+    )

@@ -265,3 +265,25 @@ def test_range_join_no_duplicate_pairs(spark):
     rows = [(r.pid, r.iid) for r in out.collect()]
     assert sorted(rows) == [(1, 100), (1, 200)]
     assert len(rows) == len(set(rows))  # one output row per (point, interval)
+
+
+def test_apply_cdc_semantics(spark):
+    from firmable_aus_etl_spark.operators.joins import apply_cdc
+
+    existing = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, v double",
+    )
+    changes = spark.createDataFrame(
+        [(2, "U", "b2", 21.0), (3, "D", None, None), (4, "I", "d", 40.0)],
+        "id long, op string, name string, v double",
+    )
+    got = {
+        r.id: (r.name, r.v)
+        for r in apply_cdc(existing, changes, ["id"]).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),     # untouched
+        2: ("b2", 21.0),    # updated
+        4: ("d", 40.0),     # inserted
+    }                       # 3 deleted
