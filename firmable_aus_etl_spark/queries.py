@@ -3891,3 +3891,93 @@ def q_point_in_time_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("o_orderpriority").alias("priority_at_ship"),
         )
     )
+
+
+@register(
+    "dau_wau_stickiness",
+    """
+    WITH daily AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM daily
+    ), wau AS (
+      SELECT d.day, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+      FROM days d JOIN daily a
+        ON a.day <= d.day AND a.day >= d.day - INTERVAL 6 DAY
+      GROUP BY d.day
+    ), dau AS (
+      SELECT day, CAST(count(*) AS BIGINT) AS dau FROM daily GROUP BY day
+    )
+    SELECT dau.day, dau.dau, wau.wau,
+           CAST(dau.dau AS DOUBLE) / CAST(wau.wau AS DOUBLE) AS stickiness
+    FROM dau JOIN wau ON dau.day = wau.day
+    """,
+)
+def q_dau_wau_stickiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU/WAU stickiness: daily actives over trailing-7-day actives.
+    COUNT(DISTINCT) over a RANGE frame isn't a window Spark (or most
+    engines) support, so WAU is the day-spine joined to the distinct
+    (day,user) relation over the 7-day interval — the fan-out is
+    7 rows per active user-day, not |days| x |users|. Division of the
+    two exact bigints is the only FP step."""
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = daily.select("day").distinct()
+    wau = (
+        days.alias("d")
+        .join(
+            daily.alias("a"),
+            on=[
+                F.col("a.day") <= F.col("d.day"),
+                F.col("a.day") >= F.date_sub(F.col("d.day"), 6),
+            ],
+        )
+        .groupBy(F.col("d.day").alias("day"))
+        .agg(F.count_distinct("a.user_id").alias("wau"))
+    )
+    dau = daily.groupBy("day").agg(F.count("*").alias("dau"))
+    return dau.join(wau, "day").select(
+        "day",
+        "dau",
+        "wau",
+        (F.col("dau").cast("double") / F.col("wau").cast("double")).alias(
+            "stickiness"
+        ),
+    )
+
+
+@register(
+    "priority_transition_matrix",
+    """
+    WITH seq AS (
+      SELECT o_custkey, o_orderpriority AS cur,
+             lag(o_orderpriority) OVER (PARTITION BY o_custkey
+                                        ORDER BY o_orderdate, o_orderkey)
+               AS prev
+      FROM orders
+    )
+    SELECT prev, cur, CAST(count(*) AS BIGINT) AS n
+    FROM seq WHERE prev IS NOT NULL
+    GROUP BY prev, cur
+    """,
+)
+def q_priority_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order transition matrix over each customer's order
+    priority sequence (lag + group count) — the Markov-chain
+    estimation shape for sequence features; one window + one
+    aggregation, both on o_custkey-compatible partitioning."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    seq = orders.select(
+        F.col("o_orderpriority").alias("cur"),
+        F.lag("o_orderpriority").over(w).alias("prev"),
+    )
+    return (
+        seq.filter(F.col("prev").isNotNull())
+        .groupBy("prev", "cur")
+        .agg(F.count("*").alias("n"))
+    )
