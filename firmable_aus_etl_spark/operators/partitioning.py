@@ -126,6 +126,13 @@ def zorder_key(*cols: str, bits: int = 16):
     if not cols:
         raise ValueError("zorder_key needs at least one column")
     n = len(cols)
+    if bits * n > 64:
+        # JVM shiftleft wraps the shift amount mod 64, which would
+        # silently fold high-order bits onto low positions
+        raise ValueError(
+            f"bits * len(cols) = {bits * n} exceeds the 64-bit Morton key; "
+            f"use bits <= {64 // n} for {n} columns"
+        )
     key = F.lit(0).cast("long")
     for bit in range(bits):
         for i, c in enumerate(cols):

@@ -11,7 +11,15 @@ through (d ~ dropped_h ~ kept_h0, d !~ h0). Signatures are cheap
 (band keys + hashed shingle array, ~10-100x smaller than text); the
 corpus table keeps full rows for survivors only. Dedup semantics are
 "pair-min": a doc is dropped iff it has a verified near-dup with ANY
-smaller-id seen doc — order-free, so the result provably equals the
+smaller-id seen doc.
+
+Equality with the from-scratch batch recompute additionally requires
+that doc ids arrive monotonically non-decreasing across batches (ids
+assigned at ingest time — the production norm). If a LATER batch could
+deliver an id SMALLER than an already-committed near-dup survivor, the
+full recompute would drop the committed larger-id doc while the
+incremental path keeps both (committed survivors are never revoked).
+Under the monotone-arrival precondition the result provably equals the
 batch recompute over the full corpus (tested both ways in
 tests/test_incremental.py).
 
@@ -25,7 +33,9 @@ similarity-level identity.
 
 from __future__ import annotations
 
+import glob
 import os
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -33,6 +43,16 @@ from firmable_aus_etl_spark.operators.dedup import shingle_frame
 
 BANDS = 16
 NUM_HASHES = 32
+
+
+def _batch_dirs(path: str) -> list[tuple[int, str]]:
+    """Sorted (batch_id, dir) for every committed ``batch=N`` subdir."""
+    out = []
+    for d in glob.glob(os.path.join(path, "batch=*")):
+        m = re.fullmatch(r"batch=(\d+)", os.path.basename(d))
+        if m:
+            out.append((int(m.group(1)), d))
+    return sorted(out)
 
 
 def _signature_frame(docs: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -114,18 +134,31 @@ def ingest_increment(
     id_col: str = "doc_id",
     text_col: str = "text",
     threshold: float = 0.5,
+    batch_id: int | None = None,
 ) -> dict:
     """Process one batch of documents against the state under
     ``state_dir`` (parquet: sig_store/ all-seen signatures, corpus/
     surviving rows). Returns counts. Callable directly (tests, batch
-    backfills) or from foreachBatch (ingest_stream)."""
+    backfills) or from foreachBatch (ingest_stream).
+
+    Replay idempotence: each batch writes its survivors/signatures into
+    its own ``batch=N`` subdirectory with mode overwrite, and the
+    history read EXCLUDES that subdirectory — so a micro-batch retried
+    after a completed or partial write (at-least-once foreachBatch
+    replay, before checkpoint commit) re-derives the same state instead
+    of appending duplicates. Direct callers may omit ``batch_id``; the
+    next free id is assigned."""
     sig_path = os.path.join(state_dir, "sig_store")
     corpus_path = os.path.join(state_dir, "corpus")
 
+    existing = _batch_dirs(sig_path)
+    if batch_id is None:
+        batch_id = existing[-1][0] + 1 if existing else 0
+    history_dirs = [d for i, d in existing if i != batch_id]
+
     new_sigs = _signature_frame(batch, id_col, text_col)
-    have_history = os.path.isdir(sig_path)
-    if have_history:
-        seen_sigs = spark.read.parquet(sig_path)
+    if history_dirs:
+        seen_sigs = spark.read.parquet(*history_dirs)
     else:
         seen_sigs = spark.createDataFrame([], new_sigs.schema)
 
@@ -134,16 +167,29 @@ def ingest_increment(
     survivors = batch.join(
         drops.withColumnRenamed("doc_id", id_col), id_col, "left_anti"
     )
-    survivors.write.mode("append").parquet(corpus_path)
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(corpus_path, f"batch={batch_id}")
+    )
     # every seen doc's signature is remembered, survivor or not
-    new_sigs.write.mode("append").parquet(sig_path)
+    new_sigs.write.mode("overwrite").parquet(
+        os.path.join(sig_path, f"batch={batch_id}")
+    )
 
     n_batch = batch.count()
     return {
         "batch_docs": n_batch,
         "dropped": n_dropped,
         "appended": n_batch - n_dropped,
+        "batch_id": batch_id,
     }
+
+
+def read_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Surviving corpus rows across all committed ingest batches."""
+    dirs = [d for _, d in _batch_dirs(os.path.join(state_dir, "corpus"))]
+    if not dirs:
+        raise FileNotFoundError(f"no ingested batches under {state_dir}")
+    return spark.read.parquet(*dirs)
 
 
 def ingest_stream(
@@ -166,6 +212,7 @@ def ingest_stream(
             id_col=id_col,
             text_col=text_col,
             threshold=threshold,
+            batch_id=batch_id,
         )
 
     return (
@@ -177,15 +224,21 @@ def ingest_stream(
 
 
 def _latest_version(path: str) -> int | None:
-    import glob
-    import re
-
-    vs = [
-        int(m.group(1))
-        for d in glob.glob(os.path.join(path, "v*"))
-        if (m := re.fullmatch(r"v(\d+)", os.path.basename(d)))
-    ]
-    return max(vs) if vs else None
+    """Highest COMPLETE version: a vN dir counts only once its
+    _SUCCESS marker exists, so a reader concurrent with a crashed or
+    in-flight write falls back to the previous complete version."""
+    vs = sorted(
+        (
+            int(m.group(1))
+            for d in glob.glob(os.path.join(path, "v*"))
+            if (m := re.fullmatch(r"v(\d+)", os.path.basename(d)))
+        ),
+        reverse=True,
+    )
+    for v in vs:
+        if os.path.exists(os.path.join(path, f"v{v}", "_SUCCESS")):
+            return v
+    return None
 
 
 def incremental_agg_stream(
@@ -225,6 +278,7 @@ def incremental_agg_stream(
             for d in glob.glob(os.path.join(state_dir, "v*"))
             if (m := re.fullmatch(r"v(\d+)", os.path.basename(d)))
             and (v := int(m.group(1))) < batch_id
+            and os.path.exists(os.path.join(d, "_SUCCESS"))
         ]
         if parents:
             prev = spark.read.parquet(os.path.join(state_dir, f"v{max(parents)}"))

@@ -104,6 +104,58 @@ def test_streaming_wrapper_drives_same_state(spark, corpus, tmp_path):
     assert got == _batch_recompute_survivors(corpus)
 
 
+def test_ingest_replay_is_idempotent(spark, corpus, tmp_path):
+    """foreachBatch is at-least-once: a batch retried after a completed
+    (or partial) write but before checkpoint commit must re-derive the
+    same state, not append duplicates — even when the replayed input
+    arrives with a different partition layout."""
+    from firmable_aus_etl_spark.streaming.incremental import read_corpus
+
+    state = str(tmp_path / "state")
+    batches = _batches(corpus)
+    for i, b in enumerate(batches):
+        ingest_increment(spark, b, state, threshold=THRESH, batch_id=i)
+    clean = {r.doc_id for r in read_corpus(spark, state).collect()}
+    clean_seen = (
+        spark.read.parquet(f"{state}/sig_store").select("doc_id").distinct().count()
+    )
+
+    # replay batch 1 with mutated partition order (what a retried task
+    # set looks like), then batch 2 again on top
+    ingest_increment(
+        spark, batches[1].repartition(7), state, threshold=THRESH, batch_id=1
+    )
+    ingest_increment(spark, batches[2], state, threshold=THRESH, batch_id=2)
+
+    got = {r.doc_id for r in read_corpus(spark, state).collect()}
+    seen = (
+        spark.read.parquet(f"{state}/sig_store").select("doc_id").distinct().count()
+    )
+    assert got == clean == _batch_recompute_survivors(corpus)
+    assert seen == clean_seen == corpus.count()
+    # no duplicate rows either (append-mode replay would double batch 1)
+    assert read_corpus(spark, state).count() == len(got)
+
+
+def test_agg_view_reader_skips_incomplete_version(spark, tmp_path):
+    """A vN dir without _SUCCESS (crashed/in-flight write) must not be
+    served as the latest view."""
+    import os
+
+    from firmable_aus_etl_spark.streaming.incremental import (
+        _latest_version,
+        read_agg_view,
+    )
+
+    state = str(tmp_path / "aggstate")
+    df = spark.createDataFrame([("a", 1, 1.0)], "k string, cnt long, total double")
+    df.write.parquet(f"{state}/v0")
+    df.write.parquet(f"{state}/v1")
+    os.remove(f"{state}/v1/_SUCCESS")  # simulate crash mid-commit
+    assert _latest_version(state) == 0
+    assert read_agg_view(spark, state).count() == 1
+
+
 def test_incremental_agg_view_equals_batch_agg(spark, tmp_path):
     import time
 
