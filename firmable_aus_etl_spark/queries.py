@@ -765,26 +765,144 @@ def q_ann_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("lsh_ann_top3")  # rows-only: hyperplane literals impractical in SQL
+def _planes_values_sql(tagged: list[tuple[int, int, list[float]]]) -> str:
+    """(tag, idx, vector) rows as a DuckDB VALUES list. repr() floats
+    round-trip exactly, so both engines see bit-identical literals."""
+    return ", ".join(
+        f"({t}, {i}, [" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[])"
+        for t, i, v in tagged
+    )
+
+
+def _lsh_oracle(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    """Sign-LSH is fully deterministic given the hyperplane literals, so
+    the EXACT same candidate set is SQL-expressible: re-derive each
+    table's signature as a bit-sum of dot-product signs. Dot products
+    fold left-to-right in double on both engines -> bit-identical, so
+    the sign (and hence every bucket) matches."""
+    from firmable_aus_etl_spark.functions.vectors import make_planes
+
+    rows = [
+        (t, i, p)
+        for t in range(n_tables)
+        for i, p in enumerate(make_planes(dim, n_planes, seed=seed + 1000 * t))
+    ]
+    return f"""
+WITH p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id, p.tbl,
+         CAST(sum(CASE WHEN list_dot_product(e.v, p.pvec) >= 0
+                       THEN (CAST(1 AS BIGINT) << p.plane) ELSE 0 END) AS BIGINT) AS sig
+  FROM e CROSS JOIN p GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.sig = c.sig AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % 10 = 0
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(eq.v, ec.v) AS cosine
+  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+            JOIN e ec ON cand.neighbor_id = ec.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
+@register("lsh_ann_top3", _lsh_oracle(64, 6, 6, 42))
 def q_lsh_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search scale path: sign-LSH bucketed candidates +
-    exact re-rank. Approximate — checked rows-only by the driver;
-    tests/test_vectors.py asserts recall >= 0.8 against brute force."""
+    exact re-rank. The hyperplanes are seeded literals baked into the
+    plan, so the result is deterministic and the oracle re-derives the
+    identical bucket assignment in SQL; tests/test_vectors.py
+    additionally asserts recall >= 0.8 against brute force."""
     from firmable_aus_etl_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
     corpus = emb.select("vec_id", "embedding")
-    return V.lsh_topk(queries, corpus, dim=64, k=3, n_planes=6, n_tables=6)
+    out = V.lsh_topk(queries, corpus, dim=64, k=3, n_planes=6, n_tables=6)
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
 
 
-@register("ivf_ann_top3")  # rows-only: trained-centroid probe is engine-specific
+def _ivf_fixed_oracle(dim: int, n_cells: int, nprobe: int, seed: int) -> str:
+    """IVF probe with FIXED unit centroids (ivf_topk's untrained
+    default) — assignment is an argmax over centroid literals, so the
+    whole probe is SQL-expressible exactly."""
+    from firmable_aus_etl_spark.functions.vectors import make_planes
+
+    raw = make_planes(dim, n_cells, seed=seed)
+    cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw]
+    rows = [(0, i, c) for i, c in enumerate(cents)]
+    values = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[])"
+        for _, i, v in rows
+    )
+    return f"""
+WITH cent(cell, cvec) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dots AS (
+  SELECT e.vec_id, cent.cell, list_dot_product(e.v, cent.cvec) AS d
+  FROM e CROSS JOIN cent
+),
+ranked AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY d DESC, cell) AS rn
+           FROM dots),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= {nprobe} AND vec_id % 10 = 0),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(eq.v, ec.v) AS cosine
+  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+            JOIN e ec ON cand.neighbor_id = ec.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
+@register("ivf_ann_top3_fixed", _ivf_fixed_oracle(64, 16, 4, 7))
+def q_ivf_ann_top3_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with fixed deterministic centroids (the untrained
+    default of ivf_topk): corpus lives in its nearest cell, queries
+    probe 4 cells, exact cosine re-ranks. The SQL twin re-derives the
+    identical cell assignment from the same centroid literals — the
+    exactness proof for the probe machinery; the TRAINED variant
+    (ivf_ann_top3) differs only in where the centroids come from."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    out = V.ivf_topk(
+        queries, corpus, dim=64, k=3, n_cells=16, nprobe=4, seed=7
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+@register("ivf_ann_top3")  # rows-only: k-means centroids are data-trained at
+# runtime (collected driver-side), so no literal SQL twin exists; the probe
+# machinery itself is oracle-proven by ivf_ann_top3_fixed, and
+# tests/test_vectors.py asserts recall against brute force + determinism.
 def q_ivf_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search scale path #2: IVF with deterministic k-means
     cells — corpus partitions by nearest trained centroid, queries
-    probe 4 cells, exact cosine re-ranks. Approximate — rows-only
-    driver check; tests/test_vectors.py asserts recall against brute
-    force and centroid determinism."""
+    probe 4 cells, exact cosine re-ranks."""
     from firmable_aus_etl_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
