@@ -56,21 +56,24 @@ def cosine_prefix_join(
     nrm = wt.groupBy(*ids).agg(
         F.sqrt(F.sum(F.col(weight_col) * F.col(weight_col))).alias("nrm")
     )
-    unit = wt.join(nrm, ids).select(
-        *ids,
-        token_col,
-        weight_col,
-        (F.col(weight_col) / F.col("nrm")).alias("u"),
-    )
     # suffix L2^2 from each token's position (desc weight, token
-    # tie-break): head = rows whose suffix still reaches the threshold
+    # tie-break): head = rows whose suffix still reaches the threshold.
+    # Compared on RAW weights (sfx >= t^2 * total <=> unit-space
+    # rev_cum >= t^2), so no per-token normalization join is needed —
+    # one shuffle+sort produces both window sums.
+    w2 = F.col(weight_col) * F.col(weight_col)
     w_suffix = (
         Window.partitionBy(*ids)
-        .orderBy(F.col("u").desc(), F.col(token_col).asc())
+        .orderBy(F.col(weight_col).desc(), F.col(token_col).asc())
         .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     )
-    flagged = unit.withColumn("rev_cum", F.sum(F.col("u") * F.col("u")).over(w_suffix))
-    heavy = flagged.filter(F.col("rev_cum") >= threshold * threshold)
+    w_all = Window.partitionBy(*ids)
+    flagged = wt.withColumn("__sfx", F.sum(w2).over(w_suffix)).withColumn(
+        "__tot", F.sum(w2).over(w_all)
+    )
+    heavy = flagged.filter(
+        F.col("__sfx") >= threshold * threshold * F.col("__tot")
+    )
 
     a_all = wt.select(
         F.col(id_col).alias("a_id"),

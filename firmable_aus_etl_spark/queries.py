@@ -988,17 +988,49 @@ def _tfidf_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("tfidf_cosine_top1", _TFIDF_ORACLE)
 def q_tfidf_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op22 — TF-IDF cosine similarity join (reference:
-    entity_matching.py:45-62, threshold 0.7 at :56) as a sparse
-    inverted-index join: tf * (1/df) weights, L2 norms, dot-product
-    group-by — no dense matrix, shuffles only on token and pair keys.
+    """op22 DEFAULT — TF-IDF cosine similarity join (reference:
+    entity_matching.py:45-62, threshold 0.7 at :56) through the
+    AllPairs L2-suffix prefix filter (operators/cosine_join.py): only
+    each vector's heavy head tokens index the join, pruning the
+    |posting|^2 fan-out to |heavy| * |posting|, and the candidate
+    shuffle keys on (block, TOKEN) — parallelism scales with the
+    vocabulary, not the handful of (source, lang) blocks (the blocked
+    naive form's ceiling at 100x scale; see
+    tfidf_cosine_top1_blocked, its oracle-proof twin).
 
-    Candidate pairs are BLOCKED by (source, lang) — same move as the
-    reference's 2-char prefix blocking (entity_matching_tfidf.py:159):
-    an unblocked inverted index over a small vocabulary degenerates to
-    the all-pairs quadratic join (measured: 151s vs ~4s at sf0.1).
     Weighting is inv-df (not ln) so the DuckDB oracle is bit-stable;
     cosine rounded to 6 (sum order differs across engines)."""
+    from firmable_aus_etl_spark.operators.cosine_join import cosine_prefix_join
+
+    wt = _tfidf_weight_frame(spark, sf_dir)
+    pairs = cosine_prefix_join(
+        wt,
+        id_col="doc_id",
+        token_col="t",
+        weight_col="wt",
+        threshold=0.7,
+        block_cols=["source", "lang"],
+    )
+    cos = pairs.select(
+        "a_id",
+        "b_id",
+        (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+    )
+    top1 = topk_per_group(
+        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
+    )
+    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register("tfidf_cosine_top1_blocked", _TFIDF_ORACLE)
+def q_tfidf_cosine_top1_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op22 oracle-proof twin — the naive sparse inverted-index join:
+    tf * (1/df) weights, L2 norms, dot-product group-by, candidate
+    pairs blocked by (source, lang) (same move as the reference's
+    2-char prefix blocking, entity_matching_tfidf.py:159). Kept as the
+    exactness proof for the prefix default (shared oracle); not a
+    default-path plan — the per-block |posting|^2 fan-out grows
+    quadratically with block size at scale."""
     wt = _tfidf_weight_frame(spark, sf_dir)
     nrm = wt.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
     a = wt.alias("a")
@@ -3302,36 +3334,6 @@ def q_weighted_source_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= F.col("wt") * 5)
         .select("doc_id", "source")
     )
-
-
-@register("tfidf_cosine_top1_prefix", _TFIDF_ORACLE)
-def q_tfidf_cosine_top1_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op22 scale path — the SAME query as tfidf_cosine_top1 through
-    the AllPairs L2-suffix prefix filter (operators/cosine_join.py):
-    only each vector's heavy head tokens index the join, pruning the
-    |posting|^2 fan-out to |heavy| * |posting|. Shares the naive
-    query's oracle verbatim — matching it is the losslessness proof
-    (same move as ngram_jaccard_prefix_near_dups)."""
-    from firmable_aus_etl_spark.operators.cosine_join import cosine_prefix_join
-
-    wt = _tfidf_weight_frame(spark, sf_dir)
-    pairs = cosine_prefix_join(
-        wt,
-        id_col="doc_id",
-        token_col="t",
-        weight_col="wt",
-        threshold=0.7,
-        block_cols=["source", "lang"],
-    )
-    cos = pairs.select(
-        "a_id",
-        "b_id",
-        (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
-    )
-    top1 = topk_per_group(
-        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
-    )
-    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
 
 
 @register(

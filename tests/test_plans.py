@@ -113,6 +113,30 @@ def test_minhash_pipeline_reuses_shingle_exchange_at_runtime(spark):
     assert plans.count_reused_exchanges_final(df) >= 1
 
 
+def test_tfidf_default_candidate_shuffle_keys_on_token(spark):
+    """op22 default: the candidate-generation exchange must hash on the
+    TOKEN (vocabulary-wide parallelism), never on the block columns
+    alone — a (source, lang)-only partitioning caps the join at
+    #blocks-way parallelism regardless of cluster size."""
+    import re
+
+    df = QUERIES["tfidf_cosine_top1"](spark, SF)
+    plan = plans.physical_plan(df)
+    keyed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+    token_keyed = [k for k in keyed if re.search(r"\bt#", k)]
+    assert token_keyed, f"no token-keyed exchange in plan: {keyed}"
+    # and no exchange partitions on the blocks alone
+    block_only = [
+        k
+        for k in keyed
+        if re.search(r"\bsource#", k)
+        and re.search(r"\blang#", k)
+        and not re.search(r"\bt#", k)
+        and not re.search(r"_id#|doc_id#", k)
+    ]
+    assert not block_only, f"block-cardinality-bounded exchange: {block_only}"
+
+
 def test_grouping_sets_single_expand_pass(spark):
     df = QUERIES["grouping_sets_part_stats"](spark, SF)
     plan = plans.physical_plan(df)

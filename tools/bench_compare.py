@@ -50,7 +50,7 @@ COMPARE = [
     "feature_hash_documents",
     "loo_avg_order_value",
     "quantize_embeddings_int8",
-    "tfidf_cosine_top1_prefix",
+    "tfidf_cosine_top1_blocked",
 ]
 
 
