@@ -82,6 +82,86 @@ def read_json_lines(
     return reader.json(path)
 
 
+def read_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    *,
+    options: dict[str, str] | None = None,
+) -> DataFrame:
+    """jdbc scan (reference: entity_matching_spark.py:65-69 reads the
+    matched table back from Postgres)."""
+    r = spark.read.format("jdbc").option("url", url).option("dbtable", table)
+    for k, v in (options or {}).items():
+        r = r.option(k, v)
+    return r.load()
+
+
+def jdbc_execute(spark: SparkSession, url: str, *statements: str) -> None:
+    """Run DDL/DML on the database through a driver-side JDBC
+    connection (py4j -> java.sql.DriverManager) — the engine-side half
+    of the bulk-load + set-based-merge pattern. Statements that fail
+    with 'already exists' are NOT swallowed; callers own idempotence."""
+    jvm = spark._jvm
+    conn = jvm.java.sql.DriverManager.getConnection(url)
+    try:
+        st = conn.createStatement()
+        try:
+            for s in statements:
+                st.execute(s)
+        finally:
+            st.close()
+    finally:
+        conn.close()
+
+
+def jdbc_upsert(
+    df: DataFrame,
+    url: str,
+    table: str,
+    keys: list[str],
+    *,
+    staging: str | None = None,
+    batchsize: int = 10000,
+    options: dict[str, str] | None = None,
+) -> None:
+    """Keyed UPSERT through a JDBC database: bulk-load a staging table
+    (parallel executor writes), then ONE set-based MERGE executed on
+    the database — the reference's COPY-to-staging + ON CONFLICT flow
+    (loadingcsv_topostgre_fast.py:56-92, entity_matching_tfidf.py:
+    121-140) re-expressed so the per-row upsert loop never exists:
+    Spark moves the data in bulk, the database applies the merge as a
+    single join it can optimize.
+
+    At scale the staging write is the only distributed step (one JDBC
+    connection per partition — bound it with jdbc_writer's
+    num_partitions to respect the DB's pool); the MERGE is O(staging)
+    DB-side work independent of target size with a key index.
+    """
+    staging = staging or f"{table}_stage"
+    spark = df.sparkSession
+    jdbc_writer(
+        df, url, staging, mode="overwrite", batchsize=batchsize,
+        options=options,
+    ).save()
+    cols = df.columns
+    non_keys = [c for c in cols if c not in keys]
+    # Spark's JDBC writer creates QUOTED (case-sensitive) column names;
+    # unquoted identifiers would be case-folded by the DB and miss them
+    q = '"{}"'.format
+    on = " AND ".join(f"t.{q(k)} = s.{q(k)}" for k in keys)
+    set_clause = ", ".join(f"t.{q(c)} = s.{q(c)}" for c in non_keys)
+    ins_cols = ", ".join(q(c) for c in cols)
+    ins_vals = ", ".join(f"s.{q(c)}" for c in cols)
+    jdbc_execute(
+        spark,
+        url,
+        f"MERGE INTO {table} t USING {staging} s ON {on} "
+        f"WHEN MATCHED THEN UPDATE SET {set_clause} "
+        f"WHEN NOT MATCHED THEN INSERT ({ins_cols}) VALUES ({ins_vals})",
+    )
+
+
 def jdbc_writer(
     df: DataFrame,
     url: str,
