@@ -151,6 +151,19 @@ def ivf_assign(vec: Column, centroids: list[list[float]], *, nprobe: int = 1) ->
     return F.transform(F.slice(ranked, 1, nprobe), lambda s: s["cell"])
 
 
+def cell_means(assigned: DataFrame) -> DataFrame:
+    """Element-wise mean per cell of an (cell, __v array<double>) frame
+    as (cell, pos, m) — posexplode + groupBy(cell, pos): one
+    map-side-combinable shuffle whose plan is IDENTICAL at dim 64 and
+    dim 4096 (the label_centroids_embeddings pattern; plan-asserted in
+    tests/test_plans.py)."""
+    return (
+        assigned.select("cell", F.posexplode("__v").alias("pos", "val"))
+        .groupBy("cell", "pos")
+        .agg(F.avg("val").alias("m"))
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     *,
@@ -165,10 +178,12 @@ def kmeans_centroids(
 
     Lloyd's iterations, Spark-first: assignment is the same
     literal-centroid argmax expression ivf_assign uses (codegen, no
-    Python), the per-cell mean is ``dim`` aggregate expressions in one
-    groupBy (map-side partial agg -> k rows cross the wire), and only
-    the k x dim centroid matrix is collected to the driver per
-    iteration — model state, the one thing that SHOULD live
+    Python), the per-cell mean is ONE posexplode + groupBy(cell, pos)
+    aggregation (map-side partial agg -> k*dim rows cross the wire) —
+    a single shuffle regardless of dimension, instead of ``dim``
+    separate avg columns whose expression count explodes at embedding
+    dims (768+). Only the k x dim centroid matrix is collected to the
+    driver per iteration — model state, the one thing that SHOULD live
     driver-side (MLlib's KMeans does exactly this each step).
 
     Determinism: init = the k vectors with the smallest
@@ -209,12 +224,10 @@ def kmeans_centroids(
             ivf_assign(F.col(vec_col), centroids, nprobe=1)[0].alias("cell"),
             dvec.alias("__v"),
         )
-        means = (
-            assigned.groupBy("cell")
-            .agg(*[F.avg(F.col("__v")[i]).alias(f"m{i}") for i in range(dim)])
-            .collect()
-        )
-        new = {r.cell: [float(r[f"m{i}"]) for i in range(dim)] for r in means}
+        means = cell_means(assigned).collect()
+        new: dict[int, list[float]] = {}
+        for r in means:
+            new.setdefault(r.cell, [0.0] * dim)[r.pos] = float(r.m)
         centroids = [
             _unit(new[ci]) if ci in new else centroids[ci]  # empty cell: keep
             for ci in range(k)

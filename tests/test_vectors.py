@@ -115,6 +115,37 @@ def test_kmeans_centroids_deterministic_and_unit(spark):
         assert abs(sum(x * x for x in c) - 1.0) < 1e-3  # unit centroids
 
 
+def test_kmeans_high_dim_single_shuffle_update(spark):
+    """At embedding dims (256 here) the centroid update must stay ONE
+    posexplode aggregation — a per-dimension avg fan-out would put
+    dim separate aggregate expressions in the plan — and training must
+    remain deterministic under a different input partitioning."""
+    from firmable_aus_etl_spark import plans
+
+    dim, state, rows = 256, 17, []
+    for i in range(80):
+        vec = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            vec.append(state / float(1 << 31) - 0.5)
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    a = V.kmeans_centroids(df, dim=dim, k=8, iters=2, seed=3)
+    b = V.kmeans_centroids(df.repartition(13), dim=dim, k=8, iters=2, seed=3)
+    assert a == b
+    assert len(a) == 8 and all(len(c) == dim for c in a)
+
+    assigned = df.select(
+        V.ivf_assign(F.col("embedding"), a, nprobe=1)[0].alias("cell"),
+        F.col("embedding").alias("__v"),
+    )
+    means = V.cell_means(assigned)
+    # one shuffle (the groupBy), independent of dim
+    assert plans.count_exchanges(means) == 1, plans.physical_plan(means)
+    assert means.count() <= 8 * dim
+
+
 def test_ivf_kmeans_recall_against_brute_force(spark):
     """Trained cells must do at least as well as the random-direction
     floor on clustered data (10 gaussian-ish blobs, 16 dims)."""
