@@ -40,6 +40,9 @@ HEADLINE = [
     "time_rollup_events",         # multi-resolution rollup, one pass
     "doc_chunks_overlap",         # LLM chunking: sequence+explode+slice
     "interval_islands_events",    # gaps-and-islands window merge
+    "near_dup_clusters",          # connected-components dedup clustering
+    "decontaminate_documents",    # eval-set 8-gram overlap flagging
+    "remove_repeated_segments",   # C4-style cross-doc segment removal
 ]
 
 

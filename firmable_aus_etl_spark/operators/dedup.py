@@ -741,8 +741,15 @@ def connected_components(
     fully deterministic, so the output is oracle-hashable (DuckDB twin:
     recursive-CTE reachability + min).
     """
-    und = edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).union(
-        edges.select(F.col(dst).alias("x"), F.col(src).alias("y"))
+    # materialize the edge set ONCE: the loop joins `und` every round,
+    # and without this the full upstream pair computation (e.g. the
+    # prefix-Jaccard join) re-executes per iteration — measured 8.4s ->
+    # 3.6s at sf0.1 for near_dup_clusters (edges dominate; rounds are
+    # cheap). Same move MLlib/GraphX make before iterating.
+    und = (
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
+        .union(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
+        .localCheckpoint()
     )
     if nodes is None:
         node_frame = und.select(F.col("x").alias(node_id)).distinct()

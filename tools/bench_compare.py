@@ -51,6 +51,9 @@ COMPARE = [
     "loo_avg_order_value",
     "quantize_embeddings_int8",
     "tfidf_cosine_top1_blocked",
+    "near_dup_clusters",
+    "decontaminate_documents",
+    "remove_repeated_segments",
 ]
 
 
