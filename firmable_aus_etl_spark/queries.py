@@ -3381,7 +3381,13 @@ def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     )
-    eval_grams = grams.filter(F.col("source") == "src0").select("g").distinct()
+    # the eval set is the SMALL side by construction (one source vs the
+    # rest of the corpus) — broadcast it so the train grams never
+    # shuffle on the gram string; remaining exchanges are the train
+    # distinct and the final per-doc count
+    eval_grams = F.broadcast(
+        grams.filter(F.col("source") == "src0").select("g").distinct()
+    )
     train_grams = (
         grams.filter(F.col("source") != "src0").select("doc_id", "g").distinct()
     )
@@ -3443,8 +3449,17 @@ def q_remove_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("s"),
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
-    freq = segs.groupBy("seg").agg(F.count_distinct("doc_id").alias("nd"))
-    kept = segs.join(freq, "seg").filter(F.col("nd") < 3)
+    # only the BOILERPLATE segments (>= 3 distinct docs) matter for
+    # filtering, and they are few by nature — broadcast the blocklist
+    # and anti-join, instead of shuffling every segment row on the
+    # segment string to meet its frequency
+    blocklist = F.broadcast(
+        segs.groupBy("seg")
+        .agg(F.count_distinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 3)
+        .select("seg")
+    )
+    kept = segs.join(blocklist, "seg", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
