@@ -385,6 +385,90 @@ def lsh_topk(
     ).drop("__query_id_v", "__neighbor_id_v")
 
 
+def cosine_near_dup_pairs(
+    corpus: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: sign-LSH banded candidate
+    generation (a pair is a candidate iff its signatures collide in ANY
+    of ``n_tables`` tables) followed by exact cosine verification at
+    ``threshold``. Emits ``(a_id, b_id, cosine)`` with ``a_id < b_id``.
+
+    Deterministic end to end: the hyperplanes are seeded literals baked
+    into the plan, so the candidate set (and hence the result) is
+    reproducible and SQL-expressible for oracle checks.
+
+    Scale shape (the dedup sibling of :func:`lsh_topk`): signatures are
+    one narrow map over the corpus; the self-join is an equi-join on
+    ``(table, signature)`` buckets — shuffle width is set by
+    ``n_planes``, never all-pairs; the exact cosine runs only on
+    bucket-colliding candidates. Recall at a given threshold grows with
+    ``n_tables`` (for near-identical vectors a single table already
+    catches ~all pairs).
+    """
+    tables = [
+        make_planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
+    ]
+    # One flat literal plane matrix -> a single transform computes all
+    # n_tables*n_planes dot products per row (see lsh_topk).
+    all_planes = F.lit(
+        [[float(x) for x in p] for planes in tables for p in planes]
+    )
+    dotted = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.transform(
+            all_planes,
+            lambda p: F.aggregate(
+                F.zip_with(F.col(vec_col), p, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ).alias("__dots"),
+    )
+
+    def table_sig(t: int):
+        def step(acc, i):
+            bit = (F.element_at(F.col("__dots"), i + 1 + t * n_planes) >= 0).cast("long")
+            return acc + bit * F.pow(F.lit(2.0), i).cast("long")
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)), F.lit(0).cast("long"), step
+        )
+
+    sigs = dotted.select(
+        "__id",
+        "__v",
+        F.posexplode(F.array(*[table_sig(t) for t in range(n_tables)])).alias(
+            "__tbl", "__sig"
+        ),
+    )
+    a = sigs.select(
+        F.col("__id").alias("a_id"), F.col("__v").alias("__av"), "__tbl", "__sig"
+    )
+    b = sigs.select(
+        F.col("__id").alias("b_id"), F.col("__v").alias("__bv"), "__tbl", "__sig"
+    )
+    cand = (
+        a.join(b, on=["__tbl", "__sig"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .select("a_id", "b_id", "__av", "__bv")
+        .distinct()
+    )
+    return (
+        cand.withColumn("cosine", cosine(F.col("__av"), F.col("__bv")))
+        .where(F.col("cosine") >= threshold)
+        .drop("__av", "__bv")
+    )
+
+
 def build_ivf_index(
     corpus: DataFrame,
     path: str,

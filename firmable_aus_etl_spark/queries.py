@@ -914,6 +914,97 @@ def q_ivf_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _embed_near_dup_oracle(
+    dim: int, n_planes: int, n_tables: int, seed: int, threshold: float
+) -> str:
+    """Embedding near-dup corpus: originals UNION their int8-round-trip
+    twins (lossy re-encode, the realistic contamination), sign-LSH
+    banded candidates from the same hyperplane literals, exact cosine
+    verify. floor(x/scale + 0.5) is explicit half-up — identical in
+    both engines (see quantize_embeddings_int8)."""
+    from firmable_aus_etl_spark.functions.vectors import make_planes
+
+    rows = [
+        (t, i, p)
+        for t in range(n_tables)
+        for i, p in enumerate(make_planes(dim, n_planes, seed=seed + 1000 * t))
+    ]
+    return f"""
+WITH p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
+raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           / 127.0 AS scale
+  FROM embeddings
+),
+corpus AS (
+  SELECT vec_id AS id, v FROM raw WHERE scale > 0
+  UNION ALL
+  SELECT vec_id + 1000000 AS id,
+         list_transform(v, x -> floor(x / scale + 0.5) * scale) AS v
+  FROM raw WHERE scale > 0
+),
+sig AS (
+  SELECT c.id, p.tbl,
+         CAST(sum(CASE WHEN list_dot_product(c.v, p.pvec) >= 0
+                       THEN (CAST(1 AS BIGINT) << p.plane) ELSE 0 END) AS BIGINT) AS sig
+  FROM corpus c CROSS JOIN p GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id
+),
+scored AS (
+  SELECT a_id, b_id, list_cosine_similarity(ca.v, cb.v) AS cosine
+  FROM cand JOIN corpus ca ON cand.a_id = ca.id
+            JOIN corpus cb ON cand.b_id = cb.id
+)
+SELECT a_id, b_id, cosine FROM scored WHERE cosine >= {threshold!r}
+"""
+
+
+@register("embedding_cosine_near_dups", _embed_near_dup_oracle(64, 8, 4, 42, 0.99))
+def q_embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: the corpus is contaminated with
+    int8-round-tripped copies of every vector (id + 1,000,000) — the
+    lossy re-encode scenario — then ``cosine_near_dup_pairs`` finds all
+    pairs with cosine >= 0.99 via sign-LSH banded buckets + exact
+    verify. Every surviving pair is (original, its re-encoded twin);
+    unrelated vectors in this corpus top out near cosine 0.51.
+
+    Scale: signature map + (table, signature)-bucket self-join + verify
+    on candidates only — never all-pairs (the brute-force twin is the
+    oracle, re-deriving identical buckets from the same hyperplane
+    literals so the result hash-matches exactly)."""
+    from firmable_aus_etl_spark.functions import vectors as V
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x)),
+        F.lit(0.0).cast("float"),
+        lambda acc, x: F.greatest(acc, x),
+    ).cast("double") / 127.0
+    raw = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        scale.alias("scale"),
+    ).where(F.col("scale") > 0)
+    twins = raw.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("double") * F.col("scale")
+        ).alias("v"),
+    )
+    corpus = ensure_parallelism(
+        raw.select("vec_id", "v").unionByName(twins), "vec_id"
+    )
+    return V.cosine_near_dup_pairs(
+        corpus, dim=64, id_col="vec_id", vec_col="v",
+        threshold=0.99, n_planes=8, n_tables=4, seed=42,
+    )
+
+
 @register("minhash_lsh_candidates")  # rows-only: xxhash64 is Spark-specific
 def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup scale path: MinHash banding candidates. Verified subset

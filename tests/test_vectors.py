@@ -216,3 +216,36 @@ def test_ivf_index_build_query_parity_and_pruning(spark, tmp_path):
     assert "PartitionFilters" in plan
     seg = plan.split("PartitionFilters", 1)[1][:300]
     assert "cell" in seg, seg
+
+
+def test_cosine_near_dup_pairs_finds_planted_twins(spark):
+    # corpus: 40 well-separated pseudo-random vectors + a tiny
+    # perturbation of each (id + 1000) -> exactly the 40 planted pairs
+    # should survive at threshold 0.99, none of the cross pairs
+    state, rows = 11, []
+    for i in range(40):
+        vec = []
+        for _ in range(16):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            vec.append(state / float(1 << 31) - 0.5)
+        rows.append((i, vec))
+        rows.append((i + 1000, [x + 1e-4 for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = V.cosine_near_dup_pairs(
+        df, dim=16, threshold=0.99, n_planes=4, n_tables=8, seed=3
+    ).collect()
+    pairs = {(r.a_id, r.b_id) for r in out}
+    assert pairs == {(i, i + 1000) for i in range(40)}
+    assert all(r.cosine >= 0.99 for r in out)
+    assert all(r.a_id < r.b_id for r in out)
+
+
+def test_cosine_near_dup_pairs_deterministic(spark):
+    df = vec_df(spark)
+    a = sorted(map(tuple, V.cosine_near_dup_pairs(
+        df, dim=3, threshold=0.9, n_planes=3, n_tables=4
+    ).collect()))
+    b = sorted(map(tuple, V.cosine_near_dup_pairs(
+        df, dim=3, threshold=0.9, n_planes=3, n_tables=4
+    ).collect()))
+    assert a == b
