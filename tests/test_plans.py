@@ -302,3 +302,35 @@ def test_event_time_predicates_push_to_scan(spark):
     ).select("event_id", "ts")
     pushed = plans.pushed_filters(ev)
     assert any("GreaterThan(ts" in f for f in pushed), pushed
+
+
+def test_forecast_revenue_pushes_all_predicates(spark):
+    df = QUERIES["forecast_revenue_change"](spark, SF)
+    pushed = plans.pushed_filters(df)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert any(col in f for f in pushed), f"{col} not pushed: {pushed}"
+    schemas = plans.read_schemas(df)
+    # scalar aggregate over 4 columns must not read the other 7
+    assert schemas and all("l_orderkey" not in s for s in schemas), schemas
+
+
+def test_priority_late_orders_semi_join(spark):
+    plan = plans.physical_plan(QUERIES["priority_late_orders"](spark, SF))
+    assert "LeftSemi" in plan, plan
+
+
+def test_supplier_breadth_broadcasts_both_dims(spark):
+    df = QUERIES["supplier_breadth_parts"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 1, plan
+    assert "LeftAnti" in plan, plan
+    # the fact side must never shuffle before the joins: only the final
+    # distinct-count aggregation exchanges
+    assert plans.count_exchanges(df) <= 2, plan
+
+
+def test_embedding_near_dups_bucket_join_no_cartesian(spark):
+    df = QUERIES["embedding_cosine_near_dups"](spark, SF)
+    plan = plans.physical_plan(df)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
