@@ -4759,3 +4759,77 @@ def q_supplier_breadth_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.count_distinct("l_suppkey").alias("supplier_cnt"))
     )
+
+
+_Q21_ORACLE = """
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM supplier
+JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+JOIN orders ON o_orderkey = l1.l_orderkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (SELECT 1 FROM lineitem l2
+              WHERE l2.l_orderkey = l1.l_orderkey
+                AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                  WHERE l3.l_orderkey = l1.l_orderkey
+                    AND l3.l_suppkey <> l1.l_suppkey
+                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+GROUP BY s_name
+"""
+
+
+@register("suppliers_kept_waiting", _Q21_ORACLE)
+def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 shape (suppliers who kept orders waiting): for finished
+    orders, count per supplier the multi-supplier orders where ONLY that
+    supplier shipped late (>60 days after order date — the
+    receipt/commit analog on this column subset).
+
+    The oracle keeps the textbook correlated EXISTS / NOT EXISTS; the
+    Spark plan DEcorrelates both into ONE per-order aggregation:
+    distinct (order, supplier, was_late) -> per-order supplier count +
+    late-supplier count -> the qualifying rows are late suppliers in
+    orders with n_suppliers > 1 AND n_late = 1. One shuffle on
+    l_orderkey replaces two correlated re-scans of lineitem — the
+    oracle hash-match is the equivalence proof."""
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_shipdate"
+    )
+    # late_items keeps lineitem granularity: Q21's count(*) counts every
+    # qualifying l1 ROW, so a supplier twice-late on one order counts 2
+    per_supp = (
+        li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(
+            F.sum(
+                (
+                    F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+                ).cast("long")
+            ).alias("late_items")
+        )
+    )
+    per_order = per_supp.groupBy("l_orderkey").agg(
+        F.count("*").alias("n_suppliers"),
+        F.sum((F.col("late_items") > 0).cast("long")).alias("n_late"),
+    )
+    waiting = (
+        per_supp.filter(F.col("late_items") > 0)
+        .join(per_order, on="l_orderkey")
+        .filter((F.col("n_suppliers") > 1) & (F.col("n_late") == 1))
+    )
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.sum("late_items").alias("numwait"))
+    )
