@@ -4833,3 +4833,223 @@ def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("s_name")
         .agg(F.sum("late_items").alias("numwait"))
     )
+
+
+_Q15_ORACLE = """
+WITH rev AS (
+  SELECT l_suppkey,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS rev_c
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(rev_c AS DOUBLE) / 10000.0 AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE rev_c = (SELECT max(rev_c) FROM rev)
+"""
+
+
+@register("max_revenue_suppliers", _Q15_ORACLE)
+def q_max_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 shape (top supplier, tie-inclusive): quarterly revenue
+    per supplier, return EVERY supplier matching the maximum (the view +
+    scalar-subquery form, not a LIMIT cut). Integer-cents revenue makes
+    the equality well-defined across engines. The scalar max is a
+    one-row broadcast against the already-aggregated (tiny) rev frame —
+    the fact table is scanned once."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    rev = li.groupBy("l_suppkey").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+        ).alias("rev_c")
+    )
+    mx = rev.agg(F.max("rev_c").alias("mx"))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        rev.join(F.broadcast(mx), F.col("rev_c") == F.col("mx"))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "s_suppkey",
+            "s_name",
+            (F.col("rev_c").cast("double") / 10000.0).alias("total_revenue"),
+        )
+    )
+
+
+_Q2_ORACLE = """
+WITH costs AS (
+  SELECT l_partkey, l_suppkey,
+         min(CAST(floor(l_extendedprice / l_quantity * 100.0 + 0.5) AS BIGINT)) AS unit_c
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+  GROUP BY l_partkey, l_suppkey
+),
+best AS (
+  SELECT l_partkey, l_suppkey, unit_c,
+         row_number() OVER (PARTITION BY l_partkey
+                            ORDER BY unit_c, l_suppkey) AS rn
+  FROM costs
+)
+SELECT p_partkey, p_name, s_name, s_acctbal,
+       CAST(unit_c AS DOUBLE) / 100.0 AS min_unit_price
+FROM best JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE rn = 1 AND p_size = 15
+"""
+
+
+@register("min_cost_supplier_per_part", _Q2_ORACLE)
+def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape (minimum-cost supplier): for each size-15 part,
+    the cheapest EUROPE supplier by observed unit price (lineitem is
+    this testdata's partsupp; unit price rounds to integer cents first
+    so the arg-min and its tie-break are exact). Region filter prunes
+    the supplier dim BEFORE the fact join (broadcast); the arg-min is
+    one window over the pre-aggregated (part, supplier) frame, and the
+    part filter broadcasts onto the result."""
+    eu_supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").join(
+                    F.broadcast(
+                        load_table(spark, sf_dir, "region").filter(
+                            F.col("r_name") == "EUROPE"
+                        )
+                    ),
+                    F.col("n_regionkey") == F.col("r_regionkey"),
+                )
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
+    )
+    costs = (
+        li.join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.min(
+                _cents(F.col("l_extendedprice") / F.col("l_quantity"), 2)
+            ).alias("unit_c")
+        )
+    )
+    from firmable_aus_etl_spark.operators.windows import topk_per_group
+
+    best = topk_per_group(
+        costs,
+        ["l_partkey"],
+        [F.col("unit_c").asc(), F.col("l_suppkey").asc()],
+        k=1,
+    )
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
+    supp_names = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select(
+            "s_suppkey", "s_name", "s_acctbal"
+        )
+    )
+    return (
+        best.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_names, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_name",
+            "s_acctbal",
+            (F.col("unit_c").cast("double") / 100.0).alias("min_unit_price"),
+        )
+    )
+
+
+_Q11_ORACLE = """
+WITH val AS (
+  SELECT l_partkey,
+         sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)) AS val_c
+  FROM lineitem GROUP BY l_partkey
+)
+SELECT l_partkey, CAST(val_c AS DOUBLE) / 10000.0 AS part_value
+FROM val
+WHERE CAST(val_c AS DOUBLE) > 0.0005 * (SELECT CAST(sum(val_c) AS DOUBLE) FROM val)
+"""
+
+
+@register("important_parts_value", _Q11_ORACLE)
+def q_important_parts_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape (important stock): parts whose shipped value
+    exceeds a fixed fraction of the GLOBAL shipped value — groupwise agg
+    + scalar-subquery HAVING. The global total re-aggregates the tiny
+    per-part frame (no second fact scan) and broadcasts as a one-row
+    join; exchange reuse dedups the shared agg subtree."""
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_extendedprice", "l_discount"
+    )
+    val = li.groupBy("l_partkey").agg(
+        F.sum(
+            _cents(F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4)
+        ).alias("val_c")
+    )
+    total = val.agg(F.sum("val_c").cast("double").alias("tot"))
+    return (
+        val.join(F.broadcast(total))
+        .filter(F.col("val_c").cast("double") > 0.0005 * F.col("tot"))
+        .select(
+            "l_partkey", (F.col("val_c").cast("double") / 10000.0).alias("part_value")
+        )
+    )
+
+
+_Q20_ORACLE = """
+WITH per_ps AS (
+  SELECT l_partkey, l_suppkey, sum(l_quantity) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+  GROUP BY l_partkey, l_suppkey
+),
+per_p AS (SELECT l_partkey, sum(qty) AS tot FROM per_ps GROUP BY l_partkey)
+SELECT DISTINCT s_suppkey, s_name
+FROM per_ps JOIN per_p USING (l_partkey)
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE qty > 0.5 * tot AND tot > qty
+"""
+
+
+@register("excess_volume_suppliers", _Q20_ORACLE)
+def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape (excess-share suppliers): suppliers who shipped
+    more than half of some contested part's 1997 volume (the
+    availability-threshold analog; tot > qty keeps only parts with
+    competing suppliers). Quantities are small integers in double, so
+    the sums and the 0.5 comparison are exact. Two stacked aggregations
+    on co-partitioned keys (the second groups a subset of the first's
+    keys), then DISTINCT over the small survivor set."""
+    li = load_table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    per_ps = li.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum("l_quantity").alias("qty")
+    )
+    per_p = per_ps.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
+    supp = F.broadcast(
+        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
+    )
+    return (
+        per_ps.join(per_p, on="l_partkey")
+        .filter((F.col("qty") > 0.5 * F.col("tot")) & (F.col("tot") > F.col("qty")))
+        .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .select("s_suppkey", "s_name")
+        .distinct()
+    )
