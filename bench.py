@@ -43,6 +43,8 @@ HEADLINE = [
     "near_dup_clusters",          # connected-components dedup clustering
     "decontaminate_documents",    # eval-set 8-gram overlap flagging
     "remove_repeated_segments",   # C4-style cross-doc segment removal
+    "embedding_cosine_near_dups",  # LSH-banded vector dedup + verify
+    "suppliers_kept_waiting",     # decorrelated EXISTS/NOT-EXISTS depth join
 ]
 
 

@@ -5053,3 +5053,58 @@ def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("s_suppkey", "s_name")
         .distinct()
     )
+
+
+_Q9_ORACLE = """
+SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+       CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount) * 10000.0 + 0.5) AS BIGINT)
+                - CAST(floor(p_retailprice * l_quantity * 10000.0 + 0.5) AS BIGINT)) AS DOUBLE)
+         / 10000.0 AS sum_profit
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE p_type = 'STANDARD'
+GROUP BY 1, 2
+"""
+
+
+@register("product_profit_by_nation_year", _Q9_ORACLE)
+def q_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 shape (product-type profit): net margin per supplier
+    nation per ship year for one part type, cost basis = p_retailprice
+    x quantity (this testdata has no ps_supplycost). Both dims
+    broadcast with the part-type filter applied BEFORE its join; the
+    margin is a difference of integer ten-thousandths so the sum is
+    exact; one wide exchange (the final group-by)."""
+    part = F.broadcast(
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_type") == "STANDARD")
+        .select("p_partkey", "p_retailprice")
+    )
+    supp_nation = F.broadcast(
+        load_table(spark, sf_dir, "supplier")
+        .join(
+            F.broadcast(
+                load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+            ),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "n_name")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_suppkey", "l_shipdate",
+        "l_extendedprice", "l_discount", "l_quantity",
+    )
+    margin = _cents(
+        F.col("l_extendedprice") * (F.lit(1.0) - F.col("l_discount")), 4
+    ) - _cents(F.col("p_retailprice") * F.col("l_quantity"), 4)
+    return (
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(supp_nation, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("l_shipdate").alias("o_year"),
+        )
+        .agg((F.sum(margin).cast("double") / 10000.0).alias("sum_profit"))
+    )
