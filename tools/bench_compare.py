@@ -54,6 +54,14 @@ COMPARE = [
     "near_dup_clusters",
     "decontaminate_documents",
     "remove_repeated_segments",
+    "embedding_cosine_near_dups",
+    "suppliers_kept_waiting",
+    "shipping_priority_top10",
+    "product_profit_by_nation_year",
+    "custdist_order_counts",
+    "forecast_revenue_change",
+    "min_cost_supplier_per_part",
+    "excess_volume_suppliers",
 ]
 
 
