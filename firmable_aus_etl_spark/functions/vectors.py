@@ -385,6 +385,61 @@ def lsh_topk(
     ).drop("__query_id_v", "__neighbor_id_v")
 
 
+def lsh_signature_frame(
+    df: DataFrame,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+) -> DataFrame:
+    """Per-table sign-LSH signatures: one row per (vector, table) with
+    columns ``(__id, __v, __tbl, __sig)``. The hyperplanes are seeded
+    literals, so signatures are reproducible across runs/engines — the
+    shared candidate-keying primitive for the near-dup join and the
+    incremental vector-ingest signature store.
+
+    One flat literal plane matrix -> a single transform computes all
+    n_tables*n_planes dot products per row (see lsh_topk)."""
+    tables = [
+        make_planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
+    ]
+    all_planes = F.lit(
+        [[float(x) for x in p] for planes in tables for p in planes]
+    )
+    dotted = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        F.transform(
+            all_planes,
+            lambda p: F.aggregate(
+                F.zip_with(F.col(vec_col), p, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        ).alias("__dots"),
+    )
+
+    def table_sig(t: int):
+        def step(acc, i):
+            bit = (F.element_at(F.col("__dots"), i + 1 + t * n_planes) >= 0).cast("long")
+            return acc + bit * F.pow(F.lit(2.0), i).cast("long")
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)), F.lit(0).cast("long"), step
+        )
+
+    return dotted.select(
+        "__id",
+        "__v",
+        F.posexplode(F.array(*[table_sig(t) for t in range(n_tables)])).alias(
+            "__tbl", "__sig"
+        ),
+    )
+
+
 def cosine_near_dup_pairs(
     corpus: DataFrame,
     *,
@@ -413,42 +468,9 @@ def cosine_near_dup_pairs(
     ``n_tables`` (for near-identical vectors a single table already
     catches ~all pairs).
     """
-    tables = [
-        make_planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
-    ]
-    # One flat literal plane matrix -> a single transform computes all
-    # n_tables*n_planes dot products per row (see lsh_topk).
-    all_planes = F.lit(
-        [[float(x) for x in p] for planes in tables for p in planes]
-    )
-    dotted = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        F.transform(
-            all_planes,
-            lambda p: F.aggregate(
-                F.zip_with(F.col(vec_col), p, lambda a, b: a.cast("double") * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
-        ).alias("__dots"),
-    )
-
-    def table_sig(t: int):
-        def step(acc, i):
-            bit = (F.element_at(F.col("__dots"), i + 1 + t * n_planes) >= 0).cast("long")
-            return acc + bit * F.pow(F.lit(2.0), i).cast("long")
-
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(n_planes - 1)), F.lit(0).cast("long"), step
-        )
-
-    sigs = dotted.select(
-        "__id",
-        "__v",
-        F.posexplode(F.array(*[table_sig(t) for t in range(n_tables)])).alias(
-            "__tbl", "__sig"
-        ),
+    sigs = lsh_signature_frame(
+        corpus, dim=dim, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, seed=seed,
     )
     a = sigs.select(
         F.col("__id").alias("a_id"), F.col("__v").alias("__av"), "__tbl", "__sig"

@@ -320,3 +320,171 @@ def read_agg_view(spark: SparkSession, state_dir: str) -> DataFrame:
     if v is None:
         raise FileNotFoundError(f"no versions under {state_dir}")
     return spark.read.parquet(os.path.join(state_dir, f"v{v}"))
+
+
+def _vector_signature_frame(
+    vecs: DataFrame,
+    id_col: str,
+    vec_col: str,
+    *,
+    dim: int,
+    n_planes: int,
+    n_tables: int,
+    seed: int,
+) -> DataFrame:
+    """(vec_id, v, tbl, sig) — one row per LSH table per vector, the
+    persisted signature-store schema (sign-LSH from seeded hyperplane
+    literals, reproducible across runs)."""
+    from firmable_aus_etl_spark.functions.vectors import lsh_signature_frame
+
+    return lsh_signature_frame(
+        vecs, dim=dim, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables, seed=seed,
+    ).select(
+        F.col("__id").alias("vec_id"),
+        F.col("__v").alias("v"),
+        F.col("__tbl").alias("tbl"),
+        F.col("__sig").alias("sig"),
+    )
+
+
+def ingest_embeddings_increment(
+    spark: SparkSession,
+    batch: DataFrame,
+    state_dir: str,
+    *,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+    batch_id: int | None = None,
+) -> dict:
+    """The embedding sibling of ingest_increment: new vectors arrive in
+    batches and dedup (pair-min, cosine >= threshold) against every
+    vector EVER seen — survivor or not, because a new vector can be a
+    near-dup of a vector that was itself dropped (chain leakage,
+    same invariant as the text path). Pair-min semantics require
+    monotone id arrival for from-scratch equality (see module
+    docstring).
+
+    State layout mirrors the text ingest: ``vec_sigs/batch=N`` keeps
+    (vec_id, v, tbl, sig) for all seen vectors; ``vectors/batch=N``
+    keeps surviving input rows. Each batch overwrites its own
+    ``batch=N`` subdirs and the history read excludes them — replay
+    idempotent under foreachBatch's at-least-once semantics.
+
+    Scale: the new x history candidate join is an equi-join on
+    (tbl, sig) buckets — history is never all-pairs scanned; exact
+    cosine runs only on bucket-colliding candidates.
+    """
+    from firmable_aus_etl_spark.functions.vectors import cosine
+
+    sig_path = os.path.join(state_dir, "vec_sigs")
+    corpus_path = os.path.join(state_dir, "vectors")
+
+    existing = _batch_dirs(sig_path)
+    if batch_id is None:
+        batch_id = existing[-1][0] + 1 if existing else 0
+    history_dirs = [d for i, d in existing if i != batch_id]
+
+    new_sigs = _vector_signature_frame(
+        batch, id_col, vec_col,
+        dim=dim, n_planes=n_planes, n_tables=n_tables, seed=seed,
+    )
+    if history_dirs:
+        seen_sigs = spark.read.parquet(*history_dirs)
+    else:
+        seen_sigs = spark.createDataFrame([], new_sigs.schema)
+
+    pool = seen_sigs.unionByName(new_sigs)
+    cand = (
+        new_sigs.alias("n")
+        .join(
+            pool.alias("p"),
+            on=[
+                F.col("n.tbl") == F.col("p.tbl"),
+                F.col("n.sig") == F.col("p.sig"),
+                F.col("p.vec_id") < F.col("n.vec_id"),
+            ],
+        )
+        .select(
+            F.col("n.vec_id").alias("b_id"),
+            F.col("n.v").alias("vb"),
+            F.col("p.vec_id").alias("a_id"),
+            F.col("p.v").alias("va"),
+        )
+        .dropDuplicates(["a_id", "b_id"])
+    )
+    drops = (
+        cand.withColumn("cosine", cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("cosine") >= threshold)
+        .select(F.col("b_id").alias(id_col))
+        .distinct()
+    )
+    survivors = batch.join(drops, id_col, "left_anti")
+    survivors.write.mode("overwrite").parquet(
+        os.path.join(corpus_path, f"batch={batch_id}")
+    )
+    # every seen vector's signature is remembered, survivor or not
+    new_sigs.write.mode("overwrite").parquet(
+        os.path.join(sig_path, f"batch={batch_id}")
+    )
+
+    n_batch = batch.count()
+    n_dropped = n_batch - survivors.count()
+    return {
+        "batch_vecs": n_batch,
+        "dropped": n_dropped,
+        "appended": n_batch - n_dropped,
+        "batch_id": batch_id,
+    }
+
+
+def read_vector_corpus(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Surviving vectors across all committed ingest batches."""
+    dirs = [d for _, d in _batch_dirs(os.path.join(state_dir, "vectors"))]
+    if not dirs:
+        raise FileNotFoundError(f"no ingested vector batches under {state_dir}")
+    return spark.read.parquet(*dirs)
+
+
+def ingest_embeddings_stream(
+    stream: DataFrame,
+    state_dir: str,
+    *,
+    checkpoint: str,
+    dim: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+    n_planes: int = 8,
+    n_tables: int = 4,
+    seed: int = 42,
+):
+    """Structured Streaming wrapper: each micro-batch runs one
+    ingest_embeddings_increment against the shared state dir."""
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        ingest_embeddings_increment(
+            batch.sparkSession,
+            batch,
+            state_dir,
+            dim=dim,
+            id_col=id_col,
+            vec_col=vec_col,
+            threshold=threshold,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            seed=seed,
+            batch_id=batch_id,
+        )
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

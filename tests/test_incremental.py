@@ -204,3 +204,140 @@ def test_incremental_agg_view_equals_batch_agg(spark, tmp_path):
     from firmable_aus_etl_spark.streaming.incremental import _latest_version
 
     assert _latest_version(state) == 2
+
+
+# ---------------------------------------------------------------------------
+# Embedding-ingest sibling: cross-batch vector dedup
+# ---------------------------------------------------------------------------
+
+VDIM = 16
+VTHRESH = 0.99
+
+
+def _lcg_vec(state):
+    vec = []
+    for _ in range(VDIM):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        vec.append(state / float(1 << 31) - 0.5)
+    return state, vec
+
+
+@pytest.fixture()
+def vec_corpus(spark):
+    """60 well-separated vectors + planted cross-batch near-dup chains:
+    1001 ~ 0 (batch 2), 2001 ~ 1001 (batch 3, chain through a DROPPED
+    vector), 2002 ~ 1 (batch 3)."""
+    state, rows = 7, []
+    base = {}
+    for i in range(60):
+        state, vec = _lcg_vec(state)
+        base[i] = vec
+        rows.append((i, vec))
+    rows.append((1001, [x + 1e-4 for x in base[0]]))
+    rows.append((2001, [x + 2e-4 for x in base[0]]))  # ~1001 and ~0
+    rows.append((2002, [x - 1e-4 for x in base[1]]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def _vec_batches(corpus):
+    return [
+        corpus.filter(F.col("vec_id") < 30),
+        corpus.filter((F.col("vec_id") >= 30) & (F.col("vec_id") < 2000)),
+        corpus.filter(F.col("vec_id") >= 2000),
+    ]
+
+
+def _vec_recompute_survivors(corpus):
+    """Pair-min over the FULL vector set: drop any vector with a
+    verified near-dup of smaller id (pairs include dropped-vector
+    chains, same invariant as the text path)."""
+    from firmable_aus_etl_spark.functions.vectors import cosine_near_dup_pairs
+
+    pairs = cosine_near_dup_pairs(
+        corpus, dim=VDIM, threshold=VTHRESH, n_planes=4, n_tables=8, seed=3
+    )
+    dropped = pairs.select(F.col("b_id").alias("vec_id")).distinct()
+    return {
+        r.vec_id
+        for r in corpus.select("vec_id").join(dropped, "vec_id", "left_anti").collect()
+    }
+
+
+def _vec_ingest(spark, b, state, batch_id=None):
+    from firmable_aus_etl_spark.streaming.incremental import (
+        ingest_embeddings_increment,
+    )
+
+    return ingest_embeddings_increment(
+        spark, b, state,
+        dim=VDIM, threshold=VTHRESH, n_planes=4, n_tables=8, seed=3,
+        batch_id=batch_id,
+    )
+
+
+def test_vec_incremental_equals_batch_recompute(spark, vec_corpus, tmp_path):
+    state = str(tmp_path / "vstate")
+    stats = [_vec_ingest(spark, b, state) for b in _vec_batches(vec_corpus)]
+    got = {r.vec_id for r in spark.read.parquet(f"{state}/vectors").collect()}
+    want = _vec_recompute_survivors(vec_corpus)
+    assert got == want
+    assert 1001 not in got and 2001 not in got and 2002 not in got
+    assert sum(s["dropped"] for s in stats) == vec_corpus.count() - len(want)
+    # chain memory: 2001 is a near-dup of DROPPED 1001; the signature
+    # store must still catch it
+    assert stats[2]["dropped"] >= 2
+
+
+def test_vec_signature_store_remembers_dropped(spark, vec_corpus, tmp_path):
+    state = str(tmp_path / "vstate")
+    for b in _vec_batches(vec_corpus):
+        _vec_ingest(spark, b, state)
+    seen = (
+        spark.read.parquet(f"{state}/vec_sigs").select("vec_id").distinct().count()
+    )
+    assert seen == vec_corpus.count()
+    assert spark.read.parquet(f"{state}/vectors").count() < seen
+
+
+def test_vec_ingest_replay_is_idempotent(spark, vec_corpus, tmp_path):
+    from firmable_aus_etl_spark.streaming.incremental import read_vector_corpus
+
+    state = str(tmp_path / "vstate")
+    batches = _vec_batches(vec_corpus)
+    for i, b in enumerate(batches):
+        _vec_ingest(spark, b, state, batch_id=i)
+    clean = {r.vec_id for r in read_vector_corpus(spark, state).collect()}
+
+    _vec_ingest(spark, batches[1].repartition(5), state, batch_id=1)
+    _vec_ingest(spark, batches[2], state, batch_id=2)
+
+    got = {r.vec_id for r in read_vector_corpus(spark, state).collect()}
+    assert got == clean == _vec_recompute_survivors(vec_corpus)
+    assert read_vector_corpus(spark, state).count() == len(got)
+
+
+def test_vec_streaming_wrapper_drives_same_state(spark, vec_corpus, tmp_path):
+    import time
+
+    from firmable_aus_etl_spark.streaming.incremental import (
+        ingest_embeddings_stream,
+    )
+
+    src = str(tmp_path / "vsrc")
+    for b in _vec_batches(vec_corpus):
+        b.coalesce(1).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    state = str(tmp_path / "vstate_stream")
+    stream = (
+        spark.readStream.schema("vec_id long, embedding array<double>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = ingest_embeddings_stream(
+        stream, state, checkpoint=str(tmp_path / "vckpt"),
+        dim=VDIM, threshold=VTHRESH, n_planes=4, n_tables=8, seed=3,
+    )
+    q.awaitTermination(180)
+    got = {r.vec_id for r in spark.read.parquet(f"{state}/vectors").collect()}
+    assert got == _vec_recompute_survivors(vec_corpus)
