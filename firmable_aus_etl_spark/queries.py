@@ -5108,3 +5108,104 @@ def q_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .agg((F.sum(margin).cast("double") / 10000.0).alias("sum_profit"))
     )
+
+
+@register(
+    "interpolate_daily_revenue",
+    """
+    WITH b AS (SELECT CAST(min(o_orderdate) AS DATE) AS d0,
+                      CAST(max(o_orderdate) AS DATE) AS d1 FROM orders),
+    days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day
+             FROM b),
+    obs AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders WHERE o_orderkey % 97 = 0 GROUP BY 1
+    ),
+    sp AS (SELECT d.day, o.rev_c FROM days d LEFT JOIN obs o USING (day)),
+    nb AS (
+      SELECT day, rev_c,
+             last_value(rev_c IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_c,
+             last_value(CASE WHEN rev_c IS NOT NULL THEN day END IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_d,
+             first_value(rev_c IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_c,
+             first_value(CASE WHEN rev_c IS NOT NULL THEN day END IGNORE NULLS) OVER
+               (ORDER BY day ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_d
+      FROM sp
+    )
+    SELECT day,
+           CASE WHEN rev_c IS NOT NULL THEN 'observed'
+                WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN 'interpolated'
+                ELSE 'missing' END AS src,
+           CASE
+             WHEN rev_c IS NOT NULL THEN CAST(rev_c AS DOUBLE) / 100.0
+             WHEN prev_c IS NOT NULL AND next_c IS NOT NULL THEN
+               (CAST(prev_c AS DOUBLE)
+                + (CAST(next_c AS DOUBLE) - CAST(prev_c AS DOUBLE))
+                  * (day - prev_d) / (next_d - prev_d)) / 100.0
+             ELSE NULL END AS revenue
+    FROM nb
+    """,
+)
+def q_interpolate_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series linear interpolation over a calendar spine — the
+    gap-repair step beyond LOCF: days with no observation (a ~1%
+    deterministic order sample makes the series sparse at every SF)
+    get prev + (next-prev) * elapsed/gap between their nearest
+    observed neighbors; leading/trailing gaps stay null ('missing').
+
+    One spine join + two windows (last ignoreNulls preceding, first
+    ignoreNulls following) on the DAY-grain frame — the windows run
+    over the tiny spine, never the fact table; the fact work is one
+    map-side-combined daily sum. Exact: observed sums are integer
+    cents, and the interpolation arithmetic is identical double ops in
+    both engines (emitted UNrounded: the doubles are bit-identical by
+    construction, while round() itself disagrees across engines at FP
+    half-boundaries — see the verify-skill gotcha)."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_orderdate").cast("date").alias("day"),
+        "o_orderkey",
+        "o_totalprice",
+    )
+    bounds = orders.agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1", F.expr("interval 1 day"))).alias("day")
+    )
+    obs = (
+        orders.filter(F.col("o_orderkey") % 97 == 0)
+        .groupBy("day")
+        .agg(F.sum(_cents(F.col("o_totalprice"), 2)).alias("rev_c"))
+    )
+    sp = days.join(obs, "day", "left")
+    w_prev = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    w_next = Window.orderBy("day").rowsBetween(0, Window.unboundedFollowing)
+    obs_day = F.when(F.col("rev_c").isNotNull(), F.col("day"))
+    nb = sp.select(
+        "day",
+        "rev_c",
+        F.last("rev_c", ignorenulls=True).over(w_prev).alias("prev_c"),
+        F.last(obs_day, ignorenulls=True).over(w_prev).alias("prev_d"),
+        F.first("rev_c", ignorenulls=True).over(w_next).alias("next_c"),
+        F.first(obs_day, ignorenulls=True).over(w_next).alias("next_d"),
+    )
+    interp_ok = F.col("prev_c").isNotNull() & F.col("next_c").isNotNull()
+    interp = (
+        F.col("prev_c").cast("double")
+        + (F.col("next_c").cast("double") - F.col("prev_c").cast("double"))
+        * F.datediff(F.col("day"), F.col("prev_d"))
+        / F.datediff(F.col("next_d"), F.col("prev_d"))
+    ) / 100.0
+    return nb.select(
+        "day",
+        F.when(F.col("rev_c").isNotNull(), F.lit("observed"))
+        .when(interp_ok, F.lit("interpolated"))
+        .otherwise(F.lit("missing"))
+        .alias("src"),
+        F.when(F.col("rev_c").isNotNull(), F.col("rev_c").cast("double") / 100.0)
+        .when(interp_ok, interp)
+        .alias("revenue"),
+    )
