@@ -37,6 +37,16 @@ _SQL_FUNCTIONS = [
     RETURN 100.0 * (1.0 - CAST(levenshtein(token_sort(a), token_sort(b)) AS DOUBLE)
                     / CAST(greatest(length(token_sort(a)), length(token_sort(b)), 1) AS DOUBLE))
     """,
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION vec_dot(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+    RETURNS DOUBLE
+    RETURN aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)
+    """,
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION vec_cosine(a ARRAY<DOUBLE>, b ARRAY<DOUBLE>)
+    RETURNS DOUBLE
+    RETURN vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
+    """,
 ]
 
 

@@ -49,3 +49,28 @@ def test_sql_function_stays_jvm_side(spark):
     )
     plan = plans.physical_plan(df)
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_vec_sql_functions_match_column_api(spark):
+    import math
+
+    register_sql_functions(spark)
+    row = spark.sql(
+        "SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS d, "
+        "vec_cosine(array(1.0D, 2.0D), array(3.0D, 4.0D)) AS c"
+    ).first()
+    assert row.d == 11.0
+    assert abs(row.c - 11.0 / (math.sqrt(5) * math.sqrt(25))) < 1e-12
+    # and against the column API on real embeddings
+    register_testdata_views(spark, SF)
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    got = spark.sql(
+        """
+        SELECT vec_id,
+               vec_cosine(CAST(embedding AS ARRAY<DOUBLE>),
+                          CAST(embedding AS ARRAY<DOUBLE>)) AS c
+        FROM embeddings ORDER BY vec_id LIMIT 5
+        """
+    ).collect()
+    assert all(abs(r.c - 1.0) < 1e-9 for r in got)
