@@ -4735,7 +4735,11 @@ def q_supplier_breadth_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
     join, the blacklist rides a broadcast LEFT ANTI; the only wide
     exchange is the final distinct-count on the (brand,type,size)
     group keys."""
-    part = F.broadcast(
+    # part/supplier scale with the fact table: no forced broadcast —
+    # size stats elect BroadcastHashJoin locally (plan-tested) and AQE
+    # re-plans at runtime; at 100 TB these sides exceed the threshold
+    # and correctly fall back to shuffle joins
+    part = (
         load_table(spark, sf_dir, "part")
         .filter(
             (F.col("p_brand") != "Brand#5")
@@ -4744,7 +4748,7 @@ def q_supplier_breadth_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("p_partkey", "p_brand", "p_type", "p_size")
     )
-    blacklist = F.broadcast(
+    blacklist = (
         load_table(spark, sf_dir, "supplier")
         .filter(F.col("s_acctbal") < 0)
         .select("s_suppkey")
@@ -4825,9 +4829,8 @@ def q_suppliers_kept_waiting(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(per_order, on="l_orderkey")
         .filter((F.col("n_suppliers") > 1) & (F.col("n_late") == 1))
     )
-    supp = F.broadcast(
-        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    )
+    # supplier scales with SF: stats/AQE elect the broadcast, no hint
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         waiting.join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
@@ -4867,9 +4870,8 @@ def q_max_revenue_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("rev_c")
     )
     mx = rev.agg(F.max("rev_c").alias("mx"))
-    supp = F.broadcast(
-        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    )
+    # supplier scales with SF: stats/AQE elect the broadcast, no hint
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         rev.join(F.broadcast(mx), F.col("rev_c") == F.col("mx"))
         .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
@@ -4914,7 +4916,9 @@ def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     the supplier dim BEFORE the fact join (broadcast); the arg-min is
     one window over the pre-aggregated (part, supplier) frame, and the
     part filter broadcasts onto the result."""
-    eu_supp = F.broadcast(
+    # region/nation are fixed-size (hinted); the supplier-derived frame
+    # scales with SF — stats/AQE elect its broadcast
+    eu_supp = (
         load_table(spark, sf_dir, "supplier")
         .join(
             F.broadcast(
@@ -4951,15 +4955,13 @@ def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("unit_c").asc(), F.col("l_suppkey").asc()],
         k=1,
     )
-    part = F.broadcast(
+    part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_size") == 15)
         .select("p_partkey", "p_name")
     )
-    supp_names = F.broadcast(
-        load_table(spark, sf_dir, "supplier").select(
-            "s_suppkey", "s_name", "s_acctbal"
-        )
+    supp_names = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", "s_acctbal"
     )
     return (
         best.join(part, F.col("l_partkey") == F.col("p_partkey"))
@@ -5043,9 +5045,8 @@ def q_excess_volume_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("l_quantity").alias("qty")
     )
     per_p = per_ps.groupBy("l_partkey").agg(F.sum("qty").alias("tot"))
-    supp = F.broadcast(
-        load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
-    )
+    # supplier scales with SF: stats/AQE elect the broadcast, no hint
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_name")
     return (
         per_ps.join(per_p, on="l_partkey")
         .filter((F.col("qty") > 0.5 * F.col("tot")) & (F.col("tot") > F.col("qty")))
@@ -5077,12 +5078,14 @@ def q_product_profit_by_nation_year(spark: SparkSession, sf_dir: str) -> DataFra
     broadcast with the part-type filter applied BEFORE its join; the
     margin is a difference of integer ten-thousandths so the sum is
     exact; one wide exchange (the final group-by)."""
-    part = F.broadcast(
+    # part/supplier scale with SF (no forced broadcast — stats/AQE
+    # decide); nation is fixed-size and keeps its hint
+    part = (
         load_table(spark, sf_dir, "part")
         .filter(F.col("p_type") == "STANDARD")
         .select("p_partkey", "p_retailprice")
     )
-    supp_nation = F.broadcast(
+    supp_nation = (
         load_table(spark, sf_dir, "supplier")
         .join(
             F.broadcast(
