@@ -5212,3 +5212,41 @@ def q_interpolate_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(interp_ok, interp)
         .alias("revenue"),
     )
+
+
+@register(
+    "user_event_profiles",
+    """
+    WITH c AS (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT user_id,
+           CAST(count(*) AS BIGINT) AS n_types,
+           string_agg(event_type || ':' || CAST(n AS VARCHAR), ','
+                      ORDER BY event_type) AS profile
+    FROM c GROUP BY user_id
+    """,
+)
+def q_user_event_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Complex-type aggregation with a deterministic wire format: each
+    user's event-type histogram collected into a SORTED array and
+    serialized 'type:count,...' — the feature-store/profile-export
+    shape where nested results must hash stably across engines and
+    retries (collect_list alone is partition-order-nondeterministic;
+    array_sort pins it). Two stacked aggregations on compatible keys —
+    the second reuses the first's (user_id, event_type) partitioning
+    modulo dropped key."""
+    ev = load_table(spark, sf_dir, "events")
+    c = ev.groupBy("user_id", "event_type").agg(F.count("*").alias("n"))
+    return c.groupBy("user_id").agg(
+        F.count("*").alias("n_types"),
+        F.array_join(
+            F.array_sort(
+                F.collect_list(
+                    F.concat_ws(":", F.col("event_type"), F.col("n").cast("string"))
+                )
+            ),
+            ",",
+        ).alias("profile"),
+    )
