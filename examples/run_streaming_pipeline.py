@@ -7,6 +7,10 @@ end-to-end over a simulated arrival sequence.
                                 (per user/event_type count+sum view)
                              -> Misra-Gries heavy hitters
                                 (bounded-state top event types)
+    batch 1..3 of embeddings -> incremental vector dedup: batches 2-3
+                                are contaminated with int8-round-tripped
+                                re-encodes of earlier vectors, which the
+                                sign-LSH store + cosine verify drops
 
 Every stage is a tested operator from the library; arrival batching is
 simulated with a file-source stream (maxFilesPerTrigger=1) exactly as
@@ -31,8 +35,10 @@ from firmable_aus_etl_spark.datasets import load_table
 from firmable_aus_etl_spark.session import get_session
 from firmable_aus_etl_spark.streaming import (
     incremental_agg_stream,
+    ingest_embeddings_stream,
     ingest_stream,
     read_agg_view,
+    read_vector_corpus,
     streaming_heavy_hitters,
 )
 
@@ -47,7 +53,10 @@ def main() -> None:
     # --- simulate arrivals: three timestamped file drops per source ---
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "value")
-    doc_rows, ev_rows = docs.collect(), ev.collect()
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("embedding")
+    )
+    doc_rows, ev_rows, emb_rows = docs.collect(), ev.collect(), emb.collect()
     for i in range(3):
         spark.createDataFrame(
             doc_rows[i::3], docs.schema
@@ -55,6 +64,22 @@ def main() -> None:
         spark.createDataFrame(
             ev_rows[i::3], ev.schema
         ).coalesce(1).write.mode("append").parquet(f"{work}/events_in")
+        import math
+
+        def _requant(v):
+            scale = max(abs(x) for x in v) / 127.0
+            return [math.floor(x / scale + 0.5) * scale for x in v]
+
+        chunk = [(r.vec_id, list(r.embedding)) for r in emb_rows[i::3]]
+        if i > 0:  # re-encoded copies of the PREVIOUS batch's vectors
+            chunk += [
+                (vid + 100000, _requant(v))
+                for vid, v in ((r.vec_id, list(r.embedding))
+                               for r in emb_rows[i - 1 :: 3])
+            ]
+        spark.createDataFrame(
+            chunk, "vec_id long, embedding array<double>"
+        ).coalesce(1).write.mode("append").parquet(f"{work}/emb_in")
         time.sleep(1.1)  # file source orders micro-batches by mod time
 
     # --- incremental near-dup ingest over the document arrivals ---
@@ -80,6 +105,17 @@ def main() -> None:
         checkpoint=f"{work}/ckpt_agg",
     )
 
+    # --- incremental vector dedup over the embedding arrivals ---
+    emb_stream = (
+        spark.readStream.schema(emb.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/emb_in")
+    )
+    q4 = ingest_embeddings_stream(
+        emb_stream, f"{work}/vec_state",
+        checkpoint=f"{work}/ckpt_vec", dim=64, threshold=0.99,
+    )
+
     # --- bounded-state heavy hitters over the same event stream ---
     hh = streaming_heavy_hitters(
         spark.readStream.schema(ev.schema)
@@ -94,7 +130,7 @@ def main() -> None:
         .outputMode("update").trigger(availableNow=True).start()
     )
 
-    for q in (q1, q2, q3):
+    for q in (q1, q2, q3, q4):
         q.awaitTermination(180)
 
     n_seen = spark.read.parquet(f"{work}/corpus_state/sig_store").select(
@@ -121,6 +157,14 @@ def main() -> None:
     match = normal(view) == normal(batch_truth)
     print("=== materialized aggregate view ===")
     print(f"keys maintained: {view.count()}; equals batch recompute: {match}")
+
+    v_seen = spark.read.parquet(f"{work}/vec_state/vec_sigs").select(
+        "vec_id"
+    ).distinct().count()
+    v_kept = read_vector_corpus(spark, f"{work}/vec_state").count()
+    print("=== incremental vector dedup ===")
+    print(f"vectors seen:   {v_seen}")
+    print(f"survivors kept: {v_kept}  (near-dups dropped: {v_seen - v_kept})")
 
     print("=== streaming heavy hitters (final summaries) ===")
     spark.sql(
