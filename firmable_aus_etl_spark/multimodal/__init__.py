@@ -14,6 +14,8 @@ from firmable_aus_etl_spark.multimodal.ops import (
     with_media_metadata,
     decode_image_features,
     dedup_media_exact,
+    dedup_media_perceptual,
+    perceptual_hash_images,
     frame_sample_plan,
 )
 
@@ -24,5 +26,7 @@ __all__ = [
     "with_media_metadata",
     "decode_image_features",
     "dedup_media_exact",
+    "dedup_media_perceptual",
+    "perceptual_hash_images",
     "frame_sample_plan",
 ]

@@ -251,3 +251,70 @@ def audio_frame_windows(
         "frame",
         F.length("frame").cast("long").alias("frame_len"),
     )
+
+
+PHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("ahash", LongType(), True),
+    ]
+)
+
+
+def perceptual_hash_images(df: DataFrame, *, fake: bool = False) -> DataFrame:
+    """Average-hash (aHash) per image: decode to an 8x8 grayscale,
+    bit_i = pixel_i > mean — the classic perceptual fingerprint whose
+    hamming distance survives re-encoding and small edits.
+
+    ``fake=True`` uses the deterministic stand-in decoder: the first 64
+    content bytes (cycled) act as the 8x8 grayscale, so byte-identical
+    LEADING content under different trailing metadata maps to the same
+    hash — the invariance property the tests exercise without codec
+    libs. A real decoder plugs into the same mapInPandas shape
+    (Arrow-batched, memory bounded by maxRecordsPerBatch).
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, hashes = [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                if not fake:
+                    raise DecodeUnavailable(
+                        "image decode requires codec libs absent from this container"
+                    )
+                px = [b[i % len(b)] if b else 0 for i in range(64)]
+                mean = sum(px) / 64.0
+                h = 0
+                for i, p in enumerate(px):
+                    if p > mean:
+                        h |= 1 << i
+                if h >= 1 << 63:  # two's-complement into LongType
+                    h -= 1 << 64
+                ids.append(mid)
+                hashes.append(h)
+            yield pd.DataFrame({"media_id": ids, "ahash": hashes})
+
+    return df.select("media_id", "content").mapInPandas(run, schema=PHASH_SCHEMA)
+
+
+def dedup_media_perceptual(
+    df: DataFrame,
+    *,
+    max_hamming: int = 3,
+    blocks: int = 4,
+    fake: bool = False,
+) -> DataFrame:
+    """Perceptual near-dup pairs over an image corpus: aHash signatures
+    -> pigeonhole hamming join (shared with SimHash text dedup) ->
+    exact hamming verify. Emits (a_id, b_id, hamming), a_id < b_id.
+
+    Scale: the only Python stage is the per-image hash (Arrow-batched,
+    64 bytes out per image); the candidate join is a chunk equi-join on
+    the tiny signature relation — never all-pairs over media bytes."""
+    from firmable_aus_etl_spark.operators.dedup import hamming_near_dup_pairs
+
+    sig = perceptual_hash_images(df, fake=fake)
+    return hamming_near_dup_pairs(
+        sig, "media_id", "ahash", max_hamming=max_hamming, blocks=blocks
+    )

@@ -453,13 +453,33 @@ def simhash_candidate_pairs(
         )
         sh = bit if sh is None else sh.bitwiseOR(bit)
     sig = counts.select("__id", sh.alias("__sh"))
+    return hamming_near_dup_pairs(
+        sig, "__id", "__sh", max_hamming=max_hamming, blocks=blocks
+    )
+
+
+def hamming_near_dup_pairs(
+    sig: DataFrame,
+    id_col: str,
+    sig_col: str,
+    *,
+    max_hamming: int = 3,
+    blocks: int = 4,
+) -> DataFrame:
+    """Pigeonhole hamming join over PRECOMPUTED 64-bit signatures:
+    two signatures within ``max_hamming <= blocks-1`` bits must agree
+    on at least one of ``blocks`` chunks, so a per-chunk equi-self-join
+    finds every candidate at hash-join cost; true hamming verifies.
+    Shared by SimHash text dedup and perceptual-hash media dedup.
+    Emits (a_id, b_id, hamming) with a_id < b_id."""
+    width = 64 // blocks
     chunked = sig.select(
-        "__id",
-        "__sh",
+        F.col(id_col).alias("__id"),
+        F.col(sig_col).alias("__sh"),
         F.posexplode(
             F.array(
                 *[
-                    F.shiftright(F.col("__sh"), b * width).bitwiseAND(F.lit((1 << width) - 1))
+                    F.shiftright(F.col(sig_col), b * width).bitwiseAND(F.lit((1 << width) - 1))
                     for b in range(blocks)
                 ]
             )

@@ -150,3 +150,52 @@ def test_audio_frame_windows_no_python_stage(spark):
     df = spark.createDataFrame([(1, bytes(64))], "media_id long, content binary")
     plan = plans.physical_plan(audio_frame_windows(df, frame_bytes=16, hop_bytes=8))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_perceptual_hash_invariant_to_trailing_metadata(spark):
+    from firmable_aus_etl_spark.multimodal import (
+        dedup_media_perceptual,
+        perceptual_hash_images,
+    )
+
+    base = bytes(range(64)) + b"pixels" * 8
+    rows = [
+        (1, base),                          # original
+        (2, base + b"EXIF-METADATA-BLOB"),  # same leading content
+        (3, bytes(reversed(range(64))) * 3),  # different image
+    ]
+    df = spark.createDataFrame(rows, "media_id long, content binary")
+    hashes = {r.media_id: r.ahash for r in perceptual_hash_images(df, fake=True).collect()}
+    assert hashes[1] == hashes[2]
+    assert hashes[1] != hashes[3]
+
+    pairs = dedup_media_perceptual(df, max_hamming=3, fake=True).collect()
+    assert {(r.a_id, r.b_id) for r in pairs} == {(1, 2)}
+    assert all(r.hamming == 0 for r in pairs)
+
+
+def test_perceptual_hash_near_miss_within_hamming(spark):
+    from firmable_aus_etl_spark.multimodal import dedup_media_perceptual
+
+    base = bytearray(range(64))
+    tweaked = bytearray(base)
+    # 63 -> 0 lowers the mean by ~1, flipping bit 63 off and bit 31 on:
+    # hamming 2, inside the max_hamming=3 budget
+    tweaked[63] = 0
+    far = bytes([(i * 37) % 251 for i in range(64)])
+    df = spark.createDataFrame(
+        [(1, bytes(base)), (2, bytes(tweaked)), (3, far)],
+        "media_id long, content binary",
+    )
+    got = {(r.a_id, r.b_id) for r in dedup_media_perceptual(df, max_hamming=3, fake=True).collect()}
+    assert (1, 2) in got
+    assert all(p in {(1, 2)} or 3 not in p for p in got)
+
+
+def test_perceptual_hash_real_path_gated(spark):
+    from firmable_aus_etl_spark.multimodal import perceptual_hash_images
+
+    df = spark.createDataFrame([(1, b"xx")], "media_id long, content binary")
+    with pytest.raises(Exception) as ei:
+        perceptual_hash_images(df, fake=False).collect()
+    assert "DecodeUnavailable" in str(ei.value) or "decode" in str(ei.value)
