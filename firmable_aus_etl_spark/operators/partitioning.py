@@ -186,3 +186,53 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_small_files(
+    spark: SparkSession,
+    path: str,
+    *,
+    target_file_bytes: int = 128 << 20,
+    sort_cols: Sequence[str] = (),
+) -> dict:
+    """Small-file compaction — the OPTIMIZE half of Delta/Iceberg table
+    maintenance as plain Spark: rewrite a parquet directory into
+    ``ceil(total_bytes / target_file_bytes)`` files (streaming sinks
+    and per-batch writers accrete thousands of KB-sized files whose
+    open/footer overhead dominates scans long before data volume
+    does). With ``sort_cols`` the rewrite also range-partitions + sorts
+    so row-group min/max stats come out tight (pair with
+    ``write_zordered`` for multi-dimensional clustering).
+
+    The rewrite lands in a sibling temp dir and swaps in via directory
+    rename, so a concurrent reader sees the old or the new layout,
+    never a partial one. (Local/HDFS semantics; on object stores the
+    swap belongs to a table-format commit instead.)
+    """
+    import glob as _glob
+    import math as _math
+    import os
+    import shutil
+
+    base = path.rstrip("/")
+    files = _glob.glob(os.path.join(base, "*.parquet"))
+    total = sum(os.path.getsize(f) for f in files)
+    n_out = max(1, _math.ceil(total / target_file_bytes))
+    df = spark.read.parquet(base)
+    if sort_cols:
+        out = df.repartitionByRange(n_out, *sort_cols).sortWithinPartitions(
+            *sort_cols
+        )
+    else:
+        out = df.repartition(n_out)
+    tmp, old = base + ".__compact_tmp", base + ".__compact_old"
+    shutil.rmtree(tmp, ignore_errors=True)
+    out.write.mode("overwrite").parquet(tmp)
+    os.rename(base, old)
+    os.rename(tmp, base)
+    shutil.rmtree(old)
+    return {
+        "files_before": len(files),
+        "files_after": len(_glob.glob(os.path.join(base, "*.parquet"))),
+        "bytes": total,
+    }

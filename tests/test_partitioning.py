@@ -165,3 +165,48 @@ def test_zorder_layout_narrows_stats_on_all_dimensions(spark, tmp_path):
     assert z_part < 0.6 and z_supp < 0.6, (z_part, z_supp, s_part, s_supp)
     # and the clustered write loses no rows
     assert spark.read.parquet(zpath).count() == li.count()
+
+
+def test_compact_small_files_reduces_count_keeps_rows(spark, tmp_path):
+    from firmable_aus_etl_spark.operators.partitioning import compact_small_files
+
+    p = str(tmp_path / "frag")
+    df = spark.range(0, 10_000).withColumn("k", F.col("id") % 100)
+    df.repartition(64).write.parquet(p)  # fragmented layout
+    import glob
+
+    assert len(glob.glob(f"{p}/*.parquet")) == 64
+    stats = compact_small_files(spark, p, target_file_bytes=1 << 30)
+    assert stats["files_before"] == 64 and stats["files_after"] == 1
+    back = spark.read.parquet(p)
+    assert back.count() == 10_000
+    assert back.agg(F.sum("id")).first()[0] == 10_000 * 9_999 // 2
+
+
+def test_compact_sorted_keeps_stats_tight(spark, tmp_path):
+    from firmable_aus_etl_spark.operators.partitioning import compact_small_files
+
+    p = str(tmp_path / "frag2")
+    spark.range(0, 50_000).withColumn(
+        "k", (F.col("id") * 7919) % 1000
+    ).repartition(32).write.parquet(p)
+    stats = compact_small_files(
+        spark, p, target_file_bytes=220_000, sort_cols=["k"]
+    )
+    assert 1 < stats["files_after"] < 32
+    # range-partitioned + sorted: each output file covers a narrow,
+    # non-overlapping k range -> mean width << domain
+    import pyarrow.parquet as pq
+    import glob
+
+    spans = []
+    for f in glob.glob(f"{p}/*.parquet"):
+        md = pq.ParquetFile(f).metadata
+        ks = [
+            (md.row_group(i).column(1).statistics.min,
+             md.row_group(i).column(1).statistics.max)
+            for i in range(md.num_row_groups)
+        ]
+        spans.append((min(k[0] for k in ks), max(k[1] for k in ks)))
+    widths = [hi - lo for lo, hi in spans]
+    assert sum(widths) / len(widths) < 1000 / max(2, len(widths)) * 2
