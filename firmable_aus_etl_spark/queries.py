@@ -5250,3 +5250,61 @@ def q_user_event_profiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ",",
         ).alias("profile"),
     )
+
+
+@register(
+    "nation_share_of_region_revenue",
+    """
+    WITH rev AS (
+      SELECT n_regionkey, n_name,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT r_name, n_name,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(rev_c AS DOUBLE)
+             / CAST(sum(rev_c) OVER (PARTITION BY n_regionkey) AS DOUBLE)
+             AS share_of_region
+    FROM rev JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def q_nation_share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Percent-of-parent via window total: each nation's share of its
+    region's revenue — groupwise agg, then a window sum over the
+    ALREADY-aggregated 25-row frame (the percent-of-total pattern where
+    the window never touches the fact table). Integer-cents numerator
+    and denominator make the ratio bit-identical across engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_totalprice")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_name", "n_regionkey"
+        )
+    )
+    region = F.broadcast(
+        load_table(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    )
+    rev = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_regionkey", "n_name")
+        .agg(F.sum(_cents(F.col("o_totalprice"), 2)).alias("rev_c"))
+    )
+    w = Window.partitionBy("n_regionkey")
+    return (
+        rev.join(region, F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(
+            "r_name",
+            "n_name",
+            (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+            (
+                F.col("rev_c").cast("double")
+                / F.sum("rev_c").over(w).cast("double")
+            ).alias("share_of_region"),
+        )
+    )
