@@ -118,3 +118,116 @@ def cosine_prefix_join(
         .join(nb, "b_id")
         .filter(F.col("dp") / (F.col("nrm_a") * F.col("nrm_b")) >= threshold)
     )
+
+
+def build_tfidf_index(
+    wt: DataFrame,
+    path: str,
+    *,
+    id_col: str = "doc_id",
+    token_col: str = "t",
+    weight_col: str = "wt",
+    block_cols: Sequence[str] = (),
+) -> None:
+    """Persist a TF-IDF matching index — the build-once/query-many
+    serving shape of op22 (text sibling of vectors.build_ivf_index;
+    reference analog: the incremental "match new rows against the
+    loaded corpus" flow around entity_matching_tfidf.py:121-140).
+
+    Three relations land under ``path``:
+      wt/     (id, [blocks...], token, weight) — the inverted index
+      norms/  (id, nrm) — corpus-side L2 norms
+      df/     (token, df) — document frequencies, so query batches are
+              weighted with the SAME idf the corpus was built with
+              (tokens unseen at build time are dropped on both sides,
+              matching a fixed-vocabulary vectorizer).
+
+    wt/ is laid out hive-partitioned-free but sorted by token within
+    files so token-range row-group skipping applies; at cluster scale
+    register it as a token-bucketed table (partitioning.write_bucketed)
+    and the query join reads shuffle-free on the index side.
+    """
+    blocks = list(block_cols)
+    wt_out = wt.select(
+        F.col(id_col).alias("id"), *blocks,
+        F.col(token_col).alias("token"), F.col(weight_col).alias("weight"),
+    )
+    wt_out.repartition("token").sortWithinPartitions("token").write.mode(
+        "overwrite"
+    ).parquet(f"{path}/wt")
+    nrm = wt_out.groupBy("id").agg(
+        F.sqrt(F.sum(F.col("weight") * F.col("weight"))).alias("nrm")
+    )
+    nrm.write.mode("overwrite").parquet(f"{path}/norms")
+    df_rel = wt_out.groupBy("token").agg(F.count("*").cast("double").alias("df"))
+    df_rel.write.mode("overwrite").parquet(f"{path}/df")
+
+
+def tfidf_index_topk(
+    query_terms: DataFrame,
+    path: str,
+    *,
+    query_id: str = "q_id",
+    token_col: str = "t",
+    tf_col: str = "tf",
+    block_cols: Sequence[str] = (),
+    threshold: float = 0.0,
+    k: int = 1,
+) -> DataFrame:
+    """Match a batch of NEW documents against a build_tfidf_index store
+    without touching the corpus text: weight the batch's term counts
+    with the STORED document frequencies, inverted-index join on
+    (blocks, token), exact cosine, per-query top-k.
+
+    Returns (q_id, doc_id, cosine, rank). Scale shape: the query batch
+    is typically small (a daily increment) — its weighted terms hash
+    to the index's token partitioning, the dot-product groupBy touches
+    only co-token pairs, and norms join at id granularity. Unseen
+    tokens drop out (fixed-vocabulary semantics), so query norms use
+    indexed tokens only — cosine is computed in the index's space.
+    """
+    spark = query_terms.sparkSession
+    blocks = list(block_cols)
+    wt_idx = spark.read.parquet(f"{path}/wt")
+    nrm_idx = spark.read.parquet(f"{path}/norms")
+    df_rel = spark.read.parquet(f"{path}/df")
+
+    q = (
+        query_terms.select(
+            F.col(query_id).alias("q_id"), *blocks,
+            F.col(token_col).alias("token"), F.col(tf_col).cast("double").alias("tf"),
+        )
+        .join(df_rel, "token")  # unseen tokens drop here
+        .select(
+            "q_id", *blocks, "token",
+            (F.col("tf") * (F.lit(1.0) / F.col("df"))).alias("q_weight"),
+        )
+    )
+    q_nrm = q.groupBy("q_id").agg(
+        F.sqrt(F.sum(F.col("q_weight") * F.col("q_weight"))).alias("q_nrm")
+    )
+    dots = (
+        q.join(wt_idx, on=["token", *blocks])
+        .groupBy("q_id", "id")
+        .agg(F.sum(F.col("q_weight") * F.col("weight")).alias("dp"))
+    )
+    scored = (
+        dots.join(q_nrm, "q_id")
+        .join(nrm_idx, "id")
+        .select(
+            "q_id",
+            F.col("id").alias("doc_id"),
+            (F.col("dp") / (F.col("q_nrm") * F.col("nrm"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    from firmable_aus_etl_spark.operators.windows import topk_per_group
+
+    return topk_per_group(
+        scored,
+        ["q_id"],
+        [F.col("cosine").desc(), F.col("doc_id").asc()],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    )
