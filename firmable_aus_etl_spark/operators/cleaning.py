@@ -148,3 +148,38 @@ def clean_url(col: Column | str, max_len: int = 500) -> Column:
     """u3 — strip + truncate (reference: clean_common_crawl.py:5-8)."""
     c = F.col(col) if isinstance(col, str) else col
     return F.substring(F.trim(c), 1, max_len)
+
+
+def abn_checksum_valid(col: Column | str) -> Column:
+    """Full ABN validation (engine widening of op8's shape check): the
+    public ATO checksum — subtract 1 from the leading digit, weight the
+    11 digits by [10,1,3,5,7,9,11,13,15,17,19], valid iff the sum is
+    divisible by 89. Catches transposed/mistyped ABNs that pass the
+    reference's ``^\\d{11}$`` regex (clean_abr.py:26-31). Pure column
+    expression — codegen'd, no UDF.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    weights = [10, 1, 3, 5, 7, 9, 11, 13, 15, 17, 19]
+
+    def digit(i: int) -> Column:
+        return F.substring(c, i + 1, 1).cast("int")
+
+    total: Column = (digit(0) - 1) * weights[0]
+    for i in range(1, 11):
+        total = total + digit(i) * weights[i]
+    return c.rlike("^[0-9]{11}$") & (F.pmod(total, F.lit(89)) == 0)
+
+
+def normalize_phone_au(col: Column | str) -> Column:
+    """Canonical AU phone form: strip every non-digit, rewrite a
+    leading trunk '0' to country code '61', pass through numbers
+    already carrying 61. Non-phone-shaped leftovers return NULL rather
+    than a mangled value. Pure expressions (engine widening: the
+    reference normalizes names/urls but loads phones raw)."""
+    c = F.col(col) if isinstance(col, str) else col
+    digits = F.regexp_replace(c, "[^0-9]", "")
+    return (
+        F.when(digits.rlike("^0[0-9]{9}$"), F.concat(F.lit("61"), F.substring(digits, 2, 9)))
+        .when(digits.rlike("^61[0-9]{9}$"), digits)
+        .otherwise(F.lit(None).cast("string"))
+    )

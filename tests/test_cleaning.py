@@ -96,3 +96,41 @@ def test_unicode_and_empty_rows(spark):
     out = df.select(cleaning.titlecase_clean("name").alias("t"))
     vals = [r.t for r in out.collect()]
     assert "Çömpañy Ünïted" in vals  # initcap keeps unicode letters
+
+
+def test_abn_checksum_valid(spark):
+    from firmable_aus_etl_spark.operators.cleaning import abn_checksum_valid
+
+    rows = [
+        ("51824753556", True),   # ATO's published example ABN
+        ("51824753557", False),  # last digit off
+        ("15824753556", False),  # transposed leading pair
+        ("5182475355", False),   # 10 digits
+        ("518247535561", False), # 12 digits
+        ("51 824 753 556", False),  # formatted (normalize first)
+        (None, False),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in rows], "abn string")
+    got = [
+        r.ok
+        for r in df.select(
+            F.coalesce(abn_checksum_valid("abn"), F.lit(False)).alias("ok")
+        ).collect()
+    ]
+    assert got == [want for _, want in rows]
+
+
+def test_normalize_phone_au(spark):
+    from firmable_aus_etl_spark.operators.cleaning import normalize_phone_au
+
+    rows = [
+        ("(02) 9374 4000", "61293744000"),
+        ("0412 345 678", "61412345678"),
+        ("+61 2 9374 4000", "61293744000"),
+        ("61293744000", "61293744000"),
+        ("12345", None),
+        ("not a phone", None),
+    ]
+    df = spark.createDataFrame([(a,) for a, _ in rows], "p string")
+    got = [r.n for r in df.select(normalize_phone_au("p").alias("n")).collect()]
+    assert got == [want for _, want in rows]
