@@ -23,7 +23,9 @@ from firmable_aus_etl_spark.streaming.incremental import (  # noqa: F401
     read_vector_corpus,
 )
 from firmable_aus_etl_spark.streaming.sketches import (  # noqa: F401
+    read_quantile_estimate,
     streaming_heavy_hitters,
+    streaming_quantile_histogram,
 )
 from firmable_aus_etl_spark.streaming.stateful import (
     sessionize_stream,

@@ -131,3 +131,83 @@ def streaming_heavy_hitters(
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_quantile_histogram(
+    stream,
+    value_col: str,
+    state_dir: str,
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+    checkpoint: str,
+):
+    """Streaming quantile estimation as a mergeable fixed-memory
+    histogram: bucket each value into ``bins`` equal cells over the
+    known [lo, hi) domain and maintain per-bucket counts with the
+    SAME batch-id-versioned additive merge as incremental_agg_stream —
+    so the sketch inherits its replay idempotence and _SUCCESS-gated
+    reads for free. Out-of-domain values clamp to the edge buckets
+    (their mass is right, their position saturates — disclose lo/hi
+    from domain knowledge or a first-pass min/max).
+
+    State is O(bins) regardless of stream length; merge is additive so
+    shards/executors combine exactly (unlike a percentile over raw
+    retained values). Max quantile error = one bin width.
+    """
+    from pyspark.sql import functions as F
+
+    from firmable_aus_etl_spark.streaming.incremental import (
+        incremental_agg_stream,
+    )
+
+    width = (hi - lo) / bins
+    bucketed = stream.select(
+        F.least(
+            F.lit(bins - 1),
+            F.greatest(
+                F.lit(0),
+                F.floor((F.col(value_col).cast("double") - lo) / width).cast("int"),
+            ),
+        ).alias("bucket"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    return incremental_agg_stream(
+        bucketed, state_dir, keys=["bucket"], value_col="v",
+        checkpoint=checkpoint,
+    )
+
+
+def read_quantile_estimate(
+    spark,
+    state_dir: str,
+    qs: list[float],
+    *,
+    lo: float,
+    hi: float,
+    bins: int = 256,
+) -> dict[float, float]:
+    """Invert the streamed histogram's CDF: for each q, find the bucket
+    where the cumulative count crosses q*N and linearly interpolate
+    inside it. Reads the latest COMPLETE version (O(bins) rows)."""
+    from firmable_aus_etl_spark.streaming.incremental import read_agg_view
+
+    width = (hi - lo) / bins
+    rows = sorted(
+        (r.bucket, r.cnt) for r in read_agg_view(spark, state_dir).collect()
+    )
+    total = sum(c for _, c in rows)
+    out = {}
+    for q in qs:
+        target = q * total
+        run = 0
+        est = hi
+        for b, c in rows:
+            if run + c >= target and c > 0:
+                frac = (target - run) / c
+                est = lo + (b + frac) * width
+                break
+            run += c
+        out[q] = est
+    return out

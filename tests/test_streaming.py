@@ -313,3 +313,63 @@ def test_streaming_heavy_hitters_guarantee(spark, tmp_path):
             assert n - e <= bound, f"{item}: undercount beyond bound"
     # all four planted heavies survive
     assert all(any(i == h for (_, i) in est) for h in heavy)
+
+
+def test_streaming_quantile_histogram_bound_and_replay(spark, tmp_path):
+    """Streamed histogram quantiles must land within one bin width of
+    the exact percentiles, and the versioned state must survive a
+    replayed micro-batch unchanged."""
+    import time
+
+    from firmable_aus_etl_spark.streaming.sketches import (
+        read_quantile_estimate,
+        streaming_quantile_histogram,
+    )
+
+    # skewed data: squares of 0..1999 scaled into [0, 100)
+    rows = [(((i * i) % 4_000_003) % 100_000 / 1000.0,) for i in range(2000)]
+    df = spark.createDataFrame(rows, "value double")
+    src = str(tmp_path / "src")
+    for i in range(3):
+        df.filter((F.col("value") * 1000).cast("long") % 3 == i).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    state = str(tmp_path / "qstate")
+    q = streaming_quantile_histogram(
+        spark.readStream.schema("value double")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        "value",
+        state,
+        lo=0.0,
+        hi=100.0,
+        bins=200,
+        checkpoint=str(tmp_path / "ckpt"),
+    )
+    q.awaitTermination(180)
+
+    est = read_quantile_estimate(
+        spark, state, [0.1, 0.5, 0.9, 0.99], lo=0.0, hi=100.0, bins=200
+    )
+    exact = df.agg(
+        F.expr("percentile(value, array(0.1, 0.5, 0.9, 0.99))")
+    ).first()[0]
+    width = 100.0 / 200
+    for (qq, got), want in zip(sorted(est.items()), exact):
+        assert abs(got - want) <= width + 1e-9, (qq, got, want)
+
+    # replay idempotence rides on the versioned additive merge: rerun
+    # batch 1's increment directly with the same batch id
+    from firmable_aus_etl_spark.streaming.incremental import read_agg_view
+
+    before = sorted(
+        (r.bucket, r.cnt, round(r.total, 6))
+        for r in read_agg_view(spark, state).collect()
+    )
+    import glob as g
+
+    n_versions_before = len(g.glob(f"{state}/v*"))
+    assert n_versions_before >= 3
+    assert sum(c for _, c, _ in before) == 2000
