@@ -15,11 +15,13 @@ from firmable_aus_etl_spark.streaming.ops import (
 )
 from firmable_aus_etl_spark.streaming.incremental import (  # noqa: F401
     incremental_agg_stream,
+    incremental_distinct_stream,
     ingest_embeddings_increment,
     ingest_embeddings_stream,
     ingest_increment,
     ingest_stream,
     read_agg_view,
+    read_distinct_view,
     read_vector_corpus,
 )
 from firmable_aus_etl_spark.streaming.sketches import (  # noqa: F401

@@ -488,3 +488,79 @@ def ingest_embeddings_stream(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def incremental_distinct_stream(
+    stream: DataFrame,
+    state_dir: str,
+    *,
+    keys: list[str],
+    value_col: str,
+    checkpoint: str,
+    lgk: int = 12,
+):
+    """Incrementally-maintained DISTINCT-count view via HLL sketch
+    union — the mergeable answer to "distinct users per key over an
+    unbounded stream": exact incremental distinct needs O(distinct)
+    state per key; an HLL sketch is a fixed ~2^lgk-byte binary whose
+    union is associative/commutative/idempotent-in-distribution, so
+    each micro-batch contributes ``hll_sketch_agg`` partials and the
+    view merges them with ``hll_union`` under the same
+    batch-id-versioned scheme as incremental_agg_stream (replay
+    re-derives from the same parent -> idempotent).
+
+    Read with ``read_distinct_view``: hll_sketch_estimate per key
+    (standard error ~1.04/sqrt(2^lgk): ~1.6% at the default lgk=12).
+    """
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        part = batch.groupBy(*keys).agg(
+            F.hll_sketch_agg(value_col, F.lit(lgk)).alias("sketch")
+        )
+        parents = [
+            v
+            for d in glob.glob(os.path.join(state_dir, "v*"))
+            if (m := re.fullmatch(r"v(\d+)", os.path.basename(d)))
+            and (v := int(m.group(1))) < batch_id
+            and os.path.exists(os.path.join(d, "_SUCCESS"))
+        ]
+        if parents:
+            prev = spark.read.parquet(os.path.join(state_dir, f"v{max(parents)}"))
+            merged = (
+                prev.select(*keys, F.col("sketch").alias("p_sketch"))
+                .join(part, keys, "full_outer")
+                .select(
+                    *keys,
+                    F.when(
+                        F.col("p_sketch").isNull(), F.col("sketch")
+                    )
+                    .when(F.col("sketch").isNull(), F.col("p_sketch"))
+                    .otherwise(
+                        F.hll_union(F.col("p_sketch"), F.col("sketch"))
+                    )
+                    .alias("sketch"),
+                )
+            )
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_distinct_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest distinct-count estimates: one row per key with
+    ``approx_distinct`` from the merged sketch."""
+    df = read_agg_view(spark, state_dir)
+    keys = [c for c in df.columns if c != "sketch"]
+    return df.select(
+        *keys, F.hll_sketch_estimate("sketch").alias("approx_distinct")
+    )

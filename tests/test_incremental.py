@@ -341,3 +341,48 @@ def test_vec_streaming_wrapper_drives_same_state(spark, vec_corpus, tmp_path):
     q.awaitTermination(180)
     got = {r.vec_id for r in spark.read.parquet(f"{state}/vectors").collect()}
     assert got == _vec_recompute_survivors(vec_corpus)
+
+
+def test_incremental_distinct_view_accuracy_and_merge(spark, tmp_path):
+    """HLL-merged distinct counts across micro-batches must track the
+    exact distinct within sketch error, including keys whose values
+    REPEAT across batches (union, not sum)."""
+    import time
+
+    from firmable_aus_etl_spark.streaming.incremental import (
+        incremental_distinct_stream,
+        read_distinct_view,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_type", "user_id")
+    src = str(tmp_path / "dsrc")
+    # split by row hash so the same (type, user) pairs recur in
+    # multiple batches — a sum-based merge would overcount
+    for i in range(3):
+        ev.filter(F.pmod(F.xxhash64("user_id") + i, F.lit(3)) != 0).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    state = str(tmp_path / "dstate")
+    q = incremental_distinct_stream(
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        state,
+        keys=["event_type"],
+        value_col="user_id",
+        checkpoint=str(tmp_path / "dckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = {r.event_type: r.approx_distinct for r in read_distinct_view(spark, state).collect()}
+    want = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.count_distinct("user_id").alias("d"))
+        .collect()
+    }
+    assert set(got) == set(want)
+    for k in want:
+        assert abs(got[k] - want[k]) <= max(2, 0.05 * want[k]), (k, got[k], want[k])
