@@ -575,3 +575,44 @@ def ivf_index_topk(
         keep_rank=True,
         rank_col="rank",
     ).drop("__qv", "__cv")
+
+
+def semantic_dedup_pairs(
+    corpus: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    threshold: float = 0.99,
+) -> DataFrame:
+    """SemDeDup-style cluster-blocked embedding dedup (Abbas et al.,
+    "SemDeDup: Data-efficient learning at web-scale through semantic
+    deduplication", 2023): assign every vector to its nearest centroid,
+    compare pairs ONLY within a cell, keep pairs with cosine >=
+    threshold. Emits (a_id, b_id, cell, cosine), a_id < b_id.
+
+    The alternative blocking strategy to sign-LSH banding
+    (cosine_near_dup_pairs): one equi-join on the cell id instead of
+    (table, signature) buckets — coarser blocks, no banding overhead,
+    and the known SemDeDup recall trade: a near-dup pair straddling a
+    cell boundary is missed (by design; raise n_cells for smaller
+    cells, or use the LSH path when recall must be provable).
+    Deterministic given centroid literals, so fully SQL-expressible."""
+    assigned = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        ivf_assign(F.col(vec_col), centroids, nprobe=1)[0].alias("cell"),
+    )
+    a = assigned.select(
+        F.col("__id").alias("a_id"), F.col("__v").alias("__av"), "cell"
+    )
+    b = assigned.select(
+        F.col("__id").alias("b_id"), F.col("__v").alias("__bv"), "cell"
+    )
+    return (
+        a.join(b, on=["cell"])
+        .where(F.col("a_id") < F.col("b_id"))
+        .withColumn("cosine", cosine(F.col("__av"), F.col("__bv")))
+        .where(F.col("cosine") >= threshold)
+        .select("a_id", "b_id", "cell", "cosine")
+    )

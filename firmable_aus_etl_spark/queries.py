@@ -5308,3 +5308,91 @@ def q_nation_share_of_region_revenue(spark: SparkSession, sf_dir: str) -> DataFr
             ).alias("share_of_region"),
         )
     )
+
+
+def _semantic_dedup_oracle(dim: int, n_cells: int, seed: int, threshold: float) -> str:
+    """SemDeDup twin: fixed unit centroids as literals; cell = argmax
+    dot (ties -> lower cell id); pairs within a cell, cosine-verified.
+    Same contaminated corpus as embedding_cosine_near_dups."""
+    from firmable_aus_etl_spark.functions.vectors import make_planes
+
+    raw = make_planes(dim, n_cells, seed=seed)
+    cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw]
+    values = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[])"
+        for i, v in enumerate(cents)
+    )
+    return f"""
+WITH cent(cell, cvec) AS (VALUES {values}),
+raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           / 127.0 AS scale
+  FROM embeddings
+),
+corpus AS (
+  SELECT vec_id AS id, v FROM raw WHERE scale > 0
+  UNION ALL
+  SELECT vec_id + 1000000 AS id,
+         list_transform(v, x -> floor(x / scale + 0.5) * scale) AS v
+  FROM raw WHERE scale > 0
+),
+dots AS (
+  SELECT c.id, cent.cell, list_dot_product(c.v, cent.cvec) AS d
+  FROM corpus c CROSS JOIN cent
+),
+ranked AS (SELECT id, cell, row_number() OVER (PARTITION BY id
+                                               ORDER BY d DESC, cell) AS rn
+           FROM dots),
+assign AS (SELECT id, cell FROM ranked WHERE rn = 1),
+pairs AS (
+  SELECT a.id AS a_id, b.id AS b_id, a.cell AS cell
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.id < b.id
+)
+SELECT a_id, b_id, cell,
+       list_cosine_similarity(ca.v, cb.v) AS cosine
+FROM pairs JOIN corpus ca ON a_id = ca.id JOIN corpus cb ON b_id = cb.id
+WHERE list_cosine_similarity(ca.v, cb.v) >= {threshold!r}
+"""
+
+
+@register("semantic_dedup_cell_blocked", _semantic_dedup_oracle(64, 16, 7, 0.99))
+def q_semantic_dedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped dedup (cluster-blocked): the same
+    int8-round-trip-contaminated corpus as embedding_cosine_near_dups,
+    blocked by nearest-centroid CELL instead of LSH buckets — one
+    equi-join on the cell id, exact cosine verify within cells. Fixed
+    seeded centroids make the whole pipeline SQL-expressible (the
+    k-means-trained variant swaps in kmeans_centroids and keeps the
+    identical plan). Recall trade documented on semantic_dedup_pairs:
+    boundary-straddling pairs are missed by design — here the twin
+    pairs sit at angle ~0 so every one lands in its original's cell."""
+    from firmable_aus_etl_spark.functions import vectors as V
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    raw_planes = V.make_planes(64, 16, seed=7)
+    cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw_planes]
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x)),
+        F.lit(0.0).cast("float"),
+        lambda acc, x: F.greatest(acc, x),
+    ).cast("double") / 127.0
+    raw = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        scale.alias("scale"),
+    ).where(F.col("scale") > 0)
+    twins = raw.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("double") * F.col("scale")
+        ).alias("v"),
+    )
+    corpus = ensure_parallelism(
+        raw.select("vec_id", "v").unionByName(twins), "vec_id"
+    )
+    return V.semantic_dedup_pairs(
+        corpus, cents, id_col="vec_id", vec_col="v", threshold=0.99
+    )

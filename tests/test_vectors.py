@@ -249,3 +249,33 @@ def test_cosine_near_dup_pairs_deterministic(spark):
         df, dim=3, threshold=0.9, n_planes=3, n_tables=4
     ).collect()))
     assert a == b
+
+
+def test_semantic_dedup_within_cell_only(spark):
+    # corpus: 30 separated vectors + a tiny perturbation of each —
+    # cluster blocking must find pairs whose twin lands in the same
+    # cell and ONLY those (subset of the LSH path's pairs)
+    state, rows = 19, []
+    for i in range(30):
+        vec = []
+        for _ in range(16):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            vec.append(state / float(1 << 31) - 0.5)
+        rows.append((i, vec))
+        rows.append((i + 1000, [x + 1e-4 for x in vec]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    raw = V.make_planes(16, 8, seed=5)
+    cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw]
+
+    sem = {(r.a_id, r.b_id) for r in V.semantic_dedup_pairs(
+        df, cents, threshold=0.99
+    ).collect()}
+    lsh = {(r.a_id, r.b_id) for r in V.cosine_near_dup_pairs(
+        df, dim=16, threshold=0.99, n_planes=4, n_tables=8, seed=3
+    ).collect()}
+    truth = {(i, i + 1000) for i in range(30)}
+    assert lsh == truth
+    # cell blocking: every found pair is true, near-total recall, and
+    # the only legitimate misses are cell-boundary straddles
+    assert sem <= truth
+    assert len(sem) >= len(truth) - 3
