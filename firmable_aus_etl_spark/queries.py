@@ -5396,3 +5396,91 @@ def q_semantic_dedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     return V.semantic_dedup_pairs(
         corpus, cents, id_col="vec_id", vec_col="v", threshold=0.99
     )
+
+
+def _gopher_oracle() -> str:
+    from firmable_aus_etl_spark.functions.text import STOPWORDS
+
+    all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    lst = ", ".join(f"'{w}'" for w in all_sw)
+    return f"""
+    WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    m AS (
+      SELECT doc_id,
+             CAST(len(w) AS BIGINT) AS n_words,
+             CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE)
+               / CAST(greatest(len(w), 1) AS DOUBLE) AS avg_wlen,
+             CAST(len(list_distinct(list_filter(w, t -> t IN ({lst})))) AS BIGINT)
+               AS n_stop,
+             CAST(len(list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                              i -> w[i] || ' ' || w[i+1]))
+               - len(list_distinct(
+                   list_transform(generate_series(1, greatest(len(w) - 1, 1)),
+                                  i -> w[i] || ' ' || w[i+1]))) AS DOUBLE)
+               / CAST(greatest(len(w) - 1, 1) AS DOUBLE) AS dup_bigram_frac
+      FROM d
+    )
+    SELECT doc_id, n_words, dup_bigram_frac,
+           n_words BETWEEN 10 AND 100000 AS r_wordcount,
+           avg_wlen BETWEEN 3.0 AND 10.0 AS r_avg_word_len,
+           n_stop >= 2 AS r_stopwords,
+           dup_bigram_frac < 0.4 AS r_low_repetition,
+           (n_words BETWEEN 10 AND 100000) AND (avg_wlen BETWEEN 3.0 AND 10.0)
+             AND n_stop >= 2 AND dup_bigram_frac < 0.4 AS keep
+    FROM m
+    """
+
+
+@register("gopher_rules_documents", _gopher_oracle())
+def q_gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule filter (Rae et al. 2021, §A1.1, bounds adapted
+    to the synthetic corpus' short docs): per-document word-count band,
+    mean-word-length band, distinct-stopword floor, duplicate-bigram
+    ceiling — emitted as PER-RULE booleans plus the conjunctive keep
+    flag, the shape a curation pipeline audits (why was this dropped?)
+    rather than a bare filter. One scan, all expressions; the
+    dup-bigram fraction reuses the Gopher repetition definition from
+    doc_repetition_scores."""
+    from firmable_aus_etl_spark.functions.text import STOPWORDS, tokens, word_ngrams
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
+    n = F.size(toks).cast("long")
+    avg_wlen = (
+        F.aggregate(toks, F.lit(0).cast("long"), lambda a, t: a + F.length(t)).cast(
+            "double"
+        )
+        / F.greatest(n, F.lit(1)).cast("double")
+    )
+    n_stop = F.size(
+        F.array_distinct(
+            F.filter(toks, lambda t: t.isin(*all_sw))
+        )
+    ).cast("long")
+    bi = word_ngrams(F.col("text"), 2)
+    dup_frac = (
+        (F.size(bi) - F.size(F.array_distinct(bi))).cast("double")
+        / F.greatest(F.size(bi), F.lit(1)).cast("double")
+    )
+    m = docs.select(
+        "doc_id",
+        n.alias("n_words"),
+        avg_wlen.alias("avg_wlen"),
+        n_stop.alias("n_stop"),
+        dup_frac.alias("dup_bigram_frac"),
+    )
+    r_wc = (F.col("n_words") >= 10) & (F.col("n_words") <= 100000)
+    r_wl = (F.col("avg_wlen") >= 3.0) & (F.col("avg_wlen") <= 10.0)
+    r_sw = F.col("n_stop") >= 2
+    r_rep = F.col("dup_bigram_frac") < 0.4
+    return m.select(
+        "doc_id",
+        "n_words",
+        "dup_bigram_frac",
+        r_wc.alias("r_wordcount"),
+        r_wl.alias("r_avg_word_len"),
+        r_sw.alias("r_stopwords"),
+        r_rep.alias("r_low_repetition"),
+        (r_wc & r_wl & r_sw & r_rep).alias("keep"),
+    )
