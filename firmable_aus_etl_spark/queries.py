@@ -5484,3 +5484,87 @@ def q_gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         r_rep.alias("r_low_repetition"),
         (r_wc & r_wl & r_sw & r_rep).alias("keep"),
     )
+
+
+def _minhash_estimate_oracle(num_hashes: int = 16, bands: int = 8) -> str:
+    """Extend the portable-minhash twin: per-position signature
+    agreement (the unbiased Jaccard estimator) NEXT TO the exact
+    Jaccard on every candidate pair."""
+    base = _portable_minhash_oracle(num_hashes=num_hashes, bands=bands)
+    est_terms = " + ".join(
+        f"CASE WHEN x.s{i} = y.s{i} THEN 1 ELSE 0 END" for i in range(num_hashes)
+    )
+    return base.replace(
+        "\n    SELECT a_id, b_id FROM cand",
+        f""",
+    est AS (
+      SELECT c.a_id, c.b_id,
+             CAST({est_terms} AS DOUBLE) / {num_hashes}.0 AS est_jaccard
+      FROM cand c JOIN sig x ON c.a_id = x.doc_id JOIN sig y ON c.b_id = y.doc_id
+    ),
+    ver AS (
+      SELECT c.a_id, c.b_id,
+             CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE) AS inter,
+             CAST(len(x.shl) + len(y.shl) AS DOUBLE) AS szs
+      FROM cand c JOIN sh x ON c.a_id = x.doc_id JOIN sh y ON c.b_id = y.doc_id
+    )
+    SELECT e.a_id, e.b_id, e.est_jaccard,
+           v.inter / (v.szs - v.inter) AS jaccard
+    FROM est e JOIN ver v ON e.a_id = v.a_id AND e.b_id = v.b_id
+    """,
+    )
+
+
+@register("minhash_jaccard_estimates", _minhash_estimate_oracle())
+def q_minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The MinHash ESTIMATOR made visible: for every LSH candidate pair,
+    the per-position signature agreement fraction (an unbiased Jaccard
+    estimate, Broder 1997) next to the exact shingle-set Jaccard — the
+    audit view for tuning num_hashes/bands (how wrong is the sketch on
+    MY corpus?). Portable md5 hash family, so DuckDB replays signatures,
+    candidates, estimates AND exact values bit-for-bit."""
+    from firmable_aus_etl_spark.operators.dedup import (
+        minhash_lsh_pairs,
+        minhash_signature_from,
+        shingle_frame,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    cand = minhash_lsh_pairs(
+        docs, "doc_id", "text", num_hashes=16, bands=8, shingle_n=3, portable=True
+    )
+    sh = shingle_frame(docs, "doc_id", "text", shingle_n=3)
+    sig = sh.select(
+        "__id",
+        "__sh",
+        minhash_signature_from(F.col("__sh"), num_hashes=16, portable=True).alias(
+            "__sig"
+        ),
+    )
+    a = sig.select(
+        F.col("__id").alias("a_id"),
+        F.col("__sh").alias("__sh_a"),
+        F.col("__sig").alias("__sig_a"),
+    )
+    b = sig.select(
+        F.col("__id").alias("b_id"),
+        F.col("__sh").alias("__sh_b"),
+        F.col("__sig").alias("__sig_b"),
+    )
+    est = F.aggregate(
+        F.zip_with("__sig_a", "__sig_b", lambda x, y: (x == y).cast("int")),
+        F.lit(0),
+        lambda acc, v: acc + v,
+    ).cast("double") / 16.0
+    inter = F.size(F.array_intersect("__sh_a", "__sh_b")).cast("double")
+    szs = (F.size("__sh_a") + F.size("__sh_b")).cast("double")
+    return (
+        cand.join(a, "a_id")
+        .join(b, "b_id")
+        .select(
+            "a_id",
+            "b_id",
+            est.alias("est_jaccard"),
+            (inter / (szs - inter)).alias("jaccard"),
+        )
+    )
