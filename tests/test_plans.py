@@ -334,3 +334,28 @@ def test_embedding_near_dups_bucket_join_no_cartesian(spark):
     plan = plans.physical_plan(df)
     assert "CartesianProduct" not in plan and "BroadcastNestedLoop" not in plan, plan
     assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_scaling_dims_not_force_broadcast(spark):
+    """100 TB broadcast policy: part/supplier-derived sides carry NO
+    broadcast hint (stats/AQE elect it locally); only fixed-size dims
+    (nation/region, one-row scalars) are hinted. With auto-broadcast
+    disabled, the scaling sides must degrade to shuffle joins while
+    hinted dims still broadcast."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        for q in ("supplier_breadth_parts", "max_revenue_suppliers",
+                  "excess_volume_suppliers"):
+            plan = plans.physical_plan(QUERIES[q](spark, SF))
+            # every remaining broadcast must come from an explicit hint
+            # on a fixed-size frame (scalar max / nation / region),
+            # never the part/supplier fact-scaling sides
+            assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, (q, plan)
+        q9 = plans.physical_plan(QUERIES["product_profit_by_nation_year"](spark, SF))
+        assert "SortMergeJoin" in q9 or "ShuffledHashJoin" in q9
+        # fixed dims stay broadcast via their hints even at threshold -1
+        q5 = plans.physical_plan(QUERIES["revenue_by_nation"](spark, SF))
+        assert "BroadcastHashJoin" in q5
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
