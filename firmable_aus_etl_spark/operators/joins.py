@@ -428,3 +428,55 @@ def apply_cdc(
                 .alias(col)
             )
     return joined.filter(~deleted).select(*out_cols)
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    *,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    by: Sequence[str] = (),
+    bucket_seconds: int = 3600,
+) -> DataFrame:
+    """Interval-overlap join ([ls,le] ∩ [rs,re] ≠ ∅) as a binned
+    equi-join — the two-sided generalization of point_in_interval_join.
+
+    Both sides explode into the time buckets they cover; the join is an
+    equi-join on (by..., bucket) + the exact overlap predicate. A pair
+    whose intervals share SEVERAL buckets would duplicate, so each pair
+    is emitted only in its FIRST shared bucket — the bucket containing
+    max(ls, rs) — which dedups with a plain filter instead of a
+    distinct (no second shuffle; the same trick MapReduce spatial joins
+    use for grid-cell dedup). Shuffle volume is |L|·avg_buckets +
+    |R|·avg_buckets; pick bucket_seconds near the typical interval
+    length so avg_buckets stays ~2.
+    """
+    by = list(by)
+    w = F.lit(int(bucket_seconds))
+
+    def bucketed(df: DataFrame, s: str, e: str, alias: str) -> DataFrame:
+        bks = F.sequence(
+            F.floor(F.unix_timestamp(F.col(s)) / w),
+            F.floor(F.unix_timestamp(F.col(e)) / w),
+        )
+        return df.withColumn("__bucket", F.explode(bks)).alias(alias)
+
+    l = bucketed(left, left_start, left_end, "l")
+    r = bucketed(right, right_start, right_end, "r")
+    cond = [F.col(f"l.{b}") == F.col(f"r.{b}") for b in by]
+    cond.append(F.col("l.__bucket") == F.col("r.__bucket"))
+    ls, le = F.col(f"l.{left_start}"), F.col(f"l.{left_end}")
+    rs, re_ = F.col(f"r.{right_start}"), F.col(f"r.{right_end}")
+    first_shared = F.floor(
+        F.unix_timestamp(F.greatest(ls, rs)) / w
+    )
+    out = l.join(r, on=cond).filter(
+        (ls <= re_) & (rs <= le) & (F.col("l.__bucket") == first_shared)
+    )
+    keep = [F.col(f"l.{c}") for c in left.columns] + [
+        F.col(f"r.{c}") for c in right.columns if c not in (*by, "__bucket")
+    ]
+    return out.select(*keep)

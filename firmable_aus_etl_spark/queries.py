@@ -5568,3 +5568,57 @@ def q_minhash_jaccard_estimates(spark: SparkSession, sf_dir: str) -> DataFrame:
             (inter / (szs - inter)).alias("jaccard"),
         )
     )
+
+
+@register(
+    "overlapping_activity_windows",
+    """
+    WITH e AS (
+      SELECT event_id AS a_id, ts AS a_start, ts + INTERVAL 30 MINUTE AS a_end
+      FROM events WHERE event_type = 'error'
+    ),
+    p AS (
+      SELECT event_id AS b_id, ts AS b_start, ts + INTERVAL 30 MINUTE AS b_end
+      FROM events WHERE event_type = 'purchase'
+    )
+    SELECT a_id, b_id,
+           CAST(epoch_us(least(a_end, b_end)) - epoch_us(greatest(a_start, b_start))
+                AS BIGINT) AS overlap_us
+    FROM e JOIN p ON a_start <= b_end AND b_start <= a_end
+    """,
+)
+def q_overlapping_activity_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNKEYED interval-overlap join: every (error, purchase) pair
+    whose 30-minute activity windows intersect, with the exact overlap
+    in microseconds. The oracle keeps the naive inequality join (which
+    Spark would execute as an undistributable nested loop); the engine
+    runs the binned equi-join with first-shared-bucket dedup —
+    hash-partitioned, no distinct, no nested loop (plan-tested)."""
+    from firmable_aus_etl_spark.operators.joins import interval_overlap_join
+
+    ev = load_table(spark, sf_dir, "events")
+    win = F.expr("INTERVAL 30 MINUTES")
+    e = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("a_id"),
+        F.col("ts").alias("a_start"),
+        (F.col("ts") + win).alias("a_end"),
+    )
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("b_id"),
+        F.col("ts").alias("b_start"),
+        (F.col("ts") + win).alias("b_end"),
+    )
+    out = interval_overlap_join(
+        e, p,
+        left_start="a_start", left_end="a_end",
+        right_start="b_start", right_end="b_end",
+        bucket_seconds=1800,
+    )
+    return out.select(
+        "a_id",
+        "b_id",
+        (
+            F.unix_micros(F.least("a_end", "b_end"))
+            - F.unix_micros(F.greatest("a_start", "b_start"))
+        ).alias("overlap_us"),
+    )

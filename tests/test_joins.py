@@ -287,3 +287,55 @@ def test_apply_cdc_semantics(spark):
         2: ("b2", 21.0),    # updated
         4: ("d", 40.0),     # inserted
     }                       # 3 deleted
+
+
+def test_interval_overlap_join_matches_brute_force(spark):
+    from firmable_aus_etl_spark.operators.joins import interval_overlap_join
+
+    # intervals engineered to span MANY buckets (width 10s, bucket 3s)
+    # so the first-shared-bucket dedup is exercised hard
+    lrows = [(i, i * 4, i * 4 + 10) for i in range(40)]
+    rrows = [(100 + i, i * 5 + 2, i * 5 + 9) for i in range(40)]
+    mk = lambda rows, a, s, e: spark.createDataFrame(
+        rows, f"{a} long, __s long, __e long"
+    ).select(
+        F.col(a),
+        F.timestamp_seconds(F.col("__s")).alias(s),
+        F.timestamp_seconds(F.col("__e")).alias(e),
+    )
+    left = mk(lrows, "a_id", "ls", "le")
+    right = mk(rrows, "b_id", "rs", "re")
+    got = {
+        (r.a_id, r.b_id)
+        for r in interval_overlap_join(
+            left, right,
+            left_start="ls", left_end="le",
+            right_start="rs", right_end="re",
+            bucket_seconds=3,
+        ).collect()
+    }
+    want = {
+        (a, bid)
+        for a, als, ale in lrows
+        for bid, brs, bre in rrows
+        if als <= bre and brs <= ale
+    }
+    assert got == want and len(got) > 0
+    # no duplicate pairs despite multi-bucket spans
+    rows = interval_overlap_join(
+        left, right,
+        left_start="ls", left_end="le",
+        right_start="rs", right_end="re",
+        bucket_seconds=3,
+    ).collect()
+    assert len(rows) == len({(r.a_id, r.b_id) for r in rows})
+
+
+def test_interval_overlap_join_no_nested_loop(spark):
+    from firmable_aus_etl_spark import plans
+    from firmable_aus_etl_spark.queries import QUERIES
+
+    plan = plans.physical_plan(
+        QUERIES["overlapping_activity_windows"](spark, "/root/testdata/sf0.001")
+    )
+    assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
