@@ -45,6 +45,9 @@ HEADLINE = [
     "remove_repeated_segments",   # C4-style cross-doc segment removal
     "embedding_cosine_near_dups",  # LSH-banded vector dedup + verify
     "suppliers_kept_waiting",     # decorrelated EXISTS/NOT-EXISTS depth join
+    "semantic_dedup_cell_blocked",  # cluster-blocked (SemDeDup) vector dedup
+    "gopher_rules_documents",     # composed quality rule-set scan
+    "overlapping_activity_windows",  # two-sided binned interval-overlap join
 ]
 
 

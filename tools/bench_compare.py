@@ -62,6 +62,12 @@ COMPARE = [
     "forecast_revenue_change",
     "min_cost_supplier_per_part",
     "excess_volume_suppliers",
+    "semantic_dedup_cell_blocked",
+    "gopher_rules_documents",
+    "overlapping_activity_windows",
+    "interpolate_daily_revenue",
+    "minhash_jaccard_estimates",
+    "user_event_profiles",
 ]
 
 
