@@ -598,11 +598,42 @@ def semantic_dedup_pairs(
     cell boundary is missed (by design; raise n_cells for smaller
     cells, or use the LSH path when recall must be provable).
     Deterministic given centroid literals, so fully SQL-expressible."""
-    assigned = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.col(vec_col).alias("__v"),
-        ivf_assign(F.col(vec_col), centroids, nprobe=1)[0].alias("cell"),
+    # Assignment via posexplode + broadcast centroid join + one
+    # groupBy(id, cell) sum — the same all-codegen shape as the k-means
+    # centroid update (cell_means): higher-order fold expressions run
+    # INTERPRETED and re-evaluate per reference (measured 6 s to assign
+    # 2,000 vectors to 64 cells), and unrolling 64x64 literal terms
+    # OOMs janino codegen; the exploded join streams N*k*d narrow rows
+    # through whole-stage codegen instead and scales with executors.
+    # Argmax = max of (d, -cell) struct: highest dot, ties to the
+    # LOWEST cell id, matching the SQL twin's ORDER BY d DESC, cell.
+    spark = corpus.sparkSession
+    cent_pos = spark.createDataFrame(
+        [
+            (i, pos, float(x))
+            for i, c in enumerate(centroids)
+            for pos, x in enumerate(c)
+        ],
+        "cell int, pos int, cval double",
     )
+    vpos = corpus.select(
+        F.col(id_col).alias("__id"),
+        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+            "pos", "val"
+        ),
+    )
+    dots = (
+        vpos.join(F.broadcast(cent_pos), "pos")
+        .groupBy("__id", "cell")
+        .agg(F.sum(F.col("val") * F.col("cval")).alias("d"))
+    )
+    best = dots.groupBy("__id").agg(
+        F.max(F.struct(F.col("d").alias("d"), (-F.col("cell")).alias("nc"))).alias("m")
+    )
+    cells = best.select("__id", (-F.col("m.nc")).cast("int").alias("cell"))
+    assigned = corpus.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+    ).join(cells, "__id")
     a = assigned.select(
         F.col("__id").alias("a_id"), F.col("__v").alias("__av"), "cell"
     )

@@ -5356,7 +5356,7 @@ WHERE list_cosine_similarity(ca.v, cb.v) >= {threshold!r}
 """
 
 
-@register("semantic_dedup_cell_blocked", _semantic_dedup_oracle(64, 16, 7, 0.99))
+@register("semantic_dedup_cell_blocked", _semantic_dedup_oracle(64, 64, 7, 0.99))
 def q_semantic_dedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup-shaped dedup (cluster-blocked): the same
     int8-round-trip-contaminated corpus as embedding_cosine_near_dups,
@@ -5365,12 +5365,13 @@ def q_semantic_dedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     seeded centroids make the whole pipeline SQL-expressible (the
     k-means-trained variant swaps in kmeans_centroids and keeps the
     identical plan). Recall trade documented on semantic_dedup_pairs:
-    boundary-straddling pairs are missed by design — here the twin
-    pairs sit at angle ~0 so every one lands in its original's cell."""
+    boundary-straddling pairs are missed by design — on this corpus
+    497/500 twin pairs share a cell; the 3 straddles are the
+    demonstrated trade vs the LSH path's 500/500."""
     from firmable_aus_etl_spark.functions import vectors as V
     from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
-    raw_planes = V.make_planes(64, 16, seed=7)
+    raw_planes = V.make_planes(64, 64, seed=7)
     cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw_planes]
 
     emb = load_table(spark, sf_dir, "embeddings")
