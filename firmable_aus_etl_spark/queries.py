@@ -5443,8 +5443,10 @@ def q_gopher_rules_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     dup-bigram fraction reuses the Gopher repetition definition from
     doc_repetition_scores."""
     from firmable_aus_etl_spark.functions.text import STOPWORDS, tokens, word_ngrams
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
-    docs = load_table(spark, sf_dir, "documents")
+    # heavy text HOFs: decouple from the single-file input layout
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
     toks = tokens(F.col("text"))
     all_sw = sorted({w for ws in STOPWORDS.values() for w in ws})
     n = F.size(toks).cast("long")
