@@ -5625,3 +5625,56 @@ def q_overlapping_activity_windows(spark: SparkSession, sf_dir: str) -> DataFram
             - F.unix_micros(F.greatest("a_start", "b_start"))
         ).alias("overlap_us"),
     )
+
+
+@register(
+    "asof_next_purchase_within_hour",
+    """
+    WITH e AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'error'
+    ), p AS (
+      SELECT event_id AS purchase_event_id, user_id, ts,
+             value AS purchase_value
+      FROM events WHERE event_type = 'purchase'
+    ), m AS (
+      SELECT e.event_id, e.user_id, p.purchase_event_id, p.purchase_value,
+             row_number() OVER (
+               PARTITION BY e.event_id
+               ORDER BY p.ts ASC, p.purchase_event_id DESC) AS rn
+      FROM e LEFT JOIN p
+        ON e.user_id = p.user_id AND p.ts >= e.ts
+       AND p.ts <= e.ts + INTERVAL 1 HOUR
+    )
+    SELECT event_id, user_id, purchase_event_id, purchase_value
+    FROM m WHERE rn = 1
+    """,
+)
+def q_asof_next_purchase_within_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join with tolerance: for each error, the same
+    user's NEXT purchase within one hour (null beyond it) — the
+    recovery-time / attribution shape. Exercises the forward direction
+    and the tolerance gate of the union+window merge on the driver's
+    oracle path (backward is asof_error_last_purchase); same
+    single-shuffle |L|+|R| plan, ties pinned to the greatest
+    purchase id."""
+    ev = load_table(spark, sf_dir, "events")
+    errors = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", "ts"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    out = joins.asof_join(
+        errors,
+        purchases,
+        on="ts",
+        by=["user_id"],
+        value_cols=["purchase_event_id", "purchase_value"],
+        direction="forward",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+        tiebreak="purchase_event_id",
+    )
+    return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")
