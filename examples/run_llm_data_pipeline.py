@@ -48,6 +48,19 @@ def main() -> None:
         T.token_count("text").alias("n_tokens"),
     )
 
+    # 1b. rule audit: the Gopher rule-set with per-rule reason flags —
+    #     the "why would this doc be dropped" view a curation run keeps
+    from firmable_aus_etl_spark.queries import QUERIES
+
+    rules = QUERIES["gopher_rules_documents"](spark, sf_dir)
+    rule_fails = rules.agg(
+        *[
+            F.sum((~F.col(c)).cast("long")).alias(c)
+            for c in ("r_wordcount", "r_avg_word_len", "r_stopwords", "r_low_repetition")
+        ],
+        F.sum((~F.col("keep")).cast("long")).alias("dropped"),
+    ).first()
+
     # 2. filter: keep identifiable-language, low-repetition, quality docs
     kept = scored.filter(
         (F.col("lang_detected") != "und")
@@ -140,6 +153,8 @@ def main() -> None:
 
     n_kept, n_clean = kept.count(), final.count()
     n_chunks, n_examples = chunks.count(), examples.count()
+    print("=== gopher rule audit (fail counts) ===")
+    print({k: rule_fails[k] for k in rule_fails.asDict()})
     print("=== corpus funnel ===")
     print(f"ingested:          {n0}")
     print(f"after filters:     {n_kept}")
