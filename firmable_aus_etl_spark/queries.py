@@ -5678,3 +5678,96 @@ def q_asof_next_purchase_within_hour(spark: SparkSession, sf_dir: str) -> DataFr
         tiebreak="purchase_event_id",
     )
     return out.select("event_id", "user_id", "purchase_event_id", "purchase_value")
+
+
+@register(
+    "yoy_revenue_growth_by_nation",
+    """
+    WITH rev AS (
+      SELECT n_name, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS rev_c
+      FROM orders
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation ON c_nationkey = n_nationkey
+      GROUP BY 1, 2
+    )
+    SELECT n_name, o_year,
+           CAST(rev_c AS DOUBLE) / 100.0 AS revenue,
+           CAST(rev_c - lag(rev_c) OVER w AS DOUBLE)
+             / CAST(lag(rev_c) OVER w AS DOUBLE) AS yoy_growth
+    FROM rev
+    WINDOW w AS (PARTITION BY n_name ORDER BY o_year)
+    """,
+)
+def q_yoy_revenue_growth_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year growth: yearly revenue per nation, then lag over
+    the ALREADY-aggregated (nation, year) frame — the BI growth shape
+    where the window never touches the fact table (25 nations x 7
+    years = 175 rows under the window). First year per nation is null
+    growth. Integer-cents numerator/denominator -> the ratio is the
+    same double in both engines."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice", "o_orderdate"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nation = F.broadcast(
+        load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    )
+    rev = (
+        orders.join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(nation, F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("o_orderdate").alias("o_year"))
+        .agg(F.sum(_cents(F.col("o_totalprice"), 2)).alias("rev_c"))
+    )
+    w = Window.partitionBy("n_name").orderBy("o_year")
+    prev = F.lag("rev_c").over(w)
+    return rev.select(
+        "n_name",
+        "o_year",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        ((F.col("rev_c") - prev).cast("double") / prev.cast("double")).alias(
+            "yoy_growth"
+        ),
+    )
+
+
+@register(
+    "cumulative_distinct_customers",
+    """
+    WITH first_seen AS (
+      SELECT o_custkey, min(date_trunc('month', o_orderdate)) AS m
+      FROM orders GROUP BY o_custkey
+    ),
+    monthly_new AS (SELECT m, CAST(count(*) AS BIGINT) AS new_customers
+                    FROM first_seen GROUP BY m)
+    SELECT strftime(m, '%Y-%m') AS month, new_customers,
+           CAST(sum(new_customers) OVER (ORDER BY m
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+             AS cum_distinct_customers
+    FROM monthly_new
+    """,
+)
+def q_cumulative_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative distinct customers by month via the FIRST-SEEN
+    rewrite: a running COUNT(DISTINCT) window does not exist in any
+    engine, but each customer enters the cumulative curve exactly once
+    — at their first order — so min(month) per customer + a running
+    sum of monthly news is the exact answer with one narrow
+    aggregation + a window over the tiny month-grain frame (vs
+    materializing per-month customer sets). The same rewrite powers
+    the HLL streaming view's exactness test."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    )
+    first_seen = orders.groupBy("o_custkey").agg(F.min("m").alias("m"))
+    monthly_new = first_seen.groupBy("m").agg(F.count("*").alias("new_customers"))
+    w = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, 0)
+    return monthly_new.select(
+        F.date_format("m", "yyyy-MM").alias("month"),
+        "new_customers",
+        F.sum("new_customers").over(w).alias("cum_distinct_customers"),
+    )
