@@ -5771,3 +5771,106 @@ def q_cumulative_distinct_customers(spark: SparkSession, sf_dir: str) -> DataFra
         "new_customers",
         F.sum("new_customers").over(w).alias("cum_distinct_customers"),
     )
+
+
+@register(
+    "robust_price_stats_by_segment",
+    """
+    WITH c AS (
+      SELECT o_orderkey, c_mktsegment,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    med AS (SELECT c_mktsegment, round(quantile_cont(cents, 0.5), 4) AS med
+            FROM c GROUP BY c_mktsegment),
+    dev AS (SELECT c.c_mktsegment, med,
+                   abs(CAST(cents AS DOUBLE) - med) AS adev
+            FROM c JOIN med USING (c_mktsegment))
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           round(med / 100.0, 6) AS median_price,
+           round(round(quantile_cont(adev, 0.5), 4) / 100.0, 6) AS mad_price,
+           round(max(adev) / round(quantile_cont(adev, 0.5), 4), 4)
+             AS max_dev_in_mads
+    FROM dev GROUP BY c_mktsegment, med
+    """,
+)
+def q_robust_price_stats_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust distribution profile per segment: MEDIAN and MEDIAN
+    ABSOLUTE DEVIATION — the location/scale estimators that survive
+    the outliers a mean/stddev profile absorbs — plus the maximum
+    deviation in MAD units (what an outlier fence compares against; on
+    this synthetic corpus it tops out ~2, which is why a 3-MAD count
+    would be vacuously zero — profile, not fence, is the honest
+    output here). Two exact percentile passes over integer cents
+    (Spark percentile == DuckDB quantile_cont, both rounded to 4
+    before reuse so derived values stay engine-identical); the median
+    broadcasts back as a row-per-segment frame."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", "o_totalprice"
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    c = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "o_orderkey", "c_mktsegment", _cents(F.col("o_totalprice"), 2).alias("cents")
+    )
+    med = c.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("cents", F.lit(0.5)), 4).alias("med")
+    )
+    dev = c.join(F.broadcast(med), "c_mktsegment").select(
+        "c_mktsegment",
+        "med",
+        F.abs(F.col("cents").cast("double") - F.col("med")).alias("adev"),
+    )
+    mad = F.round(F.percentile("adev", F.lit(0.5)), 4)
+    return (
+        dev.groupBy("c_mktsegment", "med")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.col("med") / 100.0, 6).alias("median_price"),
+            F.round(mad / 100.0, 6).alias("mad_price"),
+            F.round(F.max("adev") / mad, 4).alias("max_dev_in_mads"),
+        )
+        .drop("med")
+    )
+
+
+@register(
+    "top_event_paths",
+    """
+    WITH r AS (
+      SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id) AS rn
+      FROM events
+    ),
+    paths AS (
+      SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+      FROM r WHERE rn <= 3 GROUP BY user_id
+    )
+    SELECT path, CAST(count(*) AS BIGINT) AS n_users
+    FROM paths GROUP BY path
+    """,
+)
+def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top entry paths: each user's first three events (ts order,
+    event_id tie-break) serialized 'a>b>c', counted across users — the
+    product-analytics path view. One window (rn <= 3 survives the
+    WindowGroupLimit pushdown), ordered struct-sort serialization so
+    the path string is deterministic, then a small group count."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    first3 = ev.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    paths = first3.groupBy("user_id").agg(
+        F.array_join(
+            F.transform(
+                F.array_sort(
+                    F.collect_list(F.struct(F.col("rn"), F.col("event_type")))
+                ),
+                lambda s: s["event_type"],
+            ),
+            ">",
+        ).alias("path")
+    )
+    return paths.groupBy("path").agg(F.count("*").alias("n_users"))
