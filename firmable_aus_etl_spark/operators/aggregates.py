@@ -158,3 +158,24 @@ def union_frames(frames: Sequence[DataFrame], *, distinct: bool = False) -> Data
     for f in frames[1:]:
         out = out.unionByName(f, allowMissingColumns=True)
     return out.distinct() if distinct else out
+
+
+def k_anonymity_violations(
+    df: DataFrame, quasi_cols: Sequence[str], k: int
+) -> DataFrame:
+    """Privacy audit: quasi-identifier combinations shared by fewer
+    than ``k`` rows — the groups a k-anonymity release would have to
+    suppress or generalize (Sweeney, "k-anonymity: a model for
+    protecting privacy", 2002). Returns the violating combinations
+    with their group sizes.
+
+    The governance sibling of the uniqueness/not-null audits: one
+    partial-aggregated groupBy on the quasi-identifier key; the HAVING
+    filter runs post-aggregation on the (small) group frame, so no
+    second pass over the data.
+    """
+    return (
+        df.groupBy(*quasi_cols)
+        .agg(F.count("*").alias("group_size"))
+        .filter(F.col("group_size") < k)
+    )

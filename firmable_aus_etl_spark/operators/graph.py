@@ -1,0 +1,105 @@
+"""Distributed graph analytics over edge frames.
+
+The dedup family already ships the iterative side (connected
+components, operators/dedup.py); this module adds the one-shot
+join-shaped graph measures — triangle and wedge counting — used to
+audit the near-dup graph and co-occurrence graphs a training-data
+pipeline builds (e.g. "is this candidate-pair graph clustered or
+star-skewed?").
+
+Scale shape: triangle counting is the canonical two-join pattern
+(Suri & Vassilvitskii, "Counting triangles and the curse of the last
+reducer", WWW'11): with edges oriented low-id -> high-id, every wedge
+is enumerated once at its lowest vertex and closed with ONE more
+equi-join probe against the edge set — no node ever sees more than
+its out-degree^2 wedge rows, and orienting by id (or by degree for
+adversarial skew) keeps hub fan-out bounded. Both joins are plain
+shuffles on vertex keys; no driver-side adjacency is built.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def undirected_simple_edges(
+    pairs: DataFrame, src: str = "a", dst: str = "b"
+) -> DataFrame:
+    """Canonicalize a pair frame into a simple undirected edge set:
+    endpoints ordered (a < b), self-loops dropped, duplicates merged.
+    One distinct shuffle on the canonical pair."""
+    a, d = F.col(src), F.col(dst)
+    return (
+        pairs.filter(a != d)
+        .select(
+            F.least(a, d).alias("a"),
+            F.greatest(a, d).alias("b"),
+        )
+        .distinct()
+    )
+
+
+def wedge_count(edges: DataFrame) -> DataFrame:
+    """Number of 2-paths (wedges) in a simple undirected edge frame
+    with columns (a, b), a < b: sum over nodes of C(degree, 2).
+    One degree aggregation — no join."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    return deg.agg(
+        F.coalesce((F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long"), F.lit(0))
+        .alias("n_wedges")
+    )
+
+
+def triangle_count(edges: DataFrame) -> DataFrame:
+    """Count triangles in a simple undirected edge frame (a, b), a < b.
+
+    Wedges are rooted at the smallest vertex (x < y < z enumerated as
+    (x,y) join (y,z)) and closed by probing the (x,z) edge — each
+    triangle is counted exactly once. Returns a 1-row frame
+    ``(n_triangles)``.
+    """
+    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
+    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
+    wedges = e1.join(e2, "y").select("x", "y", "z")
+    closing = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
+    tri = wedges.join(closing, ["x", "z"])
+    return tri.agg(F.count("*").cast("long").alias("n_triangles"))
+
+
+def graph_summary(pairs: DataFrame, src: str = "a", dst: str = "b") -> DataFrame:
+    """One-row structural profile of a pair graph: nodes, edges,
+    wedges, triangles, and the global clustering coefficient
+    3*triangles/wedges (0.0 when wedge-free). The edge frame is
+    canonicalized once and reused by every measure."""
+    edges = undirected_simple_edges(pairs, src, dst)
+    nodes = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .agg(F.count_distinct("node").alias("n_nodes"))
+    )
+    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    tri = triangle_count(edges)
+    wed = wedge_count(edges)
+    return (
+        nodes.crossJoin(n_edges)
+        .crossJoin(wed)
+        .crossJoin(tri)
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.round(
+                F.when(F.col("n_wedges") > 0,
+                       3.0 * F.col("n_triangles") / F.col("n_wedges"))
+                .otherwise(F.lit(0.0)),
+                6,
+            ).alias("clustering_coeff"),
+        )
+    )

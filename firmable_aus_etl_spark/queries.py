@@ -1881,32 +1881,38 @@ def q_top_suppliers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "orders_above_customer_avg",
+    "orders_well_above_customer_avg",
     """
-    WITH avgs AS (
-      SELECT o_custkey AS k,
-             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS DOUBLE)
-               / (100.0 * count(*)) AS avg_total
-      FROM orders GROUP BY o_custkey
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders
+    ), avgs AS (
+      SELECT o_custkey AS k, sum(cents) AS sum_cents, count(*) AS n
+      FROM o GROUP BY o_custkey
     )
     SELECT o_orderkey, o_custkey, o_totalprice
-    FROM orders JOIN avgs ON o_custkey = k
-    WHERE o_totalprice > 1.5 * avg_total
+    FROM o JOIN avgs ON o_custkey = k
+    WHERE 2 * o.cents * n > 3 * sum_cents
     """,
 )
-def q_orders_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+def q_orders_well_above_customer_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decorrelated-subquery shape: orders 50% above their customer's
     average (Catalyst rewrites the correlated form to this same
-    aggregate+join — expressed directly as the join)."""
-    orders = load_table(spark, sf_dir, "orders")
+    aggregate+join — expressed directly as the join). The 1.5x
+    threshold compares in pure integer cents (2*cents*n > 3*sum) so no
+    FP multiply can flip a boundary row between engines. Sibling of
+    orders_above_customer_avg (window-decorrelated, 1x threshold)."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice",
+        _cents(F.col("o_totalprice")).alias("cents"),
+    )
     avgs = orders.groupBy(F.col("o_custkey").alias("k")).agg(
-        (F.sum(_cents(F.col("o_totalprice"))).cast("double") / (F.lit(100.0) * F.count("*"))).alias(
-            "avg_total"
-        )
+        F.sum("cents").alias("sum_cents"), F.count("*").alias("n")
     )
     return (
         orders.join(avgs, F.col("o_custkey") == F.col("k"))
-        .filter(F.col("o_totalprice") > 1.5 * F.col("avg_total"))
+        .filter(2 * F.col("cents") * F.col("n") > 3 * F.col("sum_cents"))
         .select("o_orderkey", "o_custkey", "o_totalprice")
     )
 
@@ -5874,3 +5880,331 @@ def q_top_event_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("path")
     )
     return paths.groupBy("path").agg(F.count("*").alias("n_users"))
+
+
+# =========================================================================
+# Governance / sampling / graph-analytics widening (round 2, session 2):
+# k-anonymity audit, deterministic weighted sampling, collocation PMI,
+# co-purchase graph profile, golden-record survivorship, corpus overlap.
+# =========================================================================
+
+@register(
+    "k_anonymity_audit_customers",
+    """
+    SELECT c_nationkey, c_mktsegment,
+           CAST(floor(c_acctbal / 1000.0) AS BIGINT) AS balance_band,
+           CAST(count(*) AS BIGINT) AS group_size
+    FROM customer
+    GROUP BY 1, 2, 3
+    HAVING count(*) < 8
+    """,
+)
+def q_k_anonymity_audit_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Privacy-governance audit: quasi-identifier combinations
+    (nation, segment, coarse balance band) identifying fewer than k=8
+    customers — the groups a k-anonymous release must suppress.
+    Single partial-aggregated groupBy; the HAVING filter runs on the
+    already-tiny group frame."""
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_nationkey",
+        "c_mktsegment",
+        F.floor(F.col("c_acctbal") / 1000.0).cast("long").alias("balance_band"),
+    )
+    return agg.k_anonymity_violations(
+        cust, ["c_nationkey", "c_mktsegment", "balance_band"], k=8
+    )
+
+
+_ARES_HEX = (
+    "CAST(list_sum(list_transform(range(1, 13), i -> "
+    "(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), "
+    "CAST(i AS INTEGER), 1)) - 1) * 16 ** (12 - i))) AS DOUBLE)"
+)
+
+
+@register(
+    "weighted_sample_documents",
+    f"""
+    WITH h AS (
+      SELECT doc_id, n_chars, {_ARES_HEX} AS hv FROM documents
+    ), p AS (
+      SELECT doc_id, n_chars,
+             ln((hv + 1) / 281474976710656.0) / n_chars AS pri
+      FROM h
+    )
+    SELECT doc_id, n_chars, round(pri, 9) AS priority
+    FROM p ORDER BY pri DESC, doc_id LIMIT 100
+    """,
+)
+def q_weighted_sample_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    A-Res), inclusion odds proportional to document length — the
+    training-mix sampler in its reproducible form: priorities are a
+    pure function of (doc_id, n_chars), so the sample is identical on
+    any cluster layout and any engine (which is what makes it
+    oracle-checkable; df.sample's seed is partitioning-dependent).
+    Plan: map-side priorities + one TakeOrderedAndProject top-100 —
+    no global sort."""
+    from firmable_aus_etl_spark.operators.sampling import weighted_sample_ares
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    picked = weighted_sample_ares(docs, "doc_id", "n_chars", k=100)
+    return picked.select(
+        "doc_id", "n_chars", F.col("__priority").alias("priority")
+    )
+
+
+@register(
+    "bigram_pmi_documents",
+    f"""
+    WITH d AS (SELECT {_TOKENS_SQL} AS w FROM documents),
+    bgp AS (
+      SELECT bg[1] AS a, bg[2] AS b
+      FROM (SELECT unnest(list_zip(w[: len(w) - 1], w[2:])) AS bg FROM d)
+    ),
+    uni AS (SELECT unnest(w) AS t FROM d),
+    uc AS (SELECT t, CAST(count(*) AS BIGINT) AS c FROM uni GROUP BY t),
+    bc AS (SELECT a, b, CAST(count(*) AS BIGINT) AS cab FROM bgp GROUP BY a, b),
+    tot AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM uni) AS nu,
+                   (SELECT CAST(count(*) AS BIGINT) FROM bgp) AS nb),
+    top AS (
+      SELECT a, b, cab FROM bc ORDER BY cab DESC, a, b LIMIT 50
+    )
+    SELECT t.a, t.b, t.cab AS cnt,
+           round(ln((CAST(t.cab AS DOUBLE) / nb) /
+                    ((CAST(ca.c AS DOUBLE) / nu) * (CAST(cb.c AS DOUBLE) / nu))), 6)
+             AS pmi
+    FROM top t
+    JOIN uc ca ON ca.t = t.a
+    JOIN uc cb ON cb.t = t.b
+    CROSS JOIN tot
+    """,
+)
+def q_bigram_pmi_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining: pointwise mutual information of the 50 most
+    frequent token bigrams — ln(P(ab) / (P(a)P(b))) with corpus-level
+    unigram/bigram totals. Text-analysis family (the statistical
+    phrase detector next to top_terms_per_lang's plain frequency).
+
+    Plan: bigrams explode via an index transform (no self-join on
+    position), two partial-agg counts, top-50 TakeOrderedAndProject,
+    then two small broadcast joins against the unigram counts; the
+    corpus totals ride a 1-row crossJoin. PMI arithmetic is written in
+    the same operation order on both engines so the doubles match
+    bit-for-bit before rounding."""
+    docs = load_table(spark, sf_dir, "documents")
+    from firmable_aus_etl_spark.functions import text as T
+
+    toks = docs.select(T.tokens("text").alias("w"))
+    n = F.size(F.col("w"))
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bgp = toks.select(
+        F.explode(idx).alias("i"), F.col("w")
+    ).select(
+        F.element_at("w", F.col("i")).alias("a"),
+        F.element_at("w", F.col("i") + 1).alias("b"),
+    )
+    uni = toks.select(F.explode("w").alias("t"))
+    uc = uni.groupBy("t").agg(F.count("*").alias("c"))
+    bc = bgp.groupBy("a", "b").agg(F.count("*").alias("cab"))
+    tot = uni.agg(F.count("*").alias("nu")).crossJoin(
+        bgp.agg(F.count("*").alias("nb"))
+    )
+    top = bc.orderBy(F.col("cab").desc(), "a", "b").limit(50)
+    ca = uc.select(F.col("t").alias("a"), F.col("c").alias("ca"))
+    cb = uc.select(F.col("t").alias("b"), F.col("c").alias("cb"))
+    pmi = F.round(
+        F.log(
+            (F.col("cab").cast("double") / F.col("nb"))
+            / (
+                (F.col("ca").cast("double") / F.col("nu"))
+                * (F.col("cb").cast("double") / F.col("nu"))
+            )
+        ),
+        6,
+    )
+    return (
+        top.join(F.broadcast(ca), "a")
+        .join(F.broadcast(cb), "b")
+        .crossJoin(F.broadcast(tot))
+        .select("a", "b", F.col("cab").alias("cnt"), pmi.alias("pmi"))
+    )
+
+
+@register(
+    "copurchase_graph_summary",
+    """
+    WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+      SELECT a.l_partkey AS a, b.l_partkey AS b
+      FROM p a JOIN p b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING count(*) >= 2
+    ),
+    deg AS (
+      SELECT node, count(*) AS deg
+      FROM (SELECT a AS node FROM e UNION ALL SELECT b FROM e)
+      GROUP BY node
+    ),
+    m AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_nodes,
+             CAST(sum(deg * (deg - 1)) / 2 AS BIGINT) AS n_wedges
+      FROM deg
+    ),
+    ne AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+    tri AS (
+      SELECT CAST(count(*) AS BIGINT) AS n_triangles
+      FROM e x JOIN e y ON x.b = y.a JOIN e z ON z.a = x.a AND z.b = y.b
+    )
+    SELECT n_nodes, n_edges, n_wedges, n_triangles,
+           round(CASE WHEN n_wedges > 0
+                      THEN 3.0 * n_triangles / n_wedges ELSE 0.0 END, 6)
+             AS clustering_coeff
+    FROM m CROSS JOIN ne CROSS JOIN tri
+    """,
+)
+def q_copurchase_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-analytics profile of the part co-purchase graph (parts
+    linked when co-ordered in >= 2 orders): nodes, edges, wedges,
+    triangles, global clustering coefficient. Triangle counting via
+    the oriented two-join pattern (Suri-Vassilvitskii) — wedges
+    enumerate once at their lowest vertex, one equi-join probe closes
+    them; no adjacency ever materializes driver-side
+    (operators/graph.py)."""
+    from firmable_aus_etl_spark.operators.graph import graph_summary
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("x")
+    b = li.alias("y")
+    pairs = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    return graph_summary(pairs)
+
+
+_GOLDEN_ORACLE = f"""
+WITH clusters AS ({_CLUSTER_ORACLE}),
+j AS (
+  SELECT c.cluster, d.doc_id, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+r AS (
+  SELECT cluster, doc_id, n_chars,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY n_chars DESC, doc_id) AS rn,
+         count(*) OVER (PARTITION BY cluster) AS n_members,
+         sum(n_chars) OVER (PARTITION BY cluster) AS total_chars
+  FROM j
+)
+SELECT cluster, doc_id AS golden_doc_id, n_chars AS golden_chars,
+       CAST(n_members AS BIGINT) AS n_members,
+       CAST(total_chars AS BIGINT) AS total_chars
+FROM r WHERE rn = 1
+"""
+
+
+@register("golden_records_documents", _GOLDEN_ORACLE)
+def q_golden_records_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Entity-resolution survivorship: near-dup clusters (the
+    near_dup_clusters connected components) collapsed to one GOLDEN
+    RECORD each — the longest member wins, doc_id breaks ties — with
+    cluster size and total chars retained for lineage. This is the
+    terminal step of the reference's entity-matching purpose (merge
+    matched company records into one canonical row,
+    entity_matching_tfidf.py:121-140's ON CONFLICT upsert); here the
+    merge policy is declarative and auditable. One window over the
+    cluster key after the CC fixpoint."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = QUERIES["near_dup_clusters"](spark, sf_dir)
+    j = clusters.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("cluster")
+    r = j.select(
+        "cluster",
+        "doc_id",
+        "n_chars",
+        F.row_number()
+        .over(w.orderBy(F.col("n_chars").desc(), F.col("doc_id")))
+        .alias("rn"),
+        F.count("*").over(w).alias("n_members"),
+        F.sum("n_chars").over(w).alias("total_chars"),
+    )
+    return r.filter(F.col("rn") == 1).select(
+        "cluster",
+        F.col("doc_id").alias("golden_doc_id"),
+        F.col("n_chars").alias("golden_chars"),
+        F.col("n_members").cast("long").alias("n_members"),
+        F.col("total_chars").cast("long").alias("total_chars"),
+    )
+
+
+@register(
+    "source_vocab_overlap",
+    f"""
+    WITH tok AS (SELECT source, unnest({_TOKENS_SQL}) AS t FROM documents),
+    f AS (SELECT DISTINCT source, t FROM tok),
+    sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY source),
+    ix AS (
+      SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS inter
+      FROM f a JOIN f b ON a.t = b.t AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT src_a, src_b, inter, na.n AS n_a, nb.n AS n_b,
+           round(CAST(inter AS DOUBLE) / (na.n + nb.n - inter), 6) AS jaccard
+    FROM ix JOIN sz na ON na.source = src_a JOIN sz nb ON nb.source = src_b
+    """,
+)
+def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-composition audit: pairwise vocabulary Jaccard between
+    sources — the set-similarity matrix that flags near-identical
+    feeds before any per-document dedup runs. Token sets shrink to
+    DISTINCT (source, token) first, so the self-join fans out only
+    per shared token (bounded by #sources^2 per token), then exact
+    set algebra: |A∩B| / (|A| + |B| - |A∩B|)."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    f = (
+        docs.select("source", F.explode(T.tokens("text")).alias("t"))
+        .distinct()
+    )
+    sz = f.groupBy("source").agg(F.count("*").alias("n"))
+    a = f.select(F.col("source").alias("src_a"), "t")
+    b = f.select(F.col("source").alias("src_b"), "t")
+    ix = (
+        a.join(b, "t")
+        .filter(F.col("src_a") < F.col("src_b"))
+        .groupBy("src_a", "src_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    na = sz.select(F.col("source").alias("src_a"), F.col("n").alias("n_a"))
+    nb = sz.select(F.col("source").alias("src_b"), F.col("n").alias("n_b"))
+    return (
+        ix.join(F.broadcast(na), "src_a")
+        .join(F.broadcast(nb), "src_b")
+        .select(
+            "src_a", "src_b", "inter", "n_a", "n_b",
+            F.round(
+                F.col("inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
