@@ -385,6 +385,102 @@ def lsh_topk(
     ).drop("__query_id_v", "__neighbor_id_v")
 
 
+def _plane_sigs_arrow(
+    df: DataFrame,
+    *,
+    planes_flat: list[list[float]],
+    n_planes: int,
+    n_tables: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Sign-LSH signatures via Arrow-batched numpy: one (batch x dim) @
+    (dim x n_tables*n_planes) matmul replaces per-row interpreted HOF
+    folds (the vector sibling of dedup.minhash_signatures_arrow).
+    Returns (__id, __v, __sigs array<long>[n_tables]).
+
+    Value-parity with the expression path: each bit is (v . p >= 0) on
+    float64 math; numpy's pairwise summation can differ from the
+    sequential fold only in the last ulp, which flips a sign bit only
+    if |dot| ~ 1e-13 — vanishing for continuous embeddings
+    (parity-asserted against the expression path in tests)."""
+    from pyspark.sql.types import ArrayType, LongType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("__id", df.schema[id_col].dataType, True),
+            StructField("__v", df.schema[vec_col].dataType, True),
+            StructField("__sigs", ArrayType(LongType()), True),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        pm = np.array(planes_flat, dtype=np.float64)  # (T*P, dim)
+        weights = (1 << np.arange(n_planes, dtype=np.int64))  # bit i -> 2^i
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+            bits = (v @ pm.T) >= 0  # (n, T*P)
+            sigs = (
+                bits.reshape(len(pdf), n_tables, n_planes).astype(np.int64)
+                * weights[None, None, :]
+            ).sum(axis=2)
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "__v": pdf["__v"], "__sigs": list(sigs)}
+            )
+
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    return ensure_parallelism(src, "__id").mapInPandas(fn, out_schema)
+
+
+def assign_cells_arrow(
+    df: DataFrame,
+    centroids: list[list[float]],
+    *,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Nearest-centroid assignment via one Arrow-batched numpy matmul:
+    (__id, cell) with cell = argmax dot, ties to the LOWEST cell id
+    (np.argmax takes the first maximum — same tie rule as the
+    max(struct(d, -cell)) expression and the SQL twin's ORDER BY d
+    DESC, cell). Replaces the posexplode+join+groupBy assignment's
+    N*k*d-row shuffle with a map-side pass; the centroid matrix rides
+    the closure (k x dim literals — model state, the thing that should
+    broadcast)."""
+    from pyspark.sql.types import IntegerType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("__id", df.schema[id_col].dataType, True),
+            StructField("cell", IntegerType(), True),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.array(centroids, dtype=np.float64)  # (k, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+            cells = np.argmax(v @ cm.T, axis=1).astype(np.int32)
+            yield pd.DataFrame({"__id": pdf["__id"], "cell": cells})
+
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    return ensure_parallelism(src, "__id").mapInPandas(fn, out_schema)
+
+
 def lsh_signature_frame(
     df: DataFrame,
     *,
@@ -394,6 +490,7 @@ def lsh_signature_frame(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Per-table sign-LSH signatures: one row per (vector, table) with
     columns ``(__id, __v, __tbl, __sig)``. The hyperplanes are seeded
@@ -401,14 +498,30 @@ def lsh_signature_frame(
     shared candidate-keying primitive for the near-dup join and the
     incremental vector-ingest signature store.
 
-    One flat literal plane matrix -> a single transform computes all
-    n_tables*n_planes dot products per row (see lsh_topk)."""
+    ``impl="arrow"`` (default) computes all n_tables*n_planes dot
+    products as one numpy matmul per Arrow batch; ``impl="expr"`` is
+    the pure-expression twin (one flat literal plane matrix, a single
+    transform — see lsh_topk), value-parity-tested, kept for
+    plans that must stay Python-free."""
     tables = [
         make_planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
     ]
-    all_planes = F.lit(
-        [[float(x) for x in p] for planes in tables for p in planes]
-    )
+    flat = [[float(x) for x in p] for planes in tables for p in planes]
+    if impl == "arrow":
+        sigs = _plane_sigs_arrow(
+            df,
+            planes_flat=flat,
+            n_planes=n_planes,
+            n_tables=n_tables,
+            id_col=id_col,
+            vec_col=vec_col,
+        )
+        return sigs.select(
+            "__id",
+            "__v",
+            F.posexplode("__sigs").alias("__tbl", "__sig"),
+        )
+    all_planes = F.lit(flat)
     dotted = df.select(
         F.col(id_col).alias("__id"),
         F.col(vec_col).alias("__v"),
@@ -450,6 +563,7 @@ def cosine_near_dup_pairs(
     n_planes: int = 8,
     n_tables: int = 4,
     seed: int = 42,
+    impl: str = "arrow",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs: sign-LSH banded candidate
     generation (a pair is a candidate iff its signatures collide in ANY
@@ -470,7 +584,7 @@ def cosine_near_dup_pairs(
     """
     sigs = lsh_signature_frame(
         corpus, dim=dim, id_col=id_col, vec_col=vec_col,
-        n_planes=n_planes, n_tables=n_tables, seed=seed,
+        n_planes=n_planes, n_tables=n_tables, seed=seed, impl=impl,
     )
     a = sigs.select(
         F.col("__id").alias("a_id"), F.col("__v").alias("__av"), "__tbl", "__sig"
@@ -584,6 +698,7 @@ def semantic_dedup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     threshold: float = 0.99,
+    impl: str = "arrow",
 ) -> DataFrame:
     """SemDeDup-style cluster-blocked embedding dedup (Abbas et al.,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -597,40 +712,46 @@ def semantic_dedup_pairs(
     and the known SemDeDup recall trade: a near-dup pair straddling a
     cell boundary is missed (by design; raise n_cells for smaller
     cells, or use the LSH path when recall must be provable).
-    Deterministic given centroid literals, so fully SQL-expressible."""
-    # Assignment via posexplode + broadcast centroid join + one
-    # groupBy(id, cell) sum — the same all-codegen shape as the k-means
-    # centroid update (cell_means): higher-order fold expressions run
-    # INTERPRETED and re-evaluate per reference (measured 6 s to assign
-    # 2,000 vectors to 64 cells), and unrolling 64x64 literal terms
-    # OOMs janino codegen; the exploded join streams N*k*d narrow rows
-    # through whole-stage codegen instead and scales with executors.
-    # Argmax = max of (d, -cell) struct: highest dot, ties to the
-    # LOWEST cell id, matching the SQL twin's ORDER BY d DESC, cell.
-    spark = corpus.sparkSession
-    cent_pos = spark.createDataFrame(
-        [
-            (i, pos, float(x))
-            for i, c in enumerate(centroids)
-            for pos, x in enumerate(c)
-        ],
-        "cell int, pos int, cval double",
-    )
-    vpos = corpus.select(
-        F.col(id_col).alias("__id"),
-        F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
-            "pos", "val"
-        ),
-    )
-    dots = (
-        vpos.join(F.broadcast(cent_pos), "pos")
-        .groupBy("__id", "cell")
-        .agg(F.sum(F.col("val") * F.col("cval")).alias("d"))
-    )
-    best = dots.groupBy("__id").agg(
-        F.max(F.struct(F.col("d").alias("d"), (-F.col("cell")).alias("nc"))).alias("m")
-    )
-    cells = best.select("__id", (-F.col("m.nc")).cast("int").alias("cell"))
+    Deterministic given centroid literals, so fully SQL-expressible.
+
+    ``impl="arrow"`` (default) assigns cells with one numpy matmul per
+    Arrow batch — a map-side pass, no assignment shuffle.
+    ``impl="expr"`` is the all-codegen twin (posexplode + broadcast
+    centroid join + groupBy(id, cell): N*k*d narrow rows through
+    whole-stage codegen — chosen over HOF folds, which run INTERPRETED
+    and measured 77 s at sf0.1, and over unrolled literal terms, which
+    OOM janino). Same argmax tie rule both paths: highest dot, ties to
+    the LOWEST cell id, matching the SQL twin's ORDER BY d DESC, cell
+    (parity-tested)."""
+    if impl == "arrow":
+        cells = assign_cells_arrow(
+            corpus, centroids, id_col=id_col, vec_col=vec_col
+        )
+    else:
+        spark = corpus.sparkSession
+        cent_pos = spark.createDataFrame(
+            [
+                (i, pos, float(x))
+                for i, c in enumerate(centroids)
+                for pos, x in enumerate(c)
+            ],
+            "cell int, pos int, cval double",
+        )
+        vpos = corpus.select(
+            F.col(id_col).alias("__id"),
+            F.posexplode(F.transform(vec_col, lambda x: x.cast("double"))).alias(
+                "pos", "val"
+            ),
+        )
+        dots = (
+            vpos.join(F.broadcast(cent_pos), "pos")
+            .groupBy("__id", "cell")
+            .agg(F.sum(F.col("val") * F.col("cval")).alias("d"))
+        )
+        best = dots.groupBy("__id").agg(
+            F.max(F.struct(F.col("d").alias("d"), (-F.col("cell")).alias("nc"))).alias("m")
+        )
+        cells = best.select("__id", (-F.col("m.nc")).cast("int").alias("cell"))
     assigned = corpus.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
     ).join(cells, "__id")

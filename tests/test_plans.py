@@ -66,7 +66,10 @@ def test_global_topk_uses_take_ordered(spark):
 
 
 def test_no_python_udf_on_benchmarked_paths(spark):
-    # every benchmarked hot path must stay JVM-side (BASELINE.md rule)
+    # no PER-ROW Python on any benchmarked hot path (BASELINE.md rule).
+    # Arrow-batched mapInPandas stages (numpy matmul signature /
+    # assignment stages) are the sanctioned vectorized escape hatch —
+    # they appear as MapInPandas, never BatchEvalPython/ArrowEvalPython.
     import bench
 
     for name in bench.HEADLINE:

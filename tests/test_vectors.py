@@ -279,3 +279,39 @@ def test_semantic_dedup_within_cell_only(spark):
     # the only legitimate misses are cell-boundary straddles
     assert sem <= truth
     assert len(sem) >= len(truth) - 3
+
+
+def test_lsh_signature_frame_arrow_expr_parity(spark):
+    # the numpy matmul path must produce the same (id, table, sig)
+    # rows as the pure-expression fold on realistic data
+    from firmable_aus_etl_spark.datasets import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    kw = dict(dim=64, n_planes=8, n_tables=4, seed=42)
+    a = sorted(
+        (r["__id"], r["__tbl"], r["__sig"])
+        for r in V.lsh_signature_frame(emb, impl="arrow", **kw)
+        .select("__id", "__tbl", "__sig").collect()
+    )
+    e = sorted(
+        (r["__id"], r["__tbl"], r["__sig"])
+        for r in V.lsh_signature_frame(emb, impl="expr", **kw)
+        .select("__id", "__tbl", "__sig").collect()
+    )
+    assert a == e
+
+
+def test_semantic_dedup_arrow_expr_parity(spark):
+    from firmable_aus_etl_spark.datasets import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    raw = V.make_planes(64, 16, seed=7)
+    cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw]
+    a = sorted(map(tuple, V.semantic_dedup_pairs(
+        emb, cents, threshold=0.2, impl="arrow"
+    ).collect()))
+    e = sorted(map(tuple, V.semantic_dedup_pairs(
+        emb, cents, threshold=0.2, impl="expr"
+    ).collect()))
+    assert a == e
+    assert len(a) > 0  # threshold low enough that parity is non-vacuous
