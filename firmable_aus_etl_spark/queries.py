@@ -6208,3 +6208,115 @@ def q_source_vocab_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "customer_value_deciles",
+    """
+    WITH s AS (
+      SELECT o_custkey,
+             sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS cents
+      FROM orders GROUP BY o_custkey
+    ), t AS (
+      SELECT o_custkey, cents,
+             ntile(10) OVER (ORDER BY cents DESC, o_custkey) AS decile
+      FROM s
+    )
+    SELECT decile, CAST(count(*) AS BIGINT) AS n_customers,
+           round(min(cents) / 100.0, 2) AS min_spend,
+           round(max(cents) / 100.0, 2) AS max_spend,
+           CAST(sum(cents) AS BIGINT) AS total_cents
+    FROM t GROUP BY decile
+    """,
+)
+def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customer-value decile segmentation: NTILE(10) over lifetime
+    spend — the marketing RFM cut. Spend is exact integer cents and
+    the ntile ORDER BY carries a custkey tie-break, so bucket edges
+    cannot flip between engines (the verify-skill ntile gotcha).
+    One groupBy + one global window over the (small) per-customer
+    frame, then a 10-row aggregate."""
+    from pyspark.sql import Window
+
+    orders = load_table(spark, sf_dir, "orders")
+    s = orders.groupBy("o_custkey").agg(
+        F.sum(_cents(F.col("o_totalprice"))).alias("cents")
+    )
+    w = Window.orderBy(F.col("cents").desc(), F.col("o_custkey"))
+    t = s.withColumn("decile", F.ntile(10).over(w))
+    return t.groupBy("decile").agg(
+        F.count("*").alias("n_customers"),
+        F.round(F.min("cents") / 100.0, 2).alias("min_spend"),
+        F.round(F.max("cents") / 100.0, 2).alias("max_spend"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+
+
+@register(
+    "hourly_event_anomalies",
+    """
+    WITH h AS (
+      SELECT event_type, date_trunc('hour', CAST(ts AS TIMESTAMP)) AS hr,
+             CAST(count(*) AS BIGINT) AS cnt
+      FROM events GROUP BY 1, 2
+    ), w AS (
+      SELECT event_type, hr, cnt,
+             sum(cnt) OVER tw AS s,
+             sum(cnt * cnt) OVER tw AS ss,
+             count(*) OVER tw AS n
+      FROM h
+      WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+                    ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+    )
+    SELECT event_type, strftime(hr, '%Y-%m-%d %H:%M') AS hour,
+           cnt,
+           CASE WHEN n >= 12 AND n * ss > s * s
+                THEN round((CAST(cnt AS DOUBLE) - CAST(s AS DOUBLE) / n)
+                           / sqrt((CAST(n * ss - s * s AS DOUBLE))
+                                  / (CAST(n AS DOUBLE) * (n - 1))), 6)
+                END AS zscore
+    FROM w
+    """,
+)
+def q_hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series anomaly scoring: each hour's event count against
+    the TRAILING 24 hours (current hour excluded — no self-masking),
+    z = (x - mean) / sample-std. Warm-up hours (fewer than 12 prior
+    buckets) and zero-variance windows emit NULL rather than a fake
+    score. All window sums are exact integers; mean/variance are
+    derived in one identical arithmetic order on both engines, so the
+    rounded z cannot drift. One aggregation + one window, both keyed
+    by (event_type, hour) — at 100 TB the hourly pre-aggregation
+    shrinks the window input by ~N/buckets before any sort."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    h = ev.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("hr")
+    ).agg(F.count("*").alias("cnt"))
+    tw = (
+        Window.partitionBy("event_type")
+        .orderBy("hr")
+        .rowsBetween(-24, -1)
+    )
+    w = h.select(
+        "event_type",
+        "hr",
+        "cnt",
+        F.sum("cnt").over(tw).alias("s"),
+        F.sum(F.col("cnt") * F.col("cnt")).over(tw).alias("ss"),
+        F.count("*").over(tw).alias("n"),
+    )
+    var = (F.col("n") * F.col("ss") - F.col("s") * F.col("s")).cast("double") / (
+        F.col("n").cast("double") * (F.col("n") - 1)
+    )
+    z = (F.col("cnt").cast("double") - F.col("s").cast("double") / F.col("n")) / F.sqrt(var)
+    return w.select(
+        "event_type",
+        F.date_format("hr", "yyyy-MM-dd HH:mm").alias("hour"),
+        "cnt",
+        F.when(
+            (F.col("n") >= 12) & (F.col("n") * F.col("ss") > F.col("s") * F.col("s")),
+            F.round(z, 6),
+        ).alias("zscore"),
+    )
