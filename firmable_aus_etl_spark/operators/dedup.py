@@ -262,7 +262,7 @@ def minhash_lsh_pairs(
     bands: int = 8,
     shingle_n: int = 3,
     portable: bool = False,
-    impl: str = "expr",
+    impl: str | None = None,
 ) -> DataFrame:
     """Candidate near-dup pairs via MinHash banding.
 
@@ -315,14 +315,18 @@ def minhash_lsh_pairs_from_shingles(
     num_hashes: int = 32,
     bands: int = 8,
     portable: bool = False,
-    impl: str = "expr",
+    impl: str | None = None,
 ) -> DataFrame:
     """Banding + bucket join over a prepared (__id, __sh) frame.
 
     ``impl="arrow"`` computes the signature stage via numpy
-    (minhash_signatures_arrow, bit-identical values) when interpreted
-    HOF throughput is the bottleneck; default stays pure-expression.
+    (minhash_signatures_arrow, bit-identical values — parity-tested).
+    Default (None) auto-selects: arrow for the xxhash fast path
+    (measured 2x warm at sf0.1, PERF decision 16), expression for the
+    portable md5 path (whose base hash is expression-only anyway).
     """
+    if impl is None:
+        impl = "expr" if portable else "arrow"
     rows_per_band = num_hashes // bands
     if impl == "arrow":
         if portable:
@@ -515,7 +519,7 @@ def verified_near_dup_pairs(
     num_hashes: int = 32,
     bands: int = 16,
     portable: bool = False,
-    impl: str = "expr",
+    impl: str | None = None,
 ) -> DataFrame:
     """The 100 TB near-dup pipeline: MinHash-LSH candidates -> exact
     n-gram Jaccard verification on candidates only.
@@ -526,8 +530,9 @@ def verified_near_dup_pairs(
     is 1-(1-j^2)^bands (~0.99 at j=0.5, ~1.0 at j>=0.8); tune bands up
     for higher recall at more shuffle.
 
-    ``impl="arrow"`` runs the signature stage via the bit-identical
-    Arrow/numpy kernel (minhash_signatures_arrow) — same output pairs.
+    ``impl`` as in minhash_lsh_pairs_from_shingles (default
+    auto-selects the bit-identical Arrow/numpy signature kernel for
+    the fast path — same output pairs).
     """
     sh = shingle_frame(df, id_col, text_col, shingle_n=shingle_n)
     cand = minhash_lsh_pairs_from_shingles(
