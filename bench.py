@@ -48,6 +48,9 @@ HEADLINE = [
     "semantic_dedup_cell_blocked",  # cluster-blocked (SemDeDup) vector dedup
     "gopher_rules_documents",     # composed quality rule-set scan
     "overlapping_activity_windows",  # two-sided binned interval-overlap join
+    "copurchase_graph_summary",   # triangle counting (oriented two-join)
+    "bigram_pmi_documents",       # collocation PMI (corpus-total stats)
+    "hourly_event_anomalies",     # trailing-window anomaly scoring
 ]
 
 

@@ -56,19 +56,63 @@ def wedge_count(edges: DataFrame) -> DataFrame:
     )
 
 
-def triangle_count(edges: DataFrame) -> DataFrame:
+def _degree_directed(edges: DataFrame) -> DataFrame:
+    """Orient each undirected edge from its lower-rank endpoint to its
+    higher-rank endpoint, rank = (degree, id). Every node's out-degree
+    is then <= O(sqrt(2m)) regardless of hubs — the classic fix for
+    the last-reducer curse. Returns (u, v, dv, vv) where (dv, vv) is
+    the head's rank (carried so wedge enumeration can order the two
+    out-neighbors without another join)."""
+    deg = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
+    )
+    da = deg.select(F.col("node").alias("a"), F.col("deg").alias("__da"))
+    db = deg.select(F.col("node").alias("b"), F.col("deg").alias("__db"))
+    e = edges.join(da, "a").join(db, "b")
+    a_first = (F.col("__da") < F.col("__db")) | (
+        (F.col("__da") == F.col("__db")) & (F.col("a") < F.col("b"))
+    )
+    return e.select(
+        F.when(a_first, F.col("a")).otherwise(F.col("b")).alias("u"),
+        F.when(a_first, F.col("b")).otherwise(F.col("a")).alias("v"),
+        F.when(a_first, F.col("__db")).otherwise(F.col("__da")).alias("dv"),
+    )
+
+
+def triangle_count(edges: DataFrame, *, orient: str = "degree") -> DataFrame:
     """Count triangles in a simple undirected edge frame (a, b), a < b.
 
-    Wedges are rooted at the smallest vertex (x < y < z enumerated as
-    (x,y) join (y,z)) and closed by probing the (x,z) edge — each
-    triangle is counted exactly once. Returns a 1-row frame
+    Wedges are enumerated once at their lowest-RANK vertex and closed
+    with one equi-join probe against the directed edge set — each
+    triangle counted exactly once (Suri-Vassilvitskii node-iterator).
+
+    ``orient="degree"`` (default) ranks vertices by (degree, id):
+    out-degrees are bounded by ~sqrt(2m), so a hub with degree d
+    generates O(m) wedge rows instead of the O(d^2) an id-ranked
+    orientation suffers when the hub draws a low id — the property
+    that survives power-law graphs at 100 TB (wedge-row counts
+    measured in tests). ``orient="id"`` skips the degree pass (one
+    aggregation + two joins cheaper) — fine when degrees are known
+    to be bounded. Both count identically. Returns a 1-row frame
     ``(n_triangles)``.
     """
-    e1 = edges.select(F.col("a").alias("x"), F.col("b").alias("y"))
-    e2 = edges.select(F.col("a").alias("y"), F.col("b").alias("z"))
-    wedges = e1.join(e2, "y").select("x", "y", "z")
-    closing = edges.select(F.col("a").alias("x"), F.col("b").alias("z"))
-    tri = wedges.join(closing, ["x", "z"])
+    if orient == "id":
+        d = edges.select(F.col("a").alias("u"), F.col("b").alias("v"), F.col("b").alias("__r"))
+    else:
+        dd = _degree_directed(edges)
+        d = dd.select("u", "v", F.struct("dv", "v").alias("__r"))
+    e1 = d.select(F.col("u"), F.col("v").alias("y"), F.col("__r").alias("__ry"))
+    e2 = d.select(F.col("u"), F.col("v").alias("z"), F.col("__r").alias("__rz"))
+    wedges = (
+        e1.join(e2, "u")
+        .filter(F.col("__ry") < F.col("__rz"))
+        .select("u", "y", "z")
+    )
+    closing = d.select(F.col("u").alias("y"), F.col("v").alias("z"))
+    tri = wedges.join(closing, ["y", "z"])
     return tri.agg(F.count("*").cast("long").alias("n_triangles"))
 
 

@@ -55,3 +55,48 @@ def test_summary_empty_graph(spark):
         0, 0, 0, 0,
     )
     assert row.clustering_coeff == 0.0
+
+
+def test_orientations_agree_on_random_graph(spark):
+    # pseudo-random graph: same triangle count under id- and
+    # degree-ranked wedge enumeration
+    state, pairs = 7, set()
+    for _ in range(300):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        x = (state >> 7) % 40
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        y = (state >> 7) % 40
+        if x != y:
+            pairs.add((min(x, y), max(x, y)))
+    e = _edges(spark, sorted(pairs))
+    t_deg = triangle_count(e, orient="degree").collect()[0].n_triangles
+    t_id = triangle_count(e, orient="id").collect()[0].n_triangles
+    assert t_deg == t_id > 0
+
+
+def test_degree_orientation_bounds_hub_wedges(spark):
+    # star graph with the hub at the LOWEST id — the adversarial case
+    # for id-ranked orientation: the hub enumerates C(n,2) wedges.
+    # Degree ranking points every edge AT the hub, so no vertex has
+    # two out-neighbors: zero wedge rows, same (zero) triangle count.
+    from pyspark.sql import functions as F
+
+    from firmable_aus_etl_spark.operators.graph import _degree_directed
+
+    n = 200
+    star = _edges(spark, [(0, i) for i in range(1, n + 1)])
+
+    def wedge_rows(d):
+        e1 = d.select("u", F.col("v").alias("y"), F.col("__r").alias("__ry"))
+        e2 = d.select("u", F.col("v").alias("z"), F.col("__r").alias("__rz"))
+        return e1.join(e2, "u").filter(F.col("__ry") < F.col("__rz")).count()
+
+    d_id = star.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), F.col("b").alias("__r")
+    )
+    dd = _degree_directed(star)
+    d_deg = dd.select("u", "v", F.struct("dv", "v").alias("__r"))
+    assert wedge_rows(d_id) == n * (n - 1) // 2  # hub fan-out blowup
+    assert wedge_rows(d_deg) == 0                # bounded out-degrees
+    assert triangle_count(star, orient="degree").collect()[0].n_triangles == 0
+    assert triangle_count(star, orient="id").collect()[0].n_triangles == 0

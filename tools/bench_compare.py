@@ -68,6 +68,14 @@ COMPARE = [
     "interpolate_daily_revenue",
     "minhash_jaccard_estimates",
     "user_event_profiles",
+    "copurchase_graph_summary",
+    "bigram_pmi_documents",
+    "weighted_sample_documents",
+    "hourly_event_anomalies",
+    "customer_value_deciles",
+    "golden_records_documents",
+    "source_vocab_overlap",
+    "k_anonymity_audit_customers",
 ]
 
 
