@@ -102,7 +102,13 @@ def triangle_count(edges: DataFrame, *, orient: str = "degree") -> DataFrame:
     if orient == "id":
         d = edges.select(F.col("a").alias("u"), F.col("b").alias("v"), F.col("b").alias("__r"))
     else:
-        dd = _degree_directed(edges)
+        # the directed frame feeds three branches (both wedge sides and
+        # the closing probe) and its degree join re-reads the edge
+        # input twice more — materialize it once instead of
+        # re-executing the (possibly expensive) upstream per branch
+        # (PERF decision 13: every frame referenced by multiple
+        # branches of one job must be materialized)
+        dd = _degree_directed(edges).localCheckpoint(eager=False)
         d = dd.select("u", "v", F.struct("dv", "v").alias("__r"))
     e1 = d.select(F.col("u"), F.col("v").alias("y"), F.col("__r").alias("__ry"))
     e2 = d.select(F.col("u"), F.col("v").alias("z"), F.col("__r").alias("__rz"))
@@ -120,8 +126,11 @@ def graph_summary(pairs: DataFrame, src: str = "a", dst: str = "b") -> DataFrame
     """One-row structural profile of a pair graph: nodes, edges,
     wedges, triangles, and the global clustering coefficient
     3*triangles/wedges (0.0 when wedge-free). The edge frame is
-    canonicalized once and reused by every measure."""
-    edges = undirected_simple_edges(pairs, src, dst)
+    canonicalized and MATERIALIZED once (localCheckpoint): four
+    measures reference it, and without the checkpoint each would
+    re-execute the full upstream pair generation (e.g. the co-purchase
+    self-join) from scratch."""
+    edges = undirected_simple_edges(pairs, src, dst).localCheckpoint(eager=False)
     nodes = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
