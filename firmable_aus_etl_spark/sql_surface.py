@@ -47,6 +47,14 @@ _SQL_FUNCTIONS = [
     RETURNS DOUBLE
     RETURN vec_dot(a, b) / (sqrt(vec_dot(a, a)) * sqrt(vec_dot(b, b)))
     """,
+    # deterministic key-hash uniform in (0, 1] — the operators/sampling
+    # primitive from SQL: WHERE sample_uniform(id) <= 0.1 is the
+    # layout-invariant Bernoulli sample, identical rows on any engine
+    """
+    CREATE OR REPLACE TEMPORARY FUNCTION sample_uniform(k STRING)
+    RETURNS DOUBLE
+    RETURN (conv(substring(md5(k), 1, 12), 16, 10) + 1) / 281474976710656.0
+    """,
 ]
 
 

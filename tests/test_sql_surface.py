@@ -74,3 +74,20 @@ def test_vec_sql_functions_match_column_api(spark):
         """
     ).collect()
     assert all(abs(r.c - 1.0) < 1e-9 for r in got)
+
+
+def test_sample_uniform_matches_sampling_operator(spark):
+    from firmable_aus_etl_spark.operators.sampling import bernoulli_sample
+    from firmable_aus_etl_spark.sql_surface import register_sql_functions
+
+    register_sql_functions(spark)
+    df = spark.range(0, 500).selectExpr("CAST(id AS LONG) AS k")
+    df.createOrReplaceTempView("samp_src")
+    via_sql = {
+        r.k
+        for r in spark.sql(
+            "SELECT k FROM samp_src WHERE sample_uniform(CAST(k AS STRING)) <= 0.25"
+        ).collect()
+    }
+    via_op = {r.k for r in bernoulli_sample(df, "k", 0.25).collect()}
+    assert via_sql == via_op and 50 < len(via_op) < 200
