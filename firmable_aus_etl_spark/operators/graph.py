@@ -156,3 +156,69 @@ def graph_summary(pairs: DataFrame, src: str = "a", dst: str = "b") -> DataFrame
             ).alias("clustering_coeff"),
         )
     )
+
+
+def pagerank(
+    edges: DataFrame,
+    *,
+    iters: int = 5,
+    damping: float = 0.85,
+) -> DataFrame:
+    """PageRank over a simple undirected edge frame (a, b), a < b —
+    every edge walks both ways. Returns (node, rank_e12): the rank in
+    exact integer units of 1e-12.
+
+    Determinism across runs, layouts AND engines: all iteration state
+    is integer. Per-edge contributions floor-divide the source's
+    integer rank by its degree, partial-aggregation order cannot
+    perturb an integer sum, and the damping multiply is
+    floor(d * sum + 0.5) — a single IEEE multiply + deterministic
+    rounding. (A double-state PageRank drifts in the last bits with
+    shuffle order, which an oracle value-hash would catch; the same
+    reasoning as the engine-wide integer-cents rule in PERF.md.)
+
+    Scale shape: one degree aggregation up front; per iteration ONE
+    join (rank ⋈ out-edges, both pre-partitioned on the node key) and
+    ONE groupBy(dst) sum — the textbook distributed PageRank. Rank and
+    degree frames are localCheckpoint'ed so the lineage stays flat
+    (the connected-components discipline, PERF decision 13); rank mass
+    not emitted by floor division is deliberately dropped (< deg
+    units of 1e-12 per node per round) rather than redistributed — the
+    bias is identical on every engine.
+    """
+    und = edges.select(
+        F.col("a").alias("src"), F.col("b").alias("dst")
+    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
+    und = und.localCheckpoint(eager=False)
+    deg = und.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
+        eager=False
+    )
+    n = deg.count()
+    scale = 10**12
+    init = scale // n
+    # teleport numerator as an exact integer (trunc of damping*scale is
+    # engine-safe: 0.85*1e12 sits 9e-5 above the integer, nowhere near
+    # a trunc boundary), then pure integer floor-division by n — no
+    # float floor-div whose rounding could differ between engines
+    teleport = (scale - int(damping * scale)) // n
+    r = deg.select("src", F.lit(init).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = (
+            und.join(r, "src")
+            .join(deg, "src")
+            .select(
+                "dst",
+                F.floor(F.col("r").cast("double") / F.col("deg")).cast("long").alias("c"),
+            )
+        )
+        agg_ = contrib.groupBy("dst").agg(F.sum("c").alias("s"))
+        r = (
+            agg_.select(
+                F.col("dst").alias("src"),
+                (
+                    F.lit(teleport).cast("long")
+                    + F.floor(F.lit(damping) * F.col("s") + F.lit(0.5)).cast("long")
+                ).alias("r"),
+            )
+        ).localCheckpoint(eager=False)
+    return r.select(F.col("src").alias("node"), F.col("r").alias("rank_e12"))

@@ -6320,3 +6320,78 @@ def q_hourly_event_anomalies(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(z, 6),
         ).alias("zscore"),
     )
+
+
+def _pagerank_oracle(iters: int = 5, damping: float = 0.85) -> str:
+    """Generate the DuckDB twin of operators/graph.pagerank on the
+    co-purchase graph — the driver loop unrolled into one CTE per
+    iteration, from the same constants (single source of truth, the
+    _portable_minhash_oracle pattern). All state is integer 1e-12
+    units; the only float ops (rank/degree divide, damping multiply)
+    are written in the identical IEEE order the operator uses."""
+    scale = 10**12
+    tp_num = scale - int(damping * scale)
+    parts = [f"""
+WITH p AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e AS (
+  SELECT a.l_partkey AS a, b.l_partkey AS b
+  FROM p a JOIN p b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2 HAVING count(*) >= 2
+),
+und AS (SELECT a AS src, b AS dst FROM e UNION ALL SELECT b, a FROM e),
+deg AS (SELECT src, CAST(count(*) AS BIGINT) AS deg FROM und GROUP BY src),
+nn AS (SELECT count(*) AS n FROM deg),
+r0 AS (SELECT src, CAST({scale} // n AS BIGINT) AS r FROM deg CROSS JOIN nn)"""]
+    for i in range(iters):
+        parts.append(f""",
+r{i + 1} AS (
+  SELECT agg.dst AS src,
+         CAST({tp_num} // nn.n AS BIGINT)
+           + CAST(floor({damping} * agg.s + 0.5) AS BIGINT) AS r
+  FROM (
+    SELECT u.dst,
+           sum(CAST(floor(CAST(r.r AS DOUBLE) / d.deg) AS BIGINT)) AS s
+    FROM und u JOIN r{i} r ON u.src = r.src JOIN deg d ON u.src = d.src
+    GROUP BY u.dst
+  ) agg CROSS JOIN nn
+)""")
+    parts.append(f"""
+SELECT src AS node, r AS rank_e12
+FROM r{iters} ORDER BY r DESC, src LIMIT 20""")
+    return "".join(parts)
+
+
+@register("copurchase_pagerank_top20", _pagerank_oracle())
+def q_copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative graph centrality with an EXACT oracle: 5 PageRank
+    rounds over the part co-purchase graph, top-20 parts. The operator
+    (operators/graph.py:pagerank) keeps all state in integer 1e-12
+    units so a driver-loop-on-Spark and a DuckDB unrolled-CTE twin
+    agree bit-for-bit — the iterative-algorithm determinism story the
+    connected-components family started, extended to weighted mass
+    propagation. Per round: one join + one groupBy sum, lineage kept
+    flat by localCheckpoint."""
+    from firmable_aus_etl_spark.operators.graph import pagerank
+
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+    )
+    a = li.alias("x")
+    b = li.alias("y")
+    pairs = (
+        a.join(
+            b,
+            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
+            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
+        )
+        .groupBy(
+            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
+        )
+        .agg(F.count("*").alias("w"))
+        .filter(F.col("w") >= 2)
+        .select("a", "b")
+    )
+    ranks = pagerank(pairs, iters=5, damping=0.85)
+    return ranks.orderBy(F.col("rank_e12").desc(), F.col("node")).limit(20)

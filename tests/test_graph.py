@@ -100,3 +100,25 @@ def test_degree_orientation_bounds_hub_wedges(spark):
     assert wedge_rows(d_deg) == 0                # bounded out-degrees
     assert triangle_count(star, orient="degree").collect()[0].n_triangles == 0
     assert triangle_count(star, orient="id").collect()[0].n_triangles == 0
+
+
+def test_pagerank_hub_dominates_and_mass_bounded(spark):
+    from firmable_aus_etl_spark.operators.graph import pagerank
+
+    # star + tail: hub 0 must out-rank everything; total mass stays
+    # <= 1.0 (floor division only ever drops mass) and > 0.9
+    star = _edges(spark, [(0, i) for i in range(1, 30)] + [(30, 31)])
+    rows = {r.node: r.rank_e12 for r in pagerank(star, iters=5).collect()}
+    assert max(rows, key=rows.get) == 0
+    total = sum(rows.values()) / 1e12
+    assert 0.9 < total <= 1.0
+
+
+def test_pagerank_deterministic_under_repartition(spark):
+    from firmable_aus_etl_spark.operators.graph import pagerank
+
+    e = _edges(spark, [(i, (i * 7 + 3) % 50) for i in range(50) if i != (i * 7 + 3) % 50])
+    canon = undirected_simple_edges(e)
+    a = sorted(map(tuple, pagerank(canon, iters=4).collect()))
+    b = sorted(map(tuple, pagerank(canon.repartition(7), iters=4).collect()))
+    assert a == b
