@@ -6395,3 +6395,128 @@ def q_copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     ranks = pagerank(pairs, iters=5, damping=0.85)
     return ranks.orderBy(F.col("rank_e12").desc(), F.col("node")).limit(20)
+
+
+@register(
+    "last_touch_attribution",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ), m AS (
+      SELECT p.event_id AS purchase_id, p.user_id,
+             t.event_id AS touch_id, t.event_type AS touch_type,
+             epoch_us(p.ts) - epoch_us(t.ts) AS gap_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY t.ts DESC, t.event_id DESC) AS rn
+      FROM p LEFT JOIN t
+        ON p.user_id = t.user_id AND t.ts <= p.ts
+       AND t.ts >= p.ts - INTERVAL 1 HOUR
+    )
+    SELECT purchase_id, user_id, touch_id, touch_type,
+           CAST(gap_us AS BIGINT) AS gap_us
+    FROM m WHERE rn = 1
+    """,
+)
+def q_last_touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Marketing last-touch attribution: each purchase credited to the
+    user's most recent view/click within the preceding hour (ties at
+    one timestamp -> greatest touch id, unattributed purchases kept
+    with NULLs). Rides the as-of operator's union+window merge — one
+    shuffle+sort over touches+purchases, no per-purchase candidate
+    fan-out even when a user has thousands of touches (where the
+    naive range join the oracle uses goes quadratic per user)."""
+    ev = load_table(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", "ts"
+    )
+    touches = ev.filter(F.col("event_type").isin("view", "click")).select(
+        F.col("event_id").alias("touch_id"),
+        "user_id",
+        "ts",
+        F.col("event_type").alias("touch_type"),
+        F.col("ts").alias("touch_ts"),
+    )
+    out = joins.asof_join(
+        purchases,
+        touches,
+        on="ts",
+        by=["user_id"],
+        value_cols=["touch_type", "touch_ts", "touch_id"],
+        direction="backward",
+        tolerance=F.expr("INTERVAL 1 HOUR"),
+        tiebreak="touch_id",
+    )
+    return out.select(
+        "purchase_id",
+        "user_id",
+        "touch_id",
+        "touch_type",
+        (F.unix_micros(F.col("ts")) - F.unix_micros(F.col("touch_ts"))).alias(
+            "gap_us"
+        ),
+    )
+
+
+@register(
+    "doc_entropy_scores",
+    f"""
+    WITH d AS (SELECT doc_id, unnest({_TOKENS_SQL}) AS t FROM documents),
+    c AS (
+      SELECT doc_id, t, CAST(count(*) AS BIGINT) AS cnt
+      FROM d GROUP BY doc_id, t
+    ),
+    s AS (
+      SELECT doc_id,
+             CAST(sum(cnt) AS BIGINT) AS n_tokens,
+             CAST(count(*) AS BIGINT) AS n_distinct,
+             CAST(sum(CAST(floor(cnt * ln(cnt) * 1000000.0 + 0.5) AS BIGINT))
+                  AS BIGINT) AS st
+      FROM c GROUP BY doc_id
+    )
+    SELECT doc_id, n_tokens, n_distinct,
+           CAST(floor((ln(n_tokens) - (CAST(st AS DOUBLE) / 1000000.0) / n_tokens)
+                      * 1000000.0 + 0.5) AS BIGINT) AS entropy_e6
+    FROM s
+    """,
+)
+def q_doc_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-distribution Shannon entropy per document — the
+    information-density quality signal (low entropy = repetitive /
+    template text; complements the Gopher dup-fraction rules).
+    Computed as ln(N) - (1/N) * sum(c * ln(c)) from integer counts;
+    each c*ln(c) term is floor-scaled to integer 1e-6 units BEFORE the
+    group sum, so partial-aggregation order cannot drift the result
+    (the _cents rule applied to a transcendental), and the output is
+    integer micro-nats. Two shuffles: (doc, token) count, then per-doc
+    aggregate."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    c = (
+        docs.select("doc_id", F.explode(T.tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("cnt"))
+    )
+    term = F.floor(
+        F.col("cnt") * F.log(F.col("cnt").cast("double")) * 1000000.0 + 0.5
+    ).cast("long")
+    s = c.groupBy("doc_id").agg(
+        F.sum("cnt").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.sum(term).alias("st"),
+    )
+    entropy = F.floor(
+        (
+            F.log(F.col("n_tokens").cast("double"))
+            - (F.col("st").cast("double") / 1000000.0) / F.col("n_tokens")
+        )
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    return s.select(
+        "doc_id", "n_tokens", "n_distinct", entropy.alias("entropy_e6")
+    )
