@@ -6520,3 +6520,79 @@ def q_doc_entropy_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select(
         "doc_id", "n_tokens", "n_distinct", entropy.alias("entropy_e6")
     )
+
+
+@register(
+    "contrastive_negatives_sample",
+    """
+    WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+    base AS (
+      SELECT d.doc_id, j.j,
+             CAST(list_sum(list_transform(range(1, 13), i ->
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(d.doc_id AS VARCHAR) || ':' || CAST(j.j AS VARCHAR)),
+                              CAST(i AS INTEGER), 1)) - 1) * 16 ** (12 - i)))
+               AS BIGINT) % nn.n AS raw_neg,
+             nn.n AS n
+      FROM documents d CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) j
+      CROSS JOIN nn
+    ),
+    negs AS (
+      SELECT doc_id, j,
+             CASE WHEN raw_neg = doc_id THEN (raw_neg + 1) % n
+                  ELSE raw_neg END AS neg_id
+      FROM base
+    )
+    SELECT g.doc_id, g.j, g.neg_id, d.n_chars AS neg_chars
+    FROM negs g JOIN documents d ON d.doc_id = g.neg_id
+    """,
+)
+def q_contrastive_negatives_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-negative pair generation for contrastive training: 4
+    deterministic pseudo-random negatives per document, drawn by key
+    hash over the contiguous id domain (self-draws remapped to the
+    next id). No candidate fan-out and no sort: the draw is a map-side
+    hash-mod and the only join fetches each negative's features by
+    equi-key — the 100 TB shape for building in-batch-negative
+    training sets (vs sampling by ORDER BY rand(), which is a global
+    sort AND irreproducible across layouts)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    nn = docs.agg(F.count("*").alias("n"))
+    base = (
+        docs.select("doc_id")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "doc_id",
+            F.explode(F.array(*[F.lit(j) for j in range(4)])).alias("j"),
+            "n",
+        )
+    )
+    raw = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        ":",
+                        F.col("doc_id").cast("string"),
+                        F.col("j").cast("string"),
+                    )
+                ),
+                1,
+                12,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % F.col("n")
+    )
+    negs = base.select(
+        "doc_id",
+        "j",
+        F.when(raw == F.col("doc_id"), (raw + 1) % F.col("n"))
+        .otherwise(raw)
+        .alias("neg_id"),
+    )
+    feats = docs.select(
+        F.col("doc_id").alias("neg_id"), F.col("n_chars").alias("neg_chars")
+    )
+    return negs.join(feats, "neg_id").select("doc_id", "j", "neg_id", "neg_chars")
