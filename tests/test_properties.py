@@ -185,3 +185,62 @@ def test_range_join_matches_bruteforce(spark, points, intervals, length, bucket)
         if pg == ig and s <= pt <= e
     }
     assert got == expected
+
+
+EDGE_PAIRS = st.lists(
+    st.tuples(st.integers(0, 12), st.integers(0, 12)), min_size=0, max_size=30
+)
+
+
+@given(pairs=EDGE_PAIRS)
+@_SETTINGS
+def test_triangle_orientations_agree_property(spark, pairs):
+    from firmable_aus_etl_spark.operators.graph import (
+        triangle_count,
+        undirected_simple_edges,
+    )
+
+    raw = (
+        spark.createDataFrame(pairs, "a long, b long")
+        if pairs
+        else spark.createDataFrame([], "a long, b long")
+    )
+    e = undirected_simple_edges(raw)
+    t_deg = triangle_count(e, orient="degree").collect()[0].n_triangles
+    t_id = triangle_count(e, orient="id").collect()[0].n_triangles
+    # brute-force truth on the canonical edge set
+    es = {(r.a, r.b) for r in e.collect()}
+    nodes = sorted({n for p in es for n in p})
+    truth = sum(
+        1
+        for i, x in enumerate(nodes)
+        for y in nodes[i + 1:]
+        for z in nodes
+        if z > y
+        and (x, y) in es and (y, z) in es and (x, z) in es
+    )
+    assert t_deg == t_id == truth
+
+
+@given(rows=st.lists(st.tuples(st.integers(0, 50), st.integers(1, 9)),
+                     min_size=1, max_size=25), k=st.integers(1, 8))
+@_SETTINGS
+def test_weighted_sample_is_topk_of_priorities(spark, rows, k):
+    # A-Res output == the k largest ln(u)/w priorities computed
+    # independently — the selection is a pure function of the data
+    from firmable_aus_etl_spark.operators.sampling import (
+        _uniform_from_key,
+        weighted_sample_ares,
+    )
+
+    uniq = {kk: w for kk, w in rows}
+    df = spark.createDataFrame(list(uniq.items()), "k long, w long")
+    got = {r.k for r in weighted_sample_ares(df, "k", "w", k=k).collect()}
+    pri = {
+        r.k: r.p
+        for r in df.select(
+            "k", (F.log(_uniform_from_key(F.col("k"))) / F.col("w")).alias("p")
+        ).collect()
+    }
+    want = set(sorted(pri, key=lambda x: (-pri[x], x))[:k])
+    assert got == want
