@@ -6596,3 +6596,117 @@ def q_contrastive_negatives_sample(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("doc_id").alias("neg_id"), F.col("n_chars").alias("neg_chars")
     )
     return negs.join(feats, "neg_id").select("doc_id", "j", "neg_id", "neg_chars")
+
+
+@register(
+    "training_corpus_report",
+    f"""
+    WITH f AS (
+      SELECT doc_id, source, lang, n_chars, md5({_NORM_SQL}) AS fp,
+             16 * (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+               + (strpos('0123456789abcdef',
+                          substr(md5(CAST(doc_id AS VARCHAR)), 2, 1)) - 1)
+               AS bucket
+      FROM documents
+    ),
+    dup AS (
+      SELECT doc_id, source,
+             CASE WHEN row_number() OVER (PARTITION BY fp ORDER BY doc_id) > 1
+                  THEN 1 ELSE 0 END AS is_dup
+      FROM f
+    )
+    SELECT f.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(d.is_dup) AS BIGINT) AS n_dup_docs,
+           CAST(sum(CASE WHEN f.lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+           CAST(sum(f.n_chars) AS BIGINT) AS total_chars,
+           CAST(sum(CASE WHEN f.bucket < 204 THEN 1 ELSE 0 END) AS BIGINT) AS n_train,
+           CAST(sum(CASE WHEN f.bucket >= 204 AND f.bucket < 230 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_val,
+           CAST(sum(CASE WHEN f.bucket >= 230 THEN 1 ELSE 0 END) AS BIGINT) AS n_test
+    FROM f JOIN dup d ON d.doc_id = f.doc_id
+    GROUP BY f.source
+    """,
+)
+def q_training_corpus_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus composition dashboard — the one-pass report a
+    training-data pipeline gates releases on: volume, exact-duplicate
+    docs (non-first fingerprint occurrences, the rows dedup would
+    drop), English share, and leakage-proof split sizes (same md5
+    bucket arithmetic as train_test_split_hash, so the report and the
+    split can never disagree). One fingerprint window + one groupBy;
+    every count is integer."""
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    f = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        F.md5(normalize_name(F.col("text"))).alias("fp"),
+        bucket.alias("bucket"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    d = f.withColumn(
+        "is_dup", (F.row_number().over(w) > 1).cast("int")
+    )
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.sum((F.col("lang") == "en").cast("int")).cast("long").alias("n_en"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum((F.col("bucket") < 204).cast("int")).cast("long").alias("n_train"),
+        F.sum(((F.col("bucket") >= 204) & (F.col("bucket") < 230)).cast("int"))
+        .cast("long")
+        .alias("n_val"),
+        F.sum((F.col("bucket") >= 230).cast("int")).cast("long").alias("n_test"),
+    )
+
+
+@register(
+    "conversion_by_touch_type",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ), m AS (
+      SELECT p.event_id AS purchase_id,
+             t.event_type AS touch_type,
+             epoch_us(p.ts) - epoch_us(t.ts) AS gap_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY t.ts DESC, t.event_id DESC) AS rn
+      FROM p LEFT JOIN t
+        ON p.user_id = t.user_id AND t.ts <= p.ts
+       AND t.ts >= p.ts - INTERVAL 1 HOUR
+    ), a AS (SELECT * FROM m WHERE rn = 1)
+    SELECT coalesce(touch_type, 'unattributed') AS touch_type,
+           CAST(count(*) AS BIGINT) AS n_purchases,
+           CAST(sum(gap_us) AS BIGINT) AS total_gap_us
+    FROM a GROUP BY 1
+    """,
+)
+def q_conversion_by_touch_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution rollup: purchases credited per last-touch channel
+    (view / click / unattributed) with the summed decision gap —
+    integer micros, so no FP in the report. Rides the same as-of
+    machinery as last_touch_attribution, then a 3-row aggregate."""
+    att = QUERIES["last_touch_attribution"](spark, sf_dir)
+    return (
+        att.select(
+            F.coalesce(F.col("touch_type"), F.lit("unattributed")).alias(
+                "touch_type"
+            ),
+            "gap_us",
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.count("*").alias("n_purchases"),
+            F.sum("gap_us").cast("long").alias("total_gap_us"),
+        )
+    )
