@@ -6710,3 +6710,110 @@ def q_conversion_by_touch_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("gap_us").cast("long").alias("total_gap_us"),
         )
     )
+
+
+@register(
+    "winsorized_order_stats",
+    """
+    WITH o AS (
+      SELECT c_mktsegment,
+             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS cents
+      FROM orders JOIN customer ON o_custkey = c_custkey
+    ),
+    q AS (
+      SELECT c_mktsegment,
+             round(quantile_cont(cents, 0.01), 4) AS p01,
+             round(quantile_cont(cents, 0.99), 4) AS p99
+      FROM o GROUP BY c_mktsegment
+    ),
+    w AS (
+      SELECT o.c_mktsegment,
+             CAST(least(greatest(CAST(o.cents AS DOUBLE), q.p01), q.p99)
+                  AS DOUBLE) AS wc,
+             CASE WHEN o.cents < q.p01 OR o.cents > q.p99 THEN 1 ELSE 0 END
+               AS clipped
+      FROM o JOIN q ON o.c_mktsegment = q.c_mktsegment
+    )
+    SELECT c_mktsegment,
+           CAST(count(*) AS BIGINT) AS n,
+           CAST(sum(clipped) AS BIGINT) AS n_clipped,
+           CAST(sum(CAST(floor(wc + 0.5) AS BIGINT)) AS BIGINT) AS winsorized_cents
+    FROM w GROUP BY c_mktsegment
+    """,
+)
+def q_winsorized_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized robust totals per segment: order values clamped to
+    the [p1, p99] exact percentiles before summing — the outlier
+    treatment a mean-based KPI needs (sibling of the median/MAD
+    profile). Percentiles are computed on integer cents and rounded to
+    4 before reuse (the cross-engine exact-percentile idiom); each
+    clamped value is floor-rounded back to integer cents so the final
+    sums are order-free."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", _cents(F.col("o_totalprice")).alias("cents")
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = orders.join(cust, F.col("o_custkey") == F.col("c_custkey")).select(
+        "c_mktsegment", "cents"
+    )
+    q = o.groupBy("c_mktsegment").agg(
+        F.round(F.percentile("cents", F.lit(0.01)), 4).alias("p01"),
+        F.round(F.percentile("cents", F.lit(0.99)), 4).alias("p99"),
+    )
+    w = o.join(F.broadcast(q), "c_mktsegment").select(
+        "c_mktsegment",
+        F.least(
+            F.greatest(F.col("cents").cast("double"), F.col("p01")), F.col("p99")
+        ).alias("wc"),
+        (
+            (F.col("cents") < F.col("p01")) | (F.col("cents") > F.col("p99"))
+        ).cast("int").alias("clipped"),
+    )
+    return w.groupBy("c_mktsegment").agg(
+        F.count("*").alias("n"),
+        F.sum("clipped").cast("long").alias("n_clipped"),
+        F.sum(F.floor(F.col("wc") + 0.5).cast("long")).cast("long").alias(
+            "winsorized_cents"
+        ),
+    )
+
+
+@register(
+    "attribution_gap_percentiles",
+    """
+    WITH p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), t AS (
+      SELECT event_id, user_id, ts, event_type
+      FROM events WHERE event_type IN ('view', 'click')
+    ), m AS (
+      SELECT p.event_id AS purchase_id,
+             t.event_type AS touch_type,
+             epoch_us(p.ts) - epoch_us(t.ts) AS gap_us,
+             row_number() OVER (
+               PARTITION BY p.event_id
+               ORDER BY t.ts DESC, t.event_id DESC) AS rn
+      FROM p JOIN t
+        ON p.user_id = t.user_id AND t.ts <= p.ts
+       AND t.ts >= p.ts - INTERVAL 1 HOUR
+    ), a AS (SELECT * FROM m WHERE rn = 1)
+    SELECT touch_type,
+           CAST(count(*) AS BIGINT) AS n,
+           round(quantile_cont(gap_us, 0.5), 4) AS p50_gap_us,
+           round(quantile_cont(gap_us, 0.9), 4) AS p90_gap_us
+    FROM a GROUP BY touch_type
+    """,
+)
+def q_attribution_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution per attributed channel: exact p50 /
+    p90 of the purchase-to-last-touch gap (integer micros through the
+    rounded exact-percentile idiom). Attributed purchases only — the
+    inner join twin of last_touch_attribution's left join."""
+    att = QUERIES["last_touch_attribution"](spark, sf_dir).filter(
+        F.col("touch_id").isNotNull()
+    )
+    return att.groupBy("touch_type").agg(
+        F.count("*").alias("n"),
+        F.round(F.percentile("gap_us", F.lit(0.5)), 4).alias("p50_gap_us"),
+        F.round(F.percentile("gap_us", F.lit(0.9)), 4).alias("p90_gap_us"),
+    )
