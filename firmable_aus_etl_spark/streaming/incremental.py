@@ -564,3 +564,131 @@ def read_distinct_view(spark: SparkSession, state_dir: str) -> DataFrame:
     return df.select(
         *keys, F.hll_sketch_estimate("sketch").alias("approx_distinct")
     )
+
+
+# ------------------------------------------------------------------
+# Incrementally-maintained corpus composition report
+# ------------------------------------------------------------------
+
+_REPORT_COUNTERS = [
+    "n_docs", "n_dup_docs", "n_en", "total_chars", "n_train", "n_val", "n_test",
+]
+
+
+def corpus_report_increment(
+    docs: DataFrame, state_dir: str, batch_id: int
+) -> None:
+    """Maintain the per-source corpus composition report (the
+    training_corpus_report shape: volume, exact-dup docs, English
+    share, split sizes) incrementally: each batch contributes an
+    additive partial, and exact-duplicate detection compares the
+    batch's fingerprints against an append-only fp store of EVERYTHING
+    seen in earlier batches — no historical text is re-scanned.
+
+    State layout (both keyed by batch id, so at-least-once replay
+    overwrites rather than double-counts — the incremental_agg_stream
+    scheme):
+      state_dir/fp/batch=N   fingerprints first seen in batch N
+      state_dir/report/vN    report after batch N (from v(parent))
+
+    Equality with the one-shot batch recompute holds under the same
+    monotone-doc_id arrival precondition as ingest_increment (dup =
+    non-first fp occurrence in doc_id order; ids assigned at ingest).
+    """
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    f = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        F.md5(normalize_name(F.col("text"))).alias("fp"),
+        bucket.alias("bucket"),
+    )
+    # history = fp dirs from STRICTLY EARLIER batches (a replayed batch
+    # must not collide with its own previous write)
+    fp_root = os.path.join(state_dir, "fp")
+    hist_dirs = [d for b, d in _batch_dirs(fp_root) if b < batch_id]
+    if hist_dirs:
+        hist = spark.read.parquet(*hist_dirs).select("fp").distinct()
+        f = f.join(
+            hist.select(F.col("fp"), F.lit(1).alias("__seen")), "fp", "left"
+        )
+    else:
+        f = f.withColumn("__seen", F.lit(None).cast("int"))
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    d = f.withColumn(
+        "is_dup",
+        (
+            F.col("__seen").isNotNull() | (F.row_number().over(w) > 1)
+        ).cast("int"),
+    )
+    part = d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.sum((F.col("lang") == "en").cast("int")).cast("long").alias("n_en"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum((F.col("bucket") < 204).cast("int")).cast("long").alias("n_train"),
+        F.sum(((F.col("bucket") >= 204) & (F.col("bucket") < 230)).cast("int"))
+        .cast("long").alias("n_val"),
+        F.sum((F.col("bucket") >= 230).cast("int")).cast("long").alias("n_test"),
+    )
+    report_root = os.path.join(state_dir, "report")
+    parents = []
+    for dd in glob.glob(os.path.join(report_root, "v*")):
+        m = re.fullmatch(r"v(\d+)", os.path.basename(dd))
+        if m and int(m.group(1)) < batch_id and os.path.exists(
+            os.path.join(dd, "_SUCCESS")
+        ):
+            parents.append(int(m.group(1)))
+    if parents:
+        prev = spark.read.parquet(os.path.join(report_root, f"v{max(parents)}"))
+        merged = prev.select(
+            "source", *[F.col(c).alias(f"p_{c}") for c in _REPORT_COUNTERS]
+        ).join(part, "source", "full_outer").select(
+            "source",
+            *[
+                (
+                    F.coalesce(f"p_{c}", F.lit(0)) + F.coalesce(c, F.lit(0))
+                ).cast("long").alias(c)
+                for c in _REPORT_COUNTERS
+            ],
+        )
+    else:
+        merged = part
+    merged.write.mode("overwrite").parquet(
+        os.path.join(report_root, f"v{batch_id}")
+    )
+    # new fingerprints only (first occurrence in this batch), so the
+    # store stays deduplicated across batches
+    d.filter(F.col("is_dup") == 0).select("fp").write.mode("overwrite").parquet(
+        os.path.join(fp_root, f"batch={batch_id}")
+    )
+
+
+def corpus_report_stream(
+    stream: DataFrame, state_dir: str, *, checkpoint: str
+):
+    """Structured Streaming wrapper: one corpus_report_increment per
+    micro-batch (foreachBatch, availableNow)."""
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        corpus_report_increment(batch, state_dir, batch_id)
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_corpus_report(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest complete version of the incremental corpus report."""
+    root = os.path.join(state_dir, "report")
+    v = _latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no versions under {root}")
+    return spark.read.parquet(os.path.join(root, f"v{v}"))

@@ -386,3 +386,108 @@ def test_incremental_distinct_view_accuracy_and_merge(spark, tmp_path):
     assert set(got) == set(want)
     for k in want:
         assert abs(got[k] - want[k]) <= max(2, 0.05 * want[k]), (k, got[k], want[k])
+
+
+# ---------------- incremental corpus report ----------------
+
+def _report_docs(spark):
+    from firmable_aus_etl_spark.datasets import load_table
+
+    return load_table(spark, SF, "documents").select(
+        "doc_id", "source", "lang", "n_chars", "text"
+    )
+
+
+def _expected_report(docs):
+    # one-shot recompute: same logic as the training_corpus_report query
+    from pyspark.sql import Window
+
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+
+    bucket = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    f = docs.select(
+        "doc_id", "source", "lang", "n_chars",
+        F.md5(normalize_name(F.col("text"))).alias("fp"),
+        bucket.alias("bucket"),
+    )
+    w = Window.partitionBy("fp").orderBy("doc_id")
+    d = f.withColumn("is_dup", (F.row_number().over(w) > 1).cast("int"))
+    return d.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("is_dup").cast("long").alias("n_dup_docs"),
+        F.sum((F.col("lang") == "en").cast("int")).cast("long").alias("n_en"),
+        F.sum("n_chars").cast("long").alias("total_chars"),
+        F.sum((F.col("bucket") < 204).cast("int")).cast("long").alias("n_train"),
+        F.sum(((F.col("bucket") >= 204) & (F.col("bucket") < 230)).cast("int"))
+        .cast("long").alias("n_val"),
+        F.sum((F.col("bucket") >= 230).cast("int")).cast("long").alias("n_test"),
+    )
+
+
+def test_corpus_report_incremental_equals_recompute(spark, tmp_path):
+    from firmable_aus_etl_spark.streaming.incremental import (
+        corpus_report_increment,
+        read_corpus_report,
+    )
+
+    docs = _report_docs(spark)
+    # cross-batch exact dup: doc 600 repeats doc 3's text in batch 3
+    dup_row = docs.filter(F.col("doc_id") == 3).select(
+        F.lit(600).alias("doc_id"), "source", "lang", "n_chars", "text"
+    )
+    full = docs.unionByName(dup_row)
+    batches = [
+        full.filter(F.col("doc_id") < 150),
+        full.filter((F.col("doc_id") >= 150) & (F.col("doc_id") < 350)),
+        full.filter(F.col("doc_id") >= 350),
+    ]
+    state = str(tmp_path / "crstate")
+    for i, b in enumerate(batches, start=1):
+        corpus_report_increment(b, state, i)
+    got = sorted(map(tuple, read_corpus_report(spark, state).collect()))
+    want = sorted(map(tuple, _expected_report(full).collect()))
+    assert got == want
+    # the planted cross-batch dup is counted
+    assert sum(r[2] for r in got) >= 1  # n_dup_docs column
+
+
+def test_corpus_report_replay_idempotent(spark, tmp_path):
+    from firmable_aus_etl_spark.streaming.incremental import (
+        corpus_report_increment,
+        read_corpus_report,
+    )
+
+    docs = _report_docs(spark)
+    b1 = docs.filter(F.col("doc_id") < 250)
+    b2 = docs.filter(F.col("doc_id") >= 250)
+    state = str(tmp_path / "crstate2")
+    corpus_report_increment(b1, state, 1)
+    corpus_report_increment(b2, state, 2)
+    clean = sorted(map(tuple, read_corpus_report(spark, state).collect()))
+    # replay batch 2 with a different partition layout
+    corpus_report_increment(b2.repartition(5), state, 2)
+    replayed = sorted(map(tuple, read_corpus_report(spark, state).collect()))
+    assert replayed == clean
+
+
+def test_corpus_report_stream_drives_same_state(spark, tmp_path):
+    from firmable_aus_etl_spark.streaming.incremental import (
+        corpus_report_stream,
+        read_corpus_report,
+    )
+
+    docs = _report_docs(spark)
+    src = str(tmp_path / "crsrc")
+    docs.write.parquet(src)
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = corpus_report_stream(
+        stream, str(tmp_path / "crstream"), checkpoint=str(tmp_path / "crckpt")
+    )
+    q.awaitTermination(120)
+    got = sorted(
+        map(tuple, read_corpus_report(spark, str(tmp_path / "crstream")).collect())
+    )
+    want = sorted(map(tuple, _expected_report(docs).collect()))
+    assert got == want
