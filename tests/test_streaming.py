@@ -373,3 +373,84 @@ def test_streaming_quantile_histogram_bound_and_replay(spark, tmp_path):
     n_versions_before = len(g.glob(f"{state}/v*"))
     assert n_versions_before >= 3
     assert sum(c for _, c, _ in before) == 2000
+
+
+def test_anomaly_stream_matches_batch_twin(spark, events_dir):
+    from firmable_aus_etl_spark.queries import QUERIES
+    from firmable_aus_etl_spark.streaming import read_stream_parquet
+    from firmable_aus_etl_spark.streaming.anomaly import anomaly_stream
+
+    stream = read_stream_parquet(spark, events_dir)
+    out = anomaly_stream(stream)
+    q = (
+        out.writeStream.format("memory").queryName("anomalies")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.event_type, r.hour_us): (r.cnt, r.zscore)
+        for r in spark.sql("SELECT * FROM anomalies").collect()
+    }
+
+    batch = QUERIES["hourly_event_anomalies"](spark, SF_DIR).select(
+        "event_type",
+        F.unix_micros(F.to_timestamp("hour", "yyyy-MM-dd HH:mm")).alias("hour_us"),
+        "cnt",
+        "zscore",
+    )
+    rows = batch.collect()
+    # the stream never closes each key's final hour
+    last_hour = {}
+    for r in rows:
+        last_hour[r.event_type] = max(last_hour.get(r.event_type, 0), r.hour_us)
+    want = {
+        (r.event_type, r.hour_us): (r.cnt, r.zscore)
+        for r in rows
+        if r.hour_us != last_hour[r.event_type]
+    }
+    assert set(got) == set(want)
+    n_scored = 0
+    for k, (cnt, z) in want.items():
+        gcnt, gz = got[k]
+        assert gcnt == cnt, k
+        if z is None:
+            assert gz is None, k
+        else:
+            assert gz is not None and abs(gz - z) <= 1e-6, (k, gz, z)
+            n_scored += 1
+    assert n_scored > 50  # parity is non-vacuous
+
+
+def test_anomaly_stream_state_bounded_and_cross_batch(spark, tmp_path):
+    # two micro-batches split mid-stream: hours closed by batch 2's
+    # arrivals get their z from history accumulated in batch 1's state
+    import pandas as pd  # noqa: F401
+    from firmable_aus_etl_spark.streaming.anomaly import anomaly_stream
+
+    rows = []
+    for h in range(40):  # 40 hours, counts 10,11,10,11,...
+        for i in range(10 + (h % 2)):
+            rows.append(("a", h * 3600 * 1_000_000 + i * 1000))
+    df = spark.createDataFrame(rows, "event_type string, ts_us long").select(
+        "event_type", F.timestamp_micros(F.col("ts_us")).alias("ts")
+    )
+    d = str(tmp_path / "ev2")
+    # two files in hour order -> two ordered micro-batches
+    df.filter(F.col("ts") < F.timestamp_micros(F.lit(20 * 3600 * 1_000_000))).coalesce(1).write.parquet(d + "/p1")
+    df.filter(F.col("ts") >= F.timestamp_micros(F.lit(20 * 3600 * 1_000_000))).coalesce(1).write.parquet(d + "/p2")
+    stream = spark.readStream.schema(df.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(d + "/p*")
+    out = anomaly_stream(stream)
+    q = (
+        out.writeStream.format("memory").queryName("anomalies2")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT * FROM anomalies2").collect()
+    assert len(got) == 39  # all hours closed except the last open one
+    scored = [r for r in got if r.zscore is not None]
+    # after 12 warm-up buckets every closed hour gets a score, and the
+    # alternating 10/11 series is never 3-sigma anomalous
+    assert len(scored) == 39 - 12
+    assert all(abs(r.zscore) < 3 for r in scored)
