@@ -195,6 +195,10 @@ def pagerank(
     )
     n = deg.count()
     scale = 10**12
+    if n == 0:
+        return deg.select(
+            F.col("src").alias("node"), F.lit(0).cast("long").alias("rank_e12")
+        )
     init = scale // n
     # teleport numerator as an exact integer (trunc of damping*scale is
     # engine-safe: 0.85*1e12 sits 9e-5 above the integer, nowhere near

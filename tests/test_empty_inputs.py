@@ -72,3 +72,22 @@ def test_whitespace_only_and_null_text_rows(spark):
     assert rows[1].lang == "und"
     # nulls propagate as nulls, not crashes
     assert rows[2].fp is None or rows[2].fp == 0
+
+
+def test_graph_ops_empty_edges(spark):
+    from firmable_aus_etl_spark.operators.graph import pagerank, triangle_count
+
+    e = spark.createDataFrame([], "a long, b long")
+    assert pagerank(e).count() == 0
+    assert triangle_count(e).collect()[0].n_triangles == 0
+
+
+def test_sampling_empty_frame(spark):
+    from firmable_aus_etl_spark.operators.sampling import (
+        bernoulli_sample,
+        weighted_sample_ares,
+    )
+
+    df = spark.createDataFrame([], "k long, w long")
+    assert bernoulli_sample(df, "k", 0.5).count() == 0
+    assert weighted_sample_ares(df, "k", "w", k=5).count() == 0
