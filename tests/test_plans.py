@@ -362,3 +362,19 @@ def test_scaling_dims_not_force_broadcast(spark):
         assert "BroadcastHashJoin" in q5
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+
+
+def test_graph_queries_no_cartesian_on_fact_paths(spark):
+    # the only crossJoins allowed are 1-row scalar attachments
+    # (corpus totals / graph measures); no BroadcastNestedLoop or
+    # CartesianProduct may appear on a multi-row side
+    for name in ["copurchase_graph_summary", "copurchase_pagerank_top20",
+                 "bigram_pmi_documents", "contrastive_negatives_sample"]:
+        plan = plans.physical_plan(QUERIES[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_weighted_sample_is_take_ordered(spark):
+    # global k-selection must be TakeOrderedAndProject, not a full sort
+    plan = plans.physical_plan(QUERIES["weighted_sample_documents"](spark, SF))
+    assert "TakeOrderedAndProject" in plan, plan
