@@ -183,3 +183,36 @@ def normalize_phone_au(col: Column | str) -> Column:
         .when(digits.rlike("^61[0-9]{9}$"), digits)
         .otherwise(F.lit(None).cast("string"))
     )
+
+
+# Accented Latin forms and their ASCII folds, generated at import time
+# from Unicode NFD decomposition (strip combining marks) over the
+# Latin-1 Supplement + Latin Extended-A ranges — a static literal
+# pair, so the fold is a single codegen'd translate() (no per-row
+# Python, no ICU dependency).
+def _accent_map() -> tuple[str, str]:
+    import unicodedata
+
+    src, dst = [], []
+    for cp in range(0xC0, 0x180):
+        ch = chr(cp)
+        d = unicodedata.normalize("NFD", ch)
+        base = "".join(c for c in d if not unicodedata.combining(c))
+        if base != ch and len(base) == 1 and base.isascii() and base.isalpha():
+            src.append(ch)
+            dst.append(base)
+    return "".join(src), "".join(dst)
+
+
+_ACCENTED, _FOLDED = _accent_map()
+
+
+def fold_accents(col: Column | str) -> Column:
+    """Accent folding for name matching (engine widening of op13's
+    normalization): é->e, ü->u, ñ->n ... as a single translate() over a
+    literal character map built from Unicode NFD decomposition — the
+    blocking-key hygiene step that stops 'Café Pty Ltd' and
+    'Cafe Pty Ltd' landing in different blocks. Characters that do not
+    decompose to one ASCII letter (ø, æ, ß) pass through unchanged."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.translate(c, _ACCENTED, _FOLDED)

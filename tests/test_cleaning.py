@@ -134,3 +134,15 @@ def test_normalize_phone_au(spark):
     df = spark.createDataFrame([(a,) for a, _ in rows], "p string")
     got = [r.n for r in df.select(normalize_phone_au("p").alias("n")).collect()]
     assert got == [want for _, want in rows]
+
+
+def test_fold_accents(spark):
+    from firmable_aus_etl_spark.operators.cleaning import fold_accents
+
+    rows = [("Café Pty Ltd",), ("Mëtàl Òffïcê",), ("plain name",), (None,)]
+    df = spark.createDataFrame(rows, "name string")
+    got = [r.f for r in df.select(fold_accents("name").alias("f")).collect()]
+    assert got == ["Cafe Pty Ltd", "Metal Office", "plain name", None]
+    # non-decomposable chars pass through rather than corrupting
+    df2 = spark.createDataFrame([("søren & æsir ß",)], "name string")
+    assert df2.select(fold_accents("name").alias("f")).collect()[0].f == "søren & æsir ß"
