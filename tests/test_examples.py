@@ -61,3 +61,23 @@ def test_streaming_pipeline_demo(spark, tmp_path):
     from firmable_aus_etl_spark.streaming.incremental import read_agg_view
 
     assert read_agg_view(spark, f"{work}/agg_state").count() > 0
+
+
+def test_pandas_api_flow_matches_native_pipeline(spark):
+    from examples.run_pandas_api import clean_abr_pandas_api
+    from firmable_aus_etl_spark.pipelines import clean_abr_companies
+
+    raw = spark.createDataFrame(
+        [
+            ("12345678901", " Acme Pty Ltd ", "active", "2000"),
+            ("12345678901", "Acme Pty Ltd", "active", "2000"),
+            ("bad-abn", "Shady Co", "active", "2000"),
+            ("98765432109", "Closed Shop", "cancelled", "3000"),
+            ("11111111111", "Blank Post", "ACTIVE", ""),
+            (None, "No Abn", "active", "2000"),
+        ],
+        "abn string, entity_name string, entity_status string, postcode string",
+    )
+    a = sorted(map(tuple, clean_abr_pandas_api(raw).collect()))
+    b = sorted(map(tuple, clean_abr_companies(raw).collect()))
+    assert a == b and len(a) >= 2
