@@ -21,6 +21,10 @@ Caveats worth knowing before using this at 100 TB:
 
 from __future__ import annotations
 
+import sys
+
+sys.path.insert(0, "/root/repo")
+
 from pyspark.sql import DataFrame, SparkSession
 
 
@@ -78,9 +82,8 @@ def main() -> None:
             ("98765432109", "Closed Shop", "cancelled", "3000"),
             ("11111111111", "Blank Post", "ACTIVE", ""),
         ],
-        "ABN string, Entity Name string, Entity Status string, Postcode string",
-    ).withColumnRenamed("Entity Name", "entity_name") \
-     .withColumnRenamed("Entity Status", "entity_status")
+        "ABN string, `Entity Name` string, `Entity Status` string, Postcode string",
+    )
     a = clean_abr_pandas_api(raw)
     b = clean_abr_companies(raw)
     ra, rb = sorted(map(tuple, a.collect())), sorted(map(tuple, b.collect()))
