@@ -692,3 +692,117 @@ def read_corpus_report(spark: SparkSession, state_dir: str) -> DataFrame:
     if v is None:
         raise FileNotFoundError(f"no versions under {root}")
     return spark.read.parquet(os.path.join(root, f"v{v}"))
+
+
+# ------------------------------------------------------------------
+# Incrementally-maintained JOIN view (delta propagation)
+# ------------------------------------------------------------------
+
+def join_view_increment(
+    state_dir: str,
+    batch_id: int,
+    *,
+    spark: SparkSession,
+    fact: DataFrame | None = None,
+    dim_delta: DataFrame | None = None,
+    fact_key: str,
+    dim_key: str,
+) -> None:
+    """Maintain an enriched fact ⋈ dim view incrementally — the
+    materialized-view delta-propagation algorithm (ΔV = ΔF ⋈ D  ∪
+    F ⋈ ΔD) on versioned parquet state:
+
+      state_dir/fact/batch=N   fact rows first seen in batch N
+      state_dir/dim/vN         dim snapshot after batch N (merge-upsert)
+      state_dir/view/vN        enriched view after batch N
+
+    Per batch: dim deltas merge into the snapshot FIRST and re-enrich
+    only the accumulated fact rows whose ``dim_key`` changed (join
+    against the delta, not the full dim); new fact rows then enrich
+    against the updated snapshot. The new view version = previous view
+    minus affected-key rows, plus both enrichment outputs — so view
+    maintenance cost is O(|ΔF| + |F_affected|), never a full rejoin.
+    All three stores are batch/version-keyed, so at-least-once replay
+    overwrites instead of double-applying (the scheme every
+    incremental family here shares). Unmatched fact rows keep null dim
+    columns (left join), and a later dim arrival upgrades them — the
+    late-dimension case the test exercises.
+
+    Equals the one-shot ``all_facts LEFT JOIN final_dim`` recompute by
+    induction: each version re-derives exactly the rows whose inputs
+    changed.
+    """
+    from firmable_aus_etl_spark.operators.joins import merge_upsert
+
+    fact_root = os.path.join(state_dir, "fact")
+    dim_root = os.path.join(state_dir, "dim")
+    view_root = os.path.join(state_dir, "view")
+
+    def _parent(root: str) -> int | None:
+        best = None
+        for dd in glob.glob(os.path.join(root, "v*")):
+            m = re.fullmatch(r"v(\d+)", os.path.basename(dd))
+            if m and int(m.group(1)) < batch_id and os.path.exists(
+                os.path.join(dd, "_SUCCESS")
+            ):
+                best = max(best or -1, int(m.group(1)))
+        return best
+
+    # 1. dim snapshot: merge the delta over the parent snapshot
+    pv = _parent(dim_root)
+    prev_dim = (
+        spark.read.parquet(os.path.join(dim_root, f"v{pv}"))
+        if pv is not None
+        else None
+    )
+    if dim_delta is not None and prev_dim is not None:
+        new_dim = merge_upsert(prev_dim, dim_delta, [dim_key])
+    elif dim_delta is not None:
+        new_dim = dim_delta
+    elif prev_dim is not None:
+        new_dim = prev_dim
+    else:
+        raise ValueError("first batch needs a dim_delta snapshot")
+    new_dim.write.mode("overwrite").parquet(os.path.join(dim_root, f"v{batch_id}"))
+    new_dim = spark.read.parquet(os.path.join(dim_root, f"v{batch_id}"))
+
+    # 2. previous view + accumulated fact (earlier batches only)
+    hist_fact_dirs = [d for b, d in _batch_dirs(fact_root) if b < batch_id]
+    pv_view = _parent(view_root)
+    prev_view = (
+        spark.read.parquet(os.path.join(view_root, f"v{pv_view}"))
+        if pv_view is not None
+        else None
+    )
+
+    pieces = []
+    if prev_view is not None:
+        if dim_delta is not None and hist_fact_dirs:
+            changed = dim_delta.select(dim_key).distinct()
+            kept = prev_view.join(changed, dim_key, "left_anti")
+            affected = (
+                spark.read.parquet(*hist_fact_dirs)
+                .join(changed, dim_key)
+                .join(new_dim, dim_key, "left")
+            )
+            pieces.extend([kept, affected])
+        else:
+            pieces.append(prev_view)
+    if fact is not None:
+        pieces.append(fact.join(new_dim, dim_key, "left"))
+        fact.write.mode("overwrite").parquet(
+            os.path.join(fact_root, f"batch={batch_id}")
+        )
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.unionByName(p, allowMissingColumns=True)
+    out.write.mode("overwrite").parquet(os.path.join(view_root, f"v{batch_id}"))
+
+
+def read_join_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest complete version of an incrementally-maintained join view."""
+    root = os.path.join(state_dir, "view")
+    v = _latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no versions under {root}")
+    return spark.read.parquet(os.path.join(root, f"v{v}"))

@@ -491,3 +491,65 @@ def test_corpus_report_stream_drives_same_state(spark, tmp_path):
     )
     want = sorted(map(tuple, _expected_report(docs).collect()))
     assert got == want
+
+
+# ---------------- incremental join view ----------------
+
+def _jv_fact(spark, rows):
+    return spark.createDataFrame(rows, "o_id long, c_id long, amount long")
+
+
+def _jv_dim(spark, rows):
+    return spark.createDataFrame(rows, "c_id long, segment string")
+
+
+def test_join_view_incremental_equals_recompute(spark, tmp_path):
+    from firmable_aus_etl_spark.streaming.incremental import (
+        join_view_increment,
+        read_join_view,
+    )
+
+    state = str(tmp_path / "jv")
+    f1 = _jv_fact(spark, [(1, 10, 100), (2, 11, 200), (3, 99, 300)])  # 99 unknown
+    d1 = _jv_dim(spark, [(10, "A"), (11, "B")])
+    join_view_increment(state, 1, spark=spark, fact=f1, dim_delta=d1,
+                        fact_key="o_id", dim_key="c_id")
+    f2 = _jv_fact(spark, [(4, 10, 400)])
+    d2 = _jv_dim(spark, [(10, "A2"), (99, "C")])  # changes 10, adds 99 late
+    join_view_increment(state, 2, spark=spark, fact=f2, dim_delta=d2,
+                        fact_key="o_id", dim_key="c_id")
+    f3 = _jv_fact(spark, [(5, 99, 500), (6, 12, 600)])  # 12 never arrives
+    join_view_increment(state, 3, spark=spark, fact=f3,
+                        fact_key="o_id", dim_key="c_id")
+
+    got = sorted(map(tuple, read_join_view(spark, state)
+                 .select("o_id", "c_id", "amount", "segment").collect()))
+    all_facts = f1.unionByName(f2).unionByName(f3)
+    final_dim = _jv_dim(spark, [(10, "A2"), (11, "B"), (99, "C")])
+    want = sorted(map(tuple, all_facts.join(final_dim, "c_id", "left")
+                  .select("o_id", "c_id", "amount", "segment").collect()))
+    assert got == want
+    # the late dimension upgraded batch-1's null-enriched row
+    assert ( [r for r in got if r[0] == 3][0][3] ) == "C"
+
+
+def test_join_view_replay_idempotent(spark, tmp_path):
+    from firmable_aus_etl_spark.streaming.incremental import (
+        join_view_increment,
+        read_join_view,
+    )
+
+    state = str(tmp_path / "jv2")
+    f1 = _jv_fact(spark, [(1, 10, 100), (2, 11, 200)])
+    d1 = _jv_dim(spark, [(10, "A"), (11, "B")])
+    join_view_increment(state, 1, spark=spark, fact=f1, dim_delta=d1,
+                        fact_key="o_id", dim_key="c_id")
+    f2 = _jv_fact(spark, [(3, 10, 300)])
+    d2 = _jv_dim(spark, [(11, "B2")])
+    join_view_increment(state, 2, spark=spark, fact=f2, dim_delta=d2,
+                        fact_key="o_id", dim_key="c_id")
+    clean = sorted(map(tuple, read_join_view(spark, state).collect()))
+    join_view_increment(state, 2, spark=spark, fact=f2.repartition(4),
+                        dim_delta=d2.repartition(3),
+                        fact_key="o_id", dim_key="c_id")
+    assert sorted(map(tuple, read_join_view(spark, state).collect())) == clean
