@@ -6817,3 +6817,30 @@ def q_attribution_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.percentile("gap_us", F.lit(0.5)), 4).alias("p50_gap_us"),
         F.round(F.percentile("gap_us", F.lit(0.9)), 4).alias("p90_gap_us"),
     )
+
+
+@register("bpe_token_stats")  # rows-only: the merge sequence is a
+# driver-loop fixpoint over data-dependent argmaxes — no SQL twin;
+# exactness is covered by tests/test_bpe.py's parity with the textbook
+# Python trainer on identical word frequencies + lossless round-trip
+def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer-construction stage: train 16 BPE merges on the corpus
+    (distributed trainer over the word-frequency sufficient statistic,
+    operators/bpe.py), encode every document, report per-lang token
+    totals and the compression ratio vs character-level."""
+    from firmable_aus_etl_spark.operators.bpe import encode_bpe, train_bpe_merges
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "lang", "text")
+    merges = train_bpe_merges(docs, n_merges=16)
+    enc = encode_bpe(docs, merges)
+    joined = enc.join(
+        docs.select(F.col("doc_id").alias("__id"), "lang", F.length("text").alias("n_chars")),
+        "__id",
+    )
+    return joined.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("total_tokens"),
+        F.round(
+            F.sum("n_tokens").cast("double") / F.sum("n_chars"), 4
+        ).alias("tokens_per_char"),
+    )
