@@ -59,6 +59,25 @@ def write_parquet(
     w.parquet(path)
 
 
+def write_json_lines(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """JSON-lines sink — the interchange format of the reference's
+    extraction stages (one JSON object per line, splittable, appendable;
+    pairs with read_json_lines for a lossless round-trip of string/
+    numeric/array columns)."""
+    df.write.mode(mode).json(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """ORC sink — the second columnar format Spark ships natively;
+    same predicate-pushdown/column-pruning contract as parquet for
+    warehouses standardized on ORC (Hive lineage)."""
+    df.write.mode(mode).orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def read_json_lines(
     spark: SparkSession, path: str, schema: StructType | None = None
 ) -> DataFrame:

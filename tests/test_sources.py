@@ -162,3 +162,37 @@ def test_fetch_zip_is_gated(tmp_path):
 
         with _pytest.raises(RuntimeError, match="requests"):
             ingest.fetch_zip("http://localhost:1/x.zip", str(tmp_path / "x.zip"))
+
+
+def test_json_lines_round_trip(spark, tmp_path):
+    from firmable_aus_etl_spark.sources.files import (
+        read_json_lines,
+        write_json_lines,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b", [1, 2]), (2, None, [])],
+        "id long, txt string, xs array<long>",
+    )
+    p = str(tmp_path / "jl")
+    write_json_lines(df, p)
+    back = read_json_lines(spark, p, schema=df.schema)
+    got = sorted(
+        (r.id, r.txt, list(r.xs) if r.xs is not None else None)
+        for r in back.select("id", "txt", "xs").collect()
+    )
+    assert got == [(1, "a b", [1, 2]), (2, None, [])]
+
+
+def test_orc_round_trip_with_pushdown(spark, tmp_path):
+    from firmable_aus_etl_spark import plans
+    from firmable_aus_etl_spark.sources.files import read_orc, write_orc
+
+    df = spark.range(0, 100).selectExpr("id", "id * 2 AS v")
+    p = str(tmp_path / "orc")
+    write_orc(df, p)
+    back = read_orc(spark, p).filter("id >= 90").select("v")
+    assert back.count() == 10
+    plan = plans.physical_plan(back)
+    # ORC scan honors the same pushdown/pruning contract as parquet
+    assert "PushedFilters" in plan and "id" in plan.split("PushedFilters", 1)[1][:120]
