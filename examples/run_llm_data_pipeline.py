@@ -137,6 +137,25 @@ def main() -> None:
     )
     examples.write.mode("overwrite").parquet(f"{out_dir}/packed_examples")
 
+    # 6b. train a BPE tokenizer on the CLEAN corpus (merges learned
+    #     after dedup/filtering so boilerplate can't dominate pair
+    #     counts) and persist merges + per-lang token budget
+    from firmable_aus_etl_spark.operators.bpe import encode_bpe, train_bpe_merges
+
+    merges = train_bpe_merges(final, n_merges=16)
+    spark.createDataFrame(
+        [(i, a, b) for i, (a, b) in enumerate(merges)], "rank int, a string, b string"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{out_dir}/bpe_merges")
+    enc = encode_bpe(final, merges)
+    token_budget = (
+        enc.join(
+            final.select(F.col("doc_id").alias("__id"), "lang"), "__id"
+        )
+        .groupBy("lang")
+        .agg(F.sum("n_tokens").cast("long").alias("total_tokens"))
+    )
+    token_budget.write.mode("overwrite").parquet(f"{out_dir}/token_budget")
+
     # 7. int8-quantize the surviving embeddings for serving
     scale = (
         V.linf_norm("embedding").cast("double") / 127.0

@@ -42,6 +42,10 @@ def test_llm_data_pipeline_demo(spark, tmp_path):
     ann = spark.read.parquet(str(tmp_path / "llm_out" / "ann_neighbors"))
     assert 0 < clean.count() <= 500
     assert ann.count() > 0
+    merges = spark.read.parquet(str(tmp_path / "llm_out" / "bpe_merges"))
+    budget = spark.read.parquet(str(tmp_path / "llm_out" / "token_budget"))
+    assert merges.count() == 16
+    assert budget.count() > 0 and all(r.total_tokens > 0 for r in budget.collect())
 
 
 def test_streaming_pipeline_demo(spark, tmp_path):
