@@ -806,3 +806,33 @@ def read_join_view(spark: SparkSession, state_dir: str) -> DataFrame:
     if v is None:
         raise FileNotFoundError(f"no versions under {root}")
     return spark.read.parquet(os.path.join(root, f"v{v}"))
+
+
+def prune_versions(state_root: str, *, keep: int = 2) -> list[int]:
+    """Retention for a versioned view directory (``state_root/vN``):
+    delete all but the newest ``keep`` COMPLETE versions (incomplete
+    versions — no _SUCCESS — are always deleted; they are failed
+    writes). Readers pin the latest complete version, so keep >= 2
+    gives an in-flight reader of v(N-1) a full grace period while vN
+    lands. Returns the removed version numbers.
+
+    The versioned stores grow one directory per batch by design (the
+    replay-idempotence mechanism); this is the compaction half of that
+    contract — run it from the maintenance cadence that also calls
+    partitioning.compact_small_files."""
+    import shutil
+
+    complete, incomplete = [], []
+    for d in glob.glob(os.path.join(state_root, "v*")):
+        m = re.fullmatch(r"v(\d+)", os.path.basename(d))
+        if not m:
+            continue
+        (complete if os.path.exists(os.path.join(d, "_SUCCESS")) else incomplete).append(
+            int(m.group(1))
+        )
+    doomed = sorted(complete)[:-keep] if keep else sorted(complete)
+    removed = []
+    for v in [*doomed, *incomplete]:
+        shutil.rmtree(os.path.join(state_root, f"v{v}"), ignore_errors=True)
+        removed.append(v)
+    return sorted(removed)

@@ -553,3 +553,28 @@ def test_join_view_replay_idempotent(spark, tmp_path):
                         dim_delta=d2.repartition(3),
                         fact_key="o_id", dim_key="c_id")
     assert sorted(map(tuple, read_join_view(spark, state).collect())) == clean
+
+
+def test_prune_versions_keeps_latest_complete(spark, tmp_path):
+    import os
+
+    from firmable_aus_etl_spark.streaming.incremental import (
+        corpus_report_increment,
+        prune_versions,
+        read_corpus_report,
+    )
+
+    docs = _report_docs(spark)
+    state = str(tmp_path / "prune")
+    for i, hi in enumerate([100, 200, 300], start=1):
+        corpus_report_increment(
+            docs.filter((F.col("doc_id") >= (hi - 100)) & (F.col("doc_id") < hi)),
+            state, i,
+        )
+    before = sorted(map(tuple, read_corpus_report(spark, state).collect()))
+    root = os.path.join(state, "report")
+    # plant an incomplete (crashed) version dir
+    os.makedirs(os.path.join(root, "v9"))
+    removed = prune_versions(root, keep=2)
+    assert removed == [1, 9]
+    assert sorted(map(tuple, read_corpus_report(spark, state).collect())) == before

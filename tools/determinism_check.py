@@ -28,8 +28,10 @@ def main() -> int:
         if only and name not in only:
             continue
         fn = QUERIES[name]
-        a = sorted(map(tuple, fn(spark, sf_dir).collect()))
-        b = sorted(map(tuple, fn(spark, sf_dir).collect()))
+        # None-tolerant canonical order (NULLable columns break tuple <)
+        key = lambda row: tuple((x is None, str(x)) for x in row)  # noqa: E731
+        a = sorted(map(tuple, fn(spark, sf_dir).collect()), key=key)
+        b = sorted(map(tuple, fn(spark, sf_dir).collect()), key=key)
         if a != b:
             bad.append(name)
             print(f"  X {name}: {len(a)} vs {len(b)} rows, first diff "
