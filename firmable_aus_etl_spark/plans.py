@@ -100,3 +100,49 @@ def final_adaptive_plan(df: DataFrame) -> str:
 
 def count_reused_exchanges_final(df: DataFrame) -> int:
     return final_adaptive_plan(df).count("ReusedExchange")
+
+
+def scale_lint(df: DataFrame) -> list[str]:
+    """Static plan lint for the 100 TB red flags this engine's own
+    plan tests enforce, packaged as an API users can run on THEIR
+    queries before submitting them to a large cluster:
+
+    - ``cartesian-product``: CartesianProduct — O(|L|*|R|) pair
+      enumeration; only ever acceptable between provably tiny inputs.
+    - ``nested-loop-join``: BroadcastNestedLoopJoin — a non-equi join
+      condition scanning the full broadcast side per row; rewrite to a
+      binned/blocked equi-join (see operators/joins.py range joins).
+    - ``single-partition``: a SinglePartition exchange — the whole
+      dataset funneling through ONE task (global window / global sort
+      without partition keys upstream of more work).
+
+    Returns human-readable findings (empty list = clean). Heuristic on
+    the initial physical plan; TakeOrderedAndProject (global top-k)
+    and broadcast-side 1-row scalar crossJoins commonly pair with a
+    SinglePartition exchange that is NOT flagged here because the row
+    volume is bounded by k — callers can filter the findings list."""
+    plan = physical_plan(df)
+    findings = []
+    if "CartesianProduct" in plan:
+        findings.append(
+            "cartesian-product: O(|L|*|R|) join; bound both sides or "
+            "rewrite as a blocked equi-join"
+        )
+    if "BroadcastNestedLoopJoin" in plan:
+        findings.append(
+            "nested-loop-join: non-equi condition scans the broadcast "
+            "side per row; bin/bucket the condition into an equi-join"
+        )
+    if "SinglePartition" in plan and "TakeOrderedAndProject" not in plan:
+        # a global window / global sort / unkeyed aggregate funnels
+        # every row through ONE task. The tolerated exception is the
+        # bounded global top-k (TakeOrderedAndProject carries only k
+        # rows per partition to the driver); 1-row scalar aggregates
+        # also hit this branch — callers with a known-1-row input can
+        # filter the finding.
+        findings.append(
+            "single-partition: all rows funnel through one task "
+            "(global window/sort without partition keys); add "
+            "PARTITION BY or pre-aggregate"
+        )
+    return findings

@@ -378,3 +378,25 @@ def test_weighted_sample_is_take_ordered(spark):
     # global k-selection must be TakeOrderedAndProject, not a full sort
     plan = plans.physical_plan(QUERIES["weighted_sample_documents"](spark, SF))
     assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_scale_lint_flags_and_passes(spark):
+    from firmable_aus_etl_spark.datasets import load_table
+
+    orders = load_table(spark, SF, "orders")
+    cust = load_table(spark, SF, "customer")
+    # dirty plan: theta join -> nested loop
+    dirty = orders.join(cust, orders.o_totalprice > cust.c_acctbal)
+    finds = plans.scale_lint(dirty)
+    assert any("nested-loop" in f or "cartesian" in f for f in finds), finds
+    # global window -> flagged
+    from pyspark.sql import Window
+
+    gw = orders.withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    assert any("single-partition" in f for f in plans.scale_lint(gw))
+    # the engine's own headline queries stay clean
+    for name in ["pricing_summary", "topk_lineitems_per_order",
+                 "tfidf_cosine_top1", "embedding_cosine_near_dups"]:
+        assert plans.scale_lint(QUERIES[name](spark, SF)) == [], name
