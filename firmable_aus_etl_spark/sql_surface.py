@@ -63,3 +63,21 @@ def register_sql_functions(spark: SparkSession) -> None:
     functions — pure expressions, no Python eval in the plan)."""
     for ddl in _SQL_FUNCTIONS:
         spark.sql(ddl)
+
+
+def register_query_views(
+    spark: SparkSession, sf_dir: str, names: list[str] | None = None
+) -> list[str]:
+    """Expose registry queries as temp views (``q_<name>``), so every
+    operator is reachable from plain ``spark.sql`` — the full "switch
+    from the reference and keep your SQL client" surface. Views are
+    lazy: registering all ~150 costs plan construction only; nothing
+    executes until a view is queried.
+    """
+    from firmable_aus_etl_spark.queries import QUERIES
+
+    registered = []
+    for name in names or sorted(QUERIES):
+        QUERIES[name](spark, sf_dir).createOrReplaceTempView(f"q_{name}")
+        registered.append(f"q_{name}")
+    return registered

@@ -91,3 +91,23 @@ def test_sample_uniform_matches_sampling_operator(spark):
     }
     via_op = {r.k for r in bernoulli_sample(df, "k", 0.25).collect()}
     assert via_sql == via_op and 50 < len(via_op) < 200
+
+
+def test_query_views_reachable_from_sql(spark):
+    from firmable_aus_etl_spark.sql_surface import register_query_views
+
+    names = register_query_views(
+        spark,
+        "/root/testdata/sf0.001",
+        ["pricing_summary", "group_counts_mktsegment"],
+    )
+    assert names == ["q_pricing_summary", "q_group_counts_mktsegment"]
+    rows = spark.sql(
+        "SELECT count(*) AS n FROM q_group_counts_mktsegment"
+    ).collect()
+    assert rows[0].n == 5
+    joined = spark.sql(
+        "SELECT p.l_returnflag, g.c_mktsegment FROM q_pricing_summary p "
+        "CROSS JOIN q_group_counts_mktsegment g LIMIT 3"
+    )
+    assert len(joined.collect()) == 3
