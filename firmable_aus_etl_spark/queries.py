@@ -6844,3 +6844,32 @@ def q_bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("double") / F.sum("n_chars"), 4
         ).alias("tokens_per_char"),
     )
+
+
+@register(
+    "order_weekday_profile",
+    """
+    SELECT CAST((datediff('day', DATE '1970-01-01', CAST(o_orderdate AS DATE)) + 3) % 7
+                AS BIGINT) AS dow,
+           CAST(count(*) AS BIGINT) AS n_orders,
+           CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders GROUP BY 1
+    """,
+)
+def q_order_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar profile: orders and revenue by day-of-week. The
+    weekday derives from epoch-day arithmetic ((days + 3) mod 7, 0 =
+    Monday) rather than each engine's dayofweek() — DuckDB numbers
+    Sunday=0, Spark numbers Sunday=1, and locale settings can shift
+    both; epoch math is engine- and locale-free. Integer-cents
+    revenue, one partial-aggregated groupBy on a 7-value key."""
+    orders = load_table(spark, sf_dir, "orders")
+    dow = (
+        (F.datediff(F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")) + 3)
+        % 7
+    ).cast("long")
+    return orders.groupBy(dow.alias("dow")).agg(
+        F.count("*").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("revenue_cents"),
+    )
