@@ -6873,3 +6873,49 @@ def q_order_weekday_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_orders"),
         F.sum(_cents(F.col("o_totalprice"))).cast("long").alias("revenue_cents"),
     )
+
+
+@register(
+    "customer_ltv_by_first_order_year",
+    """
+    WITH f AS (
+      SELECT o_custkey,
+             min(EXTRACT(year FROM o_orderdate)) AS cohort_year,
+             CAST(count(*) AS BIGINT) AS n_orders,
+             CAST(sum(CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT)) AS BIGINT)
+               AS cents
+      FROM orders GROUP BY o_custkey
+    )
+    SELECT CAST(cohort_year AS BIGINT) AS cohort_year,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(n_orders) AS BIGINT) AS total_orders,
+           CAST(sum(cents) AS BIGINT) AS total_cents,
+           CAST(sum(cents) // count(*) AS BIGINT) AS avg_ltv_cents
+    FROM f GROUP BY 1
+    """,
+)
+def q_customer_ltv_by_first_order_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Acquisition-cohort lifetime value: customers grouped by their
+    FIRST order's year, with cohort size, lifetime orders and revenue,
+    and average LTV in integer cents (floor division — exact on both
+    engines, no FP mean). Two partial-aggregated groupBys: per
+    customer, then per cohort year."""
+    orders = load_table(spark, sf_dir, "orders")
+    f = orders.groupBy("o_custkey").agg(
+        F.min(F.year("o_orderdate")).alias("cohort_year"),
+        F.count("*").alias("n_orders"),
+        F.sum(_cents(F.col("o_totalprice"))).alias("cents"),
+    )
+    agg_ = f.groupBy(
+        F.col("cohort_year").cast("long").alias("cohort_year")
+    ).agg(
+        F.count("*").alias("n_customers"),
+        F.sum("n_orders").cast("long").alias("total_orders"),
+        F.sum("cents").cast("long").alias("total_cents"),
+    )
+    # integer `div`, not floor(double/): a double quotient one ulp above
+    # an integer boundary would floor differently from DuckDB's `//`
+    return agg_.withColumn(
+        "avg_ltv_cents",
+        F.expr("total_cents div n_customers").cast("long"),
+    )
