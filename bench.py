@@ -1,7 +1,21 @@
 """Benchmark harness — runs the headline queries at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
-JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
-"queries": {name: sec}, "sf": ...}.
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Output contract (driver-facing): the LAST stdout line is ONE compact
+JSON object {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ..., "sentinel": [pre, post]} kept under
+1800 bytes — the driver tails only the final ~2000 bytes of output, so
+anything bigger is truncated into unparseability (round-2 failure mode:
+BENCH_r02 landed "parsed": null). The FULL record (all runs, normalized
+times, methodology) is written to BENCH_LOCAL_latest.json beside this
+file instead of stdout.
+
+Contention sentinel: a fixed CPU-bound loop is timed before and after
+the query runs. On an idle box it takes SENTINEL_REF seconds; under
+external load it stretches proportionally, so sentinel/SENTINEL_REF is
+a slowdown factor that makes round-over-round comparisons attributable
+(round 2: 16/19 shared queries drifted 1.15-1.6x purely from a busy
+shared box). queries_normalized in the side file = raw * ref/sentinel.
 
 Execution is forced with the noop sink (full computation, no driver
 collect) so timings measure the distributed plan, not result transfer.
@@ -32,7 +46,7 @@ HEADLINE = [
     "tumbling_window_events",     # event-time window agg
     "minhash_verified_near_dups",  # near-dup scale path: LSH + verify
     "ann_cosine_top3_per_label",  # vector similarity top-k
-    "tfidf_cosine_top1",          # sparse TF-IDF cosine join
+    "tfidf_cosine_top1",          # sparse TF-IDF cosine join (adaptive)
     "quality_score_documents",    # text-quality scoring scan
     "ngram_jaccard_prefix_near_dups",  # exact set-similarity, prefix-filtered
     "asof_error_last_purchase",   # as-of join (union+window merge)
@@ -53,6 +67,26 @@ HEADLINE = [
     "hourly_event_anomalies",     # trailing-window anomaly scoring
 ]
 
+# Iterations of the sentinel loop; the reference time was calibrated
+# on the round-3 builder box (median 0.125 s) so slowdown ~= 1.0 there.
+SENTINEL_ITERS = 2_500_000
+SENTINEL_REF = float(os.environ.get("SPARK_GRAFT_SENTINEL_REF", "0.125"))
+
+
+def _sentinel() -> float:
+    """Time a fixed single-core busy loop (pure Python arithmetic —
+    deterministic work, no allocation), median of 3 to shed one-off
+    scheduler blips while still reflecting sustained load."""
+    samples = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        acc = 0
+        for i in range(SENTINEL_ITERS):
+            acc += i & 1023
+        samples.append(time.perf_counter() - t0)
+    samples.sort()
+    return round(samples[1], 4)
+
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -62,9 +96,11 @@ def main() -> None:
 
     names = [n for n in HEADLINE if n in QUERIES]
 
+    sentinel_pre = _sentinel()
+
     # Methodology: each query runs RUNS times; the headline number is
-    # the per-query MIN (all runs reported alongside). The first one or
-    # two executions of a plan in a fresh JVM are dominated by
+    # the per-query MIN (all runs reported in the side file). The first
+    # one or two executions of a plan in a fresh JVM are dominated by
     # whole-stage-codegen compilation + tiered JIT (measured: up to ~8x
     # steady state, and full ramp takes ~3 executions), a fixed cost
     # that vanishes on any long-lived cluster and says nothing about
@@ -78,21 +114,55 @@ def main() -> None:
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             all_runs[name].append(round(time.time() - t0, 3))
 
+    sentinel_post = _sentinel()
+
     timings = {name: min(r) for name, r in all_runs.items()}
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "all_runs": all_runs,
-                "methodology": f"each query executed {runs_n}x in one JVM; reported time is the min (codegen/JIT ramp and scheduler noise excluded); all runs disclosed",
-                "sf": sf,
-            }
-        )
+    # slowdown factor: >1 means the box was busier than the reference
+    # calibration; normalized = raw / slowdown.
+    slowdown = round(((sentinel_pre + sentinel_post) / 2.0) / SENTINEL_REF, 3)
+    norm = {n: round(t / slowdown, 3) for n, t in timings.items()}
+
+    full = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "queries_normalized": norm,
+        "all_runs": all_runs,
+        "sentinel": {
+            "pre_sec": sentinel_pre,
+            "post_sec": sentinel_post,
+            "ref_sec": SENTINEL_REF,
+            "slowdown": slowdown,
+        },
+        "methodology": (
+            f"each query executed {runs_n}x in one JVM; reported time is the "
+            "min (codegen/JIT ramp and scheduler noise excluded); all runs "
+            "disclosed; sentinel = fixed busy-loop timed before/after, "
+            "slowdown = mean/ref, normalized = raw/slowdown"
+        ),
+        "sf": sf,
+    }
+    side_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL_latest.json"
     )
+    with open(side_path, "w") as fh:
+        json.dump(full, fh, indent=1)
+
+    # Compact final line — MUST stay under the driver's ~2000-byte tail
+    # capture (asserted < 1800 in tests/test_bench_contract.py).
+    compact = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "sentinel": [sentinel_pre, sentinel_post, SENTINEL_REF, slowdown],
+    }
+    line = json.dumps(compact, separators=(",", ":"))
+    assert len(line.encode()) < 1800, f"compact bench line {len(line)}B >= 1800B"
+    print(line)
 
 
 if __name__ == "__main__":
