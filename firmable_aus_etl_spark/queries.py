@@ -1051,10 +1051,20 @@ SELECT a_id, b_id, round(cosine, 6) AS cosine FROM r WHERE rn = 1
 """
 
 
-def _tfidf_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _tfidf_weight_frame(
+    spark: SparkSession, sf_dir: str, doc_sample: float | None = None
+) -> DataFrame:
     """Sparse TF-IDF term relation (doc_id, source, lang, t, wt) with
     tf * (1/df) weights — shared by the naive and prefix-filtered
-    cosine joins so both score from identical inputs."""
+    cosine joins so both score from identical inputs.
+
+    ``doc_sample`` builds the frame over a deterministic hash-sample
+    of the documents with IN-SAMPLE df — the cheap stats input for
+    cosine_join_adaptive's dispatch (its lineage touches only the
+    sampled docs, so the stats pass costs one p-fraction scan, not a
+    full-corpus weighting). In-sample df ~= p*df uniformly, and the
+    heavy-prefix condition is invariant to uniform weight scaling, so
+    the dispatch estimates are faithful."""
     from firmable_aus_etl_spark.functions.similarity import normalize_name
 
     # repartition before tokenize: the single-file input would run the
@@ -1063,6 +1073,11 @@ def _tfidf_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
     docs = load_table(spark, sf_dir, "documents")
+    if doc_sample is not None:
+        docs = docs.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10000))
+            < int(doc_sample * 10000)
+        )
     toks = ensure_parallelism(docs, "doc_id").select(
         "doc_id", "source", "lang",
         F.explode(F.split(normalize_name(F.col("text")), " ")).alias("t"),
@@ -1080,27 +1095,58 @@ def _tfidf_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register("tfidf_cosine_top1", _TFIDF_ORACLE)
 def q_tfidf_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
     """op22 DEFAULT — TF-IDF cosine similarity join (reference:
-    entity_matching.py:45-62, threshold 0.7 at :56) through the
-    AllPairs L2-suffix prefix filter (operators/cosine_join.py): only
-    each vector's heavy head tokens index the join, pruning the
-    |posting|^2 fan-out to |heavy| * |posting|, and the candidate
-    shuffle keys on (block, TOKEN) — parallelism scales with the
-    vocabulary, not the handful of (source, lang) blocks (the blocked
-    naive form's ceiling at 100x scale; see
-    tfidf_cosine_top1_blocked, its oracle-proof twin).
+    entity_matching.py:45-62, threshold 0.7 at :56) through
+    STATS-BASED ADAPTIVE DISPATCH (operators/cosine_join.py
+    cosine_join_adaptive; reference analog:
+    entity_matching_optimized.py:312's size-based matcher dispatch):
+    posting-list statistics pick between (a) the AllPairs L2-suffix
+    prefix plan — heavy head tokens index the join, pruning the
+    |posting|^2 fan-out, candidate shuffle keyed on (block, TOKEN) so
+    parallelism scales with the vocabulary — and (b) the one-pass
+    naive inverted-index join, which wins on template-dense corpora
+    where nearly every in-block pair survives the prefix filter
+    (measured on this fixture: 99.6% survive) and the prefix plan's
+    distinct + exact-dot re-joins are pure overhead. Both plans are
+    exact — the dispatch is physical planning only, proven by the
+    shared oracle with tfidf_cosine_top1_blocked.
 
     Weighting is inv-df (not ln) so the DuckDB oracle is bit-stable;
     cosine rounded to 6 (sum order differs across engines)."""
-    from firmable_aus_etl_spark.operators.cosine_join import cosine_prefix_join
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        cosine_join_adaptive,
+        estimate_cosine_plan,
+    )
+
+    # plan selection from a fixed-size doc sample: TakeOrdered by doc
+    # hash (deterministic, bounded driver state — one scan with a
+    # per-partition top-k heap, no shuffle), estimated driver-side.
+    # The decision is invariant to the sample rate (both cost
+    # estimates scale by rate^2), so no corpus count is needed.
+    sample = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "source", "lang",
+            F.split(normalize_name(F.col("text")), " ").alias("toks"),
+            F.xxhash64("doc_id").alias("h"),
+        )
+        .orderBy("h")
+        .limit(512)
+        .collect()
+    )
+    dec = estimate_cosine_plan(
+        [((r["source"], r["lang"]), r["toks"]) for r in sample], threshold=0.7
+    )
 
     wt = _tfidf_weight_frame(spark, sf_dir)
-    pairs = cosine_prefix_join(
+    pairs = cosine_join_adaptive(
         wt,
         id_col="doc_id",
         token_col="t",
         weight_col="wt",
         threshold=0.7,
         block_cols=["source", "lang"],
+        plan=dec["plan"],
     )
     cos = pairs.select(
         "a_id",

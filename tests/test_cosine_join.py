@@ -126,3 +126,122 @@ def test_tfidf_index_matches_inline_join(spark, tmp_path):
     a = {(r.q_id, r.doc_id, r.rank, round(r.cosine, 9)) for r in via_index.collect()}
     b = {(r.q_id, r.doc_id, r.rank, round(r.cosine, 9)) for r in inline.collect()}
     assert a == b and len(a) > 0
+
+
+def _weighted(spark, docs):
+    """inv-df weighted term frame from {id: text}."""
+    terms = _term_frame(spark, docs)
+    df_rel = terms.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    return terms.join(df_rel, "t").select(
+        "doc_id", "t", (F.col("tf") * (F.lit(1.0) / F.col("df"))).alias("wt")
+    )
+
+
+def _dense_corpus():
+    # template-dense: every doc shares the same 5-token template plus
+    # one distinguishing token -> nearly every pair survives the prefix
+    # filter, so pruning buys nothing over the one-pass naive join
+    return [
+        (i, f"alpha beta gamma delta epsilon tok{i % 3}") for i in range(1, 31)
+    ]
+
+
+def _sparse_corpus():
+    # near-dup-sparse: the shared tokens are LIGHT (high df -> tiny
+    # inv-df weight, excluded from every heavy prefix) and each doc's
+    # heavy token is unique -> cand_rows collapses to ~0 while the
+    # naive pair-row fan-out stays quadratic in the posting sizes
+    docs = [
+        (i, " ".join(["common"] * 1 + [f"uniq{i}"] * 6 + ["shared little word"]))
+        for i in range(1, 61)
+    ]
+    # one genuine near-dup pair so the parity check is non-vacuous
+    docs += [
+        (61, "common uniq61 uniq61 uniq61 uniq61 uniq61 uniq61 shared little word"),
+        (62, "common uniq61 uniq61 uniq61 uniq61 uniq61 uniq61 shared little word"),
+    ]
+    return docs
+
+
+def test_adaptive_dispatch_picks_naive_on_dense(spark):
+    from firmable_aus_etl_spark.operators.cosine_join import cosine_join_adaptive
+
+    dec = {}
+    cosine_join_adaptive(
+        _weighted(spark, _dense_corpus()),
+        id_col="doc_id",
+        token_col="t",
+        weight_col="wt",
+        threshold=0.7,
+        decision_out=dec,
+    )
+    assert dec["plan"] == "naive", dec
+
+
+def test_adaptive_dispatch_picks_prefix_on_sparse(spark):
+    from firmable_aus_etl_spark.operators.cosine_join import cosine_join_adaptive
+
+    dec = {}
+    cosine_join_adaptive(
+        _weighted(spark, _sparse_corpus()),
+        id_col="doc_id",
+        token_col="t",
+        weight_col="wt",
+        threshold=0.7,
+        decision_out=dec,
+    )
+    assert dec["plan"] == "prefix", dec
+    assert dec["cand_rows"] < dec["pair_rows"] / 2
+
+
+def test_adaptive_matches_both_fixed_plans_on_both_regimes(spark):
+    """Dispatch is physical planning only: adaptive == prefix == naive
+    row-for-row on both corpus shapes (6-decimal cosine)."""
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        cosine_join_adaptive,
+        cosine_naive_join,
+        cosine_prefix_join,
+    )
+
+    for corpus in (_dense_corpus(), _sparse_corpus()):
+        wt = _weighted(spark, corpus)
+        kw = dict(id_col="doc_id", token_col="t", weight_col="wt", threshold=0.3)
+
+        def rows(df):
+            return sorted(
+                (r["a_id"], r["b_id"], round(r["dp"] / (r["nrm_a"] * r["nrm_b"]), 6))
+                for r in df.collect()
+            )
+
+        got = rows(cosine_join_adaptive(wt, **kw))
+        assert got == rows(cosine_prefix_join(wt, **kw))
+        assert got == rows(cosine_naive_join(wt, **kw))
+        assert got, "fixture produced no pairs - test is vacuous"
+
+
+def test_driver_estimator_agrees_with_spark_stats(spark):
+    """estimate_cosine_plan (pure-Python, driver-side) must reach the
+    same decision as the exact Spark-side stats on both regimes — it
+    mirrors the same weighting, heavy-prefix marking, and cost model."""
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        cosine_join_adaptive,
+        estimate_cosine_plan,
+    )
+
+    for corpus in (_dense_corpus(), _sparse_corpus()):
+        spark_dec = {}
+        cosine_join_adaptive(
+            _weighted(spark, corpus),
+            id_col="doc_id",
+            token_col="t",
+            weight_col="wt",
+            threshold=0.7,
+            decision_out=spark_dec,
+        )
+        py_dec = estimate_cosine_plan(
+            [((), text.split()) for _, text in corpus], threshold=0.7
+        )
+        assert py_dec["plan"] == spark_dec["plan"], (py_dec, spark_dec)
+        # the full-corpus estimator sees the exact same counts
+        assert py_dec["pair_rows"] == spark_dec["pair_rows"]
+        assert py_dec["cand_rows"] == spark_dec["cand_rows"]

@@ -117,17 +117,21 @@ def test_minhash_pipeline_reuses_shingle_exchange_at_runtime(spark):
 
 
 def test_tfidf_default_candidate_shuffle_keys_on_token(spark):
-    """op22 default: the candidate-generation exchange must hash on the
+    """op22 default: the candidate-generation join must key on the
     TOKEN (vocabulary-wide parallelism), never on the block columns
     alone — a (source, lang)-only partitioning caps the join at
-    #blocks-way parallelism regardless of cluster size."""
+    #blocks-way parallelism regardless of cluster size. The adaptive
+    dispatch may pick either the prefix or the naive plan; both key on
+    token, and at tiny SF the naive self-join legitimately broadcasts
+    (no exchange at all) — a token-keyed BroadcastHashJoin passes."""
     import re
 
     df = QUERIES["tfidf_cosine_top1"](spark, SF)
     plan = plans.physical_plan(df)
     keyed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
     token_keyed = [k for k in keyed if re.search(r"\bt#", k)]
-    assert token_keyed, f"no token-keyed exchange in plan: {keyed}"
+    bcast_token = re.findall(r"keys \[\d+\]: \[[^\]]*\bt#[^\]]*\]", plan)
+    assert token_keyed or bcast_token, f"no token-keyed join in plan: {keyed}"
     # and no exchange partitions on the blocks alone
     block_only = [
         k
@@ -138,6 +142,43 @@ def test_tfidf_default_candidate_shuffle_keys_on_token(spark):
         and not re.search(r"_id#|doc_id#", k)
     ]
     assert not block_only, f"block-cardinality-bounded exchange: {block_only}"
+
+
+def test_tfidf_sparse_regime_prefix_shuffle_keys_on_token(spark):
+    """The sparse-regime branch of the adaptive dispatch (prefix plan)
+    must keep the vocabulary-wide candidate shuffle: with broadcast
+    disabled (forcing real exchanges, as at cluster scale) every join
+    exchange keys on the token, never on blocks alone."""
+    import re
+
+    from firmable_aus_etl_spark.operators.cosine_join import cosine_join_adaptive
+
+    rows = [
+        (i, "common", 1.0 / 61, False) for i in range(1, 62)
+    ]  # light shared token
+    rows += [(i, f"uniq{i}", 6.0, True) for i in range(1, 62)]  # heavy unique
+    wt = spark.createDataFrame(
+        rows, "doc_id long, t string, wt double, heavy boolean"
+    ).drop("heavy")
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        dec = {}
+        df = cosine_join_adaptive(
+            wt,
+            id_col="doc_id",
+            token_col="t",
+            weight_col="wt",
+            threshold=0.7,
+            decision_out=dec,
+        )
+        assert dec["plan"] == "prefix", dec
+        plan = plans.physical_plan(df)
+        keyed = re.findall(r"hashpartitioning\(([^)]*)\)", plan)
+        token_keyed = [k for k in keyed if re.search(r"\bt#", k)]
+        assert token_keyed, f"no token-keyed exchange: {keyed}"
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
 def test_grouping_sets_single_expand_pass(spark):
