@@ -2525,6 +2525,28 @@ def q_near_dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("near_dup_clusters_star", _CLUSTER_ORACLE)
+def q_near_dup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """near_dup_clusters through the alternating large-star/small-star
+    contraction (Kiveris et al. SoCC 2014) instead of min-label
+    propagation — O(log^2 n) rounds on ANY graph shape, the variant to
+    reach for when dedup graphs contain long chains (URL redirects,
+    co-citation paths) where label propagation needs diameter-many
+    rounds. Shares the recursive-CTE oracle with near_dup_clusters:
+    both algorithms must produce the identical min-reachable
+    labeling."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    ).select("a_id", "b_id")
+    return dedup.connected_components(
+        pairs,
+        nodes=docs.select(F.col("doc_id")),
+        node_id="doc_id",
+        algorithm="star",
+    )
+
+
 _SCD2_ORACLE = """
 SELECT o_custkey, o_orderkey, o_orderpriority,
        strftime(o_orderdate, '%Y-%m-%d') AS valid_from,

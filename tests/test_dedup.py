@@ -207,3 +207,80 @@ def test_connected_components_chain_and_singletons(spark):
         ).collect()
     }
     assert out == {1: 1, 2: 1, 3: 1, 4: 1, 5: 1, 99: 99}
+
+
+def test_connected_components_star_matches_label_on_fixtures(spark):
+    """Both algorithms are exact — identical labeling on the basic
+    multi-component and chain+singleton fixtures."""
+    cases = [
+        ([(1, 2), (2, 3), (10, 11)], [1, 2, 3, 10, 11]),
+        ([(5, 4), (4, 3), (3, 2), (2, 1)], [1, 2, 3, 4, 5, 99]),
+        ([], [7, 8]),  # edgeless graph: all self-clusters
+    ]
+    for edge_rows, node_rows in cases:
+        edges = spark.createDataFrame(
+            edge_rows, "a_id long, b_id long"
+        ) if edge_rows else spark.createDataFrame([], "a_id long, b_id long")
+        nodes = spark.createDataFrame([(i,) for i in node_rows], "nid long")
+        lab = {
+            r.nid: r.cluster
+            for r in dedup.connected_components(
+                edges, nodes=nodes, node_id="nid"
+            ).collect()
+        }
+        star = {
+            r.nid: r.cluster
+            for r in dedup.connected_components(
+                edges, nodes=nodes, node_id="nid", algorithm="star"
+            ).collect()
+        }
+        assert star == lab, (edge_rows, star, lab)
+
+
+def test_connected_components_star_chain_logarithmic_rounds(spark):
+    """The pathological case star-contraction exists for: a 1000-node
+    chain (diameter 999). Label propagation needs diameter rounds;
+    large/small-star must converge in O(log n) alternating passes and
+    still produce the exact min-reachable labeling."""
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "a_id long, b_id long"
+    ).repartition(8)
+    stats = {}
+    out = dedup.connected_components(
+        edges, node_id="nid", algorithm="star", stats=stats
+    )
+    got = {r.nid: r.cluster for r in out.collect()}
+    assert got == {i: 0 for i in range(n)}
+    assert stats["rounds"] <= 15, f"star took {stats['rounds']} rounds on a chain"
+
+
+def test_connected_components_star_matches_label_random_graph(spark):
+    """Seeded random graph with many components of varied shapes."""
+    import random
+
+    rng = random.Random(42)
+    nodes = list(range(200))
+    edge_rows = []
+    # several ring/chain/star-ish clumps + noise edges within ranges
+    for base in range(0, 200, 25):
+        members = list(range(base, base + rng.randint(5, 20)))
+        for a, b in zip(members, members[1:]):
+            edge_rows.append((a, b))
+        for _ in range(3):
+            edge_rows.append((rng.choice(members), rng.choice(members)))
+    edges = spark.createDataFrame(edge_rows, "a_id long, b_id long")
+    nframe = spark.createDataFrame([(i,) for i in nodes], "nid long")
+    lab = {
+        r.nid: r.cluster
+        for r in dedup.connected_components(
+            edges, nodes=nframe, node_id="nid"
+        ).collect()
+    }
+    star = {
+        r.nid: r.cluster
+        for r in dedup.connected_components(
+            edges, nodes=nframe, node_id="nid", algorithm="star"
+        ).collect()
+    }
+    assert star == lab
