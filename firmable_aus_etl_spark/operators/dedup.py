@@ -911,3 +911,100 @@ def _connected_components_star(
         star_labels.select(node_id), node_id, "left_anti"
     ).select(node_id, F.col(node_id).alias("cluster"))
     return star_labels.union(self_labels)
+
+
+def remove_repeated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    min_docs: int = 3,
+) -> DataFrame:
+    """Cross-doc repeated-SPAN removal at sliding n-gram granularity —
+    the finer-grained sibling of the C4-style fixed-segment remover
+    (q_remove_repeated_segments): a shared span is caught at ANY token
+    offset, not only on segment boundaries, so shifted boilerplate
+    (navigation chrome mid-page, license footers after variable
+    headers) is removed too.
+
+    Semantics: every SLIDING n-gram occurring in >= ``min_docs``
+    distinct documents is boilerplate; a token is removed iff it is
+    covered by at least one boilerplate n-gram (i.e. some flagged
+    start lies within the previous n-1 positions); survivors
+    reassemble in position order. Returns (id, cleaned, n_removed).
+
+    Plan shape (scale notes):
+      1. gram frequency: one groupBy on the n-gram string; the
+         boilerplate set (nd >= min_docs) is corpus-wide small by
+         nature, so it broadcast-joins back to the starts — same move
+         as the segment remover's blocklist.
+      2. coverage: per-token rows (posexplode) left-join the flagged
+         starts on (doc, pos), then ONE window per doc computes
+         covered = max(flag) over rangeBetween(-(n-1), 0) — O(len)
+         per doc regardless of how much of the doc is boilerplate (an
+         exists()-over-starts HOF would be O(len * starts), quadratic
+         on fully-templated docs).
+      3. reassembly: groupBy(doc) is already partitioned by the
+         window's key, so AQE reuses the exchange; order restored via
+         sort_array(collect_list(struct(pos, token))) — deterministic
+         under any partitioning.
+
+    reference scope: SURVEY §4 custom work (LLM-pipeline dedup
+    family); extends remove_repeated_segments' fixed-granularity
+    semantics to arbitrary-offset spans.
+    """
+    toks = df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.lower(F.trim(F.col(text_col))), " ").alias("__w"),
+    )
+    # guard: sequence(1, k) with k < 1 would produce a DESCENDING
+    # sequence in Spark ([1, 0]), not an empty one
+    idx = F.when(
+        F.size("__w") >= n, F.sequence(F.lit(1), F.size("__w") - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    starts = toks.select(
+        "__id", "__w", F.explode(idx).alias("i")
+    ).select(
+        "__id", "i", F.concat_ws(" ", F.slice("__w", F.col("i"), n)).alias("g")
+    )
+    boiler = F.broadcast(
+        starts.groupBy("g")
+        .agg(F.count_distinct("__id").alias("nd"))
+        .filter(F.col("nd") >= min_docs)
+        .select("g")
+    )
+    dup_starts = starts.join(boiler, "g").select(
+        "__id", F.col("i").alias("p"), F.lit(1).alias("__dup")
+    )
+    positions = toks.select(
+        "__id", F.posexplode("__w").alias("p0", "tok")
+    ).select("__id", (F.col("p0") + 1).alias("p"), "tok")
+    flagged = positions.join(dup_starts, ["__id", "p"], "left").select(
+        "__id", "p", "tok", F.coalesce("__dup", F.lit(0)).alias("__dup")
+    )
+    w_cover = (
+        Window.partitionBy("__id").orderBy("p").rangeBetween(-(n - 1), 0)
+    )
+    covered = flagged.withColumn("cov", F.max("__dup").over(w_cover))
+    rebuilt = covered.groupBy("__id").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(
+                    F.collect_list(
+                        F.when(F.col("cov") == 0, F.struct("p", "tok"))
+                    )
+                ),
+                lambda x: x.tok,
+            ),
+        ).alias("cleaned"),
+        F.sum("cov").cast("long").alias("n_removed"),
+    )
+    return df.select(F.col(id_col).alias("__id")).join(
+        rebuilt, "__id", "left"
+    ).select(
+        F.col("__id").alias(id_col),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+    )

@@ -3639,6 +3639,60 @@ def q_remove_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "remove_repeated_spans",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS p, w[i] AS tok
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            FROM toks)
+    ), starts AS (
+      SELECT doc_id, i, array_to_string(w[i : i + 7], ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 7)) AS i
+            FROM toks)
+    ), dup AS (
+      SELECT g FROM starts GROUP BY g HAVING count(DISTINCT doc_id) >= 3
+    ), dupstart AS (
+      SELECT s.doc_id, s.i FROM starts s JOIN dup USING (g)
+    ), covered AS (
+      SELECT DISTINCT p.doc_id, p.p
+      FROM pos p JOIN dupstart d
+        ON p.doc_id = d.doc_id AND d.i BETWEEN p.p - 7 AND p.p
+    ), kept AS (
+      SELECT p.doc_id, p.p, p.tok
+      FROM pos p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.p = c.p
+      WHERE c.p IS NULL
+    )
+    SELECT d.doc_id,
+           coalesce(k.cleaned, '') AS cleaned,
+           CAST(coalesce(r.nc, 0) AS BIGINT) AS n_removed
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned
+               FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
+    LEFT JOIN (SELECT doc_id, count(*) AS nc
+               FROM covered GROUP BY doc_id) r ON d.doc_id = r.doc_id
+    """,
+)
+def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-doc repeated-SPAN removal at sliding 8-gram granularity
+    (operators/dedup.remove_repeated_spans): boilerplate is caught at
+    ANY token offset — the arbitrary-offset upgrade of
+    remove_repeated_segments' fixed 5-token segment grid. A token is
+    removed iff covered by an 8-gram occurring in >= 3 distinct docs;
+    survivors reassemble in position order, with the removed-token
+    count per doc. The DuckDB twin recomputes the same
+    gram-frequency -> coverage -> reassembly pipeline in SQL."""
+    from firmable_aus_etl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_repeated_spans(
+        docs, "doc_id", "text", n=8, min_docs=3
+    )
+
+
 # =========================================================================
 # Event-analytics surface: ordered funnel, cohort retention,
 # new-vs-returning — the product-analytics shapes on the events table.

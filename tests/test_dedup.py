@@ -284,3 +284,48 @@ def test_connected_components_star_matches_label_random_graph(spark):
         ).collect()
     }
     assert star == lab
+
+
+def test_remove_repeated_spans_offset_independent(spark):
+    """A 12-token span planted at DIFFERENT offsets in 3 docs must be
+    removed from all of them (the fixed-grid segment remover would
+    miss unaligned copies); unique content survives in order; docs
+    shorter than n are untouched."""
+    span = "the quick brown fox jumps over the lazy dog again and again"
+    rows = [
+        (1, f"{span} alpha beta gamma"),                      # offset 0
+        (2, f"intro words here {span} middle tail"),          # offset 3
+        (3, f"one two three four five six seven {span}"),     # offset 7
+        (4, "completely unrelated text with nothing shared at all ok"),
+        (5, "tiny doc"),                                      # < n tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.cleaned, r.n_removed)
+        for r in dedup.remove_repeated_spans(
+            df, "doc_id", "text", n=8, min_docs=3
+        ).collect()
+    }
+    assert out[1] == ("alpha beta gamma", 12)
+    assert out[2] == ("intro words here middle tail", 12)
+    assert out[3] == ("one two three four five six seven", 12)
+    assert out[4][1] == 0 and out[4][0].startswith("completely unrelated")
+    assert out[5] == ("tiny doc", 0)
+
+
+def test_remove_repeated_spans_below_min_docs_kept(spark):
+    """A span shared by only 2 docs stays when min_docs=3."""
+    span = "shared sentence that repeats across exactly two documents here"
+    rows = [
+        (1, f"{span} unique one"),
+        (2, f"prefix {span}"),
+        (3, "nothing in common with the others at all whatsoever today"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: r.n_removed
+        for r in dedup.remove_repeated_spans(
+            df, "doc_id", "text", n=8, min_docs=3
+        ).collect()
+    }
+    assert out == {1: 0, 2: 0, 3: 0}
