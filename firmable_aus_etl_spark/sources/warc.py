@@ -155,3 +155,113 @@ def extract_from_html_frame(df: DataFrame, html_col: str = "html") -> DataFrame:
             yield pdf
 
     return df.mapInPandas(run, schema=out_schema)
+
+
+# --- fetchless WARC byte parsing (stdlib, no warcio) ----------------------
+
+
+def iter_warc_records(data: bytes):
+    """Iterate (headers: dict, payload: bytes) over raw WARC bytes —
+    pure stdlib, so local fixture bytes and range-GET responses parse
+    without warcio. Handles the standard framing: a CRLF header block,
+    Content-Length payload bytes, then a CRLF CRLF record separator.
+    Gzipped input (.warc.gz — independently-compressed members per
+    record, concatenated) is handled by the caller via gzip.decompress,
+    which consumes concatenated members natively.
+
+    reference: the record walk inside extract_common_crawl.py:21-57
+    (warcio ArchiveIterator), re-expressed over bytes.
+    """
+    pos = 0
+    n = len(data)
+    while pos < n:
+        # skip inter-record padding
+        while pos < n and data[pos : pos + 2] == b"\r\n":
+            pos += 2
+        if pos >= n or not data[pos : pos + 5] == b"WARC/":
+            break
+        head_end = data.find(b"\r\n\r\n", pos)
+        if head_end < 0:
+            break
+        headers: dict[str, str] = {}
+        for line in data[pos:head_end].decode("utf-8", "replace").split("\r\n")[1:]:
+            if ":" in line:
+                k, v = line.split(":", 1)
+                headers[k.strip().lower()] = v.strip()
+        try:
+            length = int(headers.get("content-length", "0"))
+        except ValueError:
+            break
+        body_start = head_end + 4
+        yield headers, data[body_start : body_start + length]
+        pos = body_start + length
+
+
+def html_from_warc_bytes(data: bytes) -> str | None:
+    """HTML payload of the first response record in raw or gzipped
+    WARC bytes — the fetchless core of fetch_warc_html: strips the
+    HTTP header block from the record payload and decodes utf-8 with
+    replacement (same decode posture as the gated warcio path)."""
+    if data[:2] == b"\x1f\x8b":
+        import gzip
+
+        data = gzip.decompress(data)
+    for headers, payload in iter_warc_records(data):
+        if headers.get("warc-type") != "response":
+            continue
+        http_end = payload.find(b"\r\n\r\n")
+        body = payload[http_end + 4 :] if http_end >= 0 else payload
+        return body.decode("utf-8", "replace")
+    return None
+
+
+def read_warc(spark, path: str) -> DataFrame:
+    """Distributed fetchless WARC scan: binaryFile source over
+    .warc/.warc.gz files, one mapInPandas stage splitting each file
+    into (warc_file, url, html) rows via the stdlib record walk above.
+
+    Scale shape: binaryFile parallelizes per file (WARC members are
+    independently gzipped, but record offsets aren't known without an
+    index, so a file is the natural split — Common Crawl segments are
+    ~1 GB each, thousands per crawl, which keeps executors busy
+    without intra-file splitting). The HTML never leaves the executor;
+    downstream extraction chains extract_from_html_frame onto this.
+    """
+    out_schema = StructType(
+        [
+            StructField("warc_file", StringType(), True),
+            StructField("url", StringType(), True),
+            StructField("html", StringType(), True),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import gzip
+
+        for pdf in batches:
+            rows = []
+            for fpath, content in zip(pdf["path"], pdf["content"]):
+                data = bytes(content)
+                if data[:2] == b"\x1f\x8b":
+                    data = gzip.decompress(data)
+                for headers, payload in iter_warc_records(data):
+                    if headers.get("warc-type") != "response":
+                        continue
+                    http_end = payload.find(b"\r\n\r\n")
+                    body = payload[http_end + 4 :] if http_end >= 0 else payload
+                    rows.append(
+                        (
+                            fpath,
+                            headers.get("warc-target-uri"),
+                            body.decode("utf-8", "replace"),
+                        )
+                    )
+            yield pd.DataFrame(rows, columns=["warc_file", "url", "html"])
+
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.warc*")
+        .load(path)
+        .select("path", "content")
+        .mapInPandas(run, schema=out_schema)
+    )

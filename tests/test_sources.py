@@ -196,3 +196,114 @@ def test_orc_round_trip_with_pushdown(spark, tmp_path):
     plan = plans.physical_plan(back)
     # ORC scan honors the same pushdown/pruning contract as parquet
     assert "PushedFilters" in plan and "id" in plan.split("PushedFilters", 1)[1][:120]
+
+
+# --- fixture-bytes integration: zip -> XML -> conform, WARC -> DataFrame --
+
+
+def _warc_record(rec_type: str, uri: str, http_body: bytes) -> bytes:
+    """Serialize one WARC/1.0 record with correct framing."""
+    http = b"HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + http_body
+    head = (
+        f"WARC/1.0\r\n"
+        f"WARC-Type: {rec_type}\r\n"
+        f"WARC-Target-URI: {uri}\r\n"
+        f"WARC-Record-ID: <urn:uuid:{rec_type}-{len(http_body)}>\r\n"
+        f"Content-Type: application/http\r\n"
+        f"Content-Length: {len(http)}\r\n\r\n"
+    ).encode()
+    return head + http + b"\r\n\r\n"
+
+
+def test_zip_of_abr_xml_end_to_end(spark, tmp_path):
+    """Fetchless end-to-end: zip bytes -> unzip_members -> distributed
+    XML scan -> extract_abr_records, asserting the reference's
+    fallback semantics (extract_abr_xml.py:74-112) hold when the XML
+    arrives through the real archive path, not a pre-laid file."""
+    import zipfile
+
+    from firmable_aus_etl_spark.sources import ingest
+
+    member1 = """<Transfer>
+<ABR><ABN status="ACT" ABNStatusFromDate="19991101">11111111111</ABN>
+<EntityType><EntityTypeText>Australian Public Company</EntityTypeText></EntityType>
+<MainEntity><NonIndividualName><NonIndividualNameText>ZIPCO LTD</NonIndividualNameText></NonIndividualName>
+<BusinessAddress><AddressDetails><State>QLD</State><Postcode>4000</Postcode></AddressDetails></BusinessAddress></MainEntity>
+</ABR>
+</Transfer>"""
+    member2 = """<Transfer>
+<ABR><ABN status="CAN" ABNStatusFromDate="20150315">22222222222</ABN>
+<LegalEntity><IndividualName><GivenName>ALEX</GivenName><FamilyName>SMITH</FamilyName></IndividualName>
+<BusinessAddress><AddressDetails><State>WA</State><Postcode>6000</Postcode></AddressDetails></BusinessAddress></LegalEntity>
+</ABR>
+</Transfer>"""
+    zp = str(tmp_path / "abr_bulk.zip")
+    with zipfile.ZipFile(zp, "w") as zf:
+        zf.writestr("public_split_1_10/20230101_Public01.xml", member1)
+        zf.writestr("public_split_1_10/20230101_Public02.xml", member2)
+        zf.writestr("readme.txt", "not xml - must be ignored")
+
+    dest = str(tmp_path / "extracted")
+    written = ingest.unzip_members(zp, dest)
+    assert len(written) == 2 and all(w.endswith(".xml") for w in written)
+
+    out = xml_abr.extract_abr_records(xml_abr.read_abr_xml(spark, dest))
+    rows = {r.abn: r for r in out.collect()}
+    assert set(rows) == {"11111111111", "22222222222"}
+    zipco = rows["11111111111"]
+    assert zipco.entity_name == "ZIPCO LTD"
+    assert zipco.entity_status == "ACT" and zipco.address == "QLD 4000"
+    assert str(zipco.start_date) == "1999-11-01"
+    alex = rows["22222222222"]  # no MainEntity -> individual-name fallback
+    assert alex.entity_name == "ALEX SMITH"
+    assert alex.state == "WA" and alex.postcode == "6000"
+
+
+def test_html_from_warc_bytes_plain_and_gzip():
+    import gzip
+
+    html = b"<html><head><title>Products - Gamma Holdings</title></head></html>"
+    raw = _warc_record("request", "http://gamma.com.au", b"GET /") + _warc_record(
+        "response", "http://gamma.com.au", html
+    )
+    assert warc.html_from_warc_bytes(raw) == html.decode()
+    # gzip: independently-compressed members, concatenated (.warc.gz)
+    gz = b"".join(
+        gzip.compress(_warc_record(t, "http://gamma.com.au", b))
+        for t, b in [("request", b"GET /"), ("response", html)]
+    )
+    assert warc.html_from_warc_bytes(gz) == html.decode()
+    # no response record -> None
+    assert warc.html_from_warc_bytes(_warc_record("request", "x", b"GET /")) is None
+
+
+def test_read_warc_end_to_end(spark, tmp_path):
+    """Fetchless end-to-end: .warc.gz fixture bytes -> distributed
+    binaryFile scan -> record split -> HTML field extraction, the full
+    extract_common_crawl.py:21-57 flow with zero network."""
+    import gzip
+
+    recs = [
+        ("request", "http://acme.com.au", b"GET / HTTP/1.1"),
+        (
+            "response",
+            "http://acme.com.au",
+            b'<html><head><meta property="og:site_name" content="Acme Corp"/>'
+            b'<meta name="keywords" content="mining, tools"/></head></html>',
+        ),
+        (
+            "response",
+            "http://delta.com.au",
+            b"<html><body><h1>Delta Inc</h1></body></html>",
+        ),
+    ]
+    gz = b"".join(gzip.compress(_warc_record(*r)) for r in recs)
+    (tmp_path / "segment-00001.warc.gz").write_bytes(gz)
+
+    df = warc.read_warc(spark, str(tmp_path))
+    extracted = warc.extract_from_html_frame(df)
+    rows = {r.url: r for r in extracted.collect()}
+    assert set(rows) == {"http://acme.com.au", "http://delta.com.au"}
+    assert rows["http://acme.com.au"].company_name == "Acme Corp"
+    assert rows["http://acme.com.au"].industry == "mining"
+    assert rows["http://delta.com.au"].company_name == "Delta Inc"
