@@ -57,6 +57,7 @@ HEADLINE = [
     "near_dup_clusters",          # connected-components dedup clustering
     "decontaminate_documents",    # eval-set 8-gram overlap flagging
     "remove_repeated_segments",   # C4-style cross-doc segment removal
+    "remove_repeated_spans",      # sliding-gram span removal + reassembly
     "embedding_cosine_near_dups",  # LSH-banded vector dedup + verify
     "suppliers_kept_waiting",     # decorrelated EXISTS/NOT-EXISTS depth join
     "semantic_dedup_cell_blocked",  # cluster-blocked (SemDeDup) vector dedup

@@ -3700,6 +3700,109 @@ def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "doc_bigram_perplexity",
+    f"""
+    WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    bg AS (
+      SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS b
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 1)) AS i
+            FROM toks)
+    ),
+    c2 AS (SELECT b, CAST(count(*) AS BIGINT) AS n2 FROM bg GROUP BY b),
+    c1 AS (SELECT w1, CAST(count(*) AS BIGINT) AS n1 FROM bg GROUP BY w1),
+    v AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS vs
+          FROM (SELECT unnest(w) AS t FROM toks)),
+    scored AS (
+      SELECT bg.doc_id,
+             CAST(floor((ln(CAST(c1.n1 + v.vs AS DOUBLE))
+                         - ln(CAST(c2.n2 + 1 AS DOUBLE)))
+                        * 1000000.0 + 0.5) AS BIGINT) AS nll_e6
+      FROM bg JOIN c2 USING (b) JOIN c1 USING (w1) CROSS JOIN v
+    ),
+    agg AS (
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+             CAST(sum(nll_e6) AS BIGINT) AS sum_nll_e6
+      FROM scored GROUP BY doc_id
+    )
+    SELECT d.doc_id,
+           coalesce(a.n_bigrams, 0) AS n_bigrams,
+           coalesce(a.sum_nll_e6, 0) AS sum_nll_e6,
+           CAST(coalesce(a.sum_nll_e6 // a.n_bigrams, 0) AS BIGINT)
+             AS avg_nll_e6
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id
+    """,
+)
+def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality signal: per-document
+    cross-entropy under an add-one-smoothed BIGRAM model trained on
+    the corpus itself — p(w2|w1) = (c(w1 w2)+1)/(c(w1 .)+V). Docs
+    whose text the corpus LM finds surprising (high avg negative log
+    prob) are quality-filter candidates; boilerplate scores low.
+
+    Determinism: each bigram instance's -ln p is floor-scaled to
+    integer micro-nats BEFORE the per-doc sum (the doc_entropy_scores
+    rule applied to a ratio of logs), and the per-doc average is
+    integer division — no FP accumulation order anywhere. Plan: one
+    (doc, position) explode, two corpus-count joins keyed on the
+    bigram/context token (vocabulary-wide parallelism), the V scalar
+    broadcast as a 1-row cross join, one per-doc aggregate."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    w = T.tokens("text")
+    idx = F.when(
+        F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
+    ).otherwise(F.array().cast("array<int>"))
+    bg = docs.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                idx,
+                lambda i: F.struct(
+                    F.element_at(w, i).alias("w1"),
+                    F.concat_ws(
+                        " ", F.element_at(w, i), F.element_at(w, i + 1)
+                    ).alias("b"),
+                ),
+            )
+        ).alias("s"),
+    ).select("doc_id", F.col("s.w1").alias("w1"), F.col("s.b").alias("b"))
+    c2 = bg.groupBy("b").agg(F.count("*").alias("n2"))
+    c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
+    vocab = (
+        docs.select(F.explode(w).alias("t"))
+        .agg(F.count_distinct("t").alias("vs"))
+    )
+    nll = F.floor(
+        (
+            F.log((F.col("n1") + F.col("vs")).cast("double"))
+            - F.log((F.col("n2") + F.lit(1)).cast("double"))
+        )
+        * 1000000.0
+        + 0.5
+    ).cast("long")
+    scored = (
+        bg.join(c2, "b")
+        .join(c1, "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select("doc_id", nll.alias("nll_e6"))
+    )
+    agg = scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_bigrams"),
+        F.sum("nll_e6").alias("sum_nll_e6"),
+    )
+    return docs.select("doc_id").join(agg, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+        F.coalesce("sum_nll_e6", F.lit(0)).alias("sum_nll_e6"),
+        F.coalesce(
+            F.floor(F.col("sum_nll_e6") / F.col("n_bigrams")).cast("long"),
+            F.lit(0),
+        ).alias("avg_nll_e6"),
+    )
+
+
+@register(
     "funnel_view_click_purchase",
     """
     WITH v AS (
