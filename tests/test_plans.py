@@ -439,5 +439,6 @@ def test_scale_lint_flags_and_passes(spark):
     assert any("single-partition" in f for f in plans.scale_lint(gw))
     # the engine's own headline queries stay clean
     for name in ["pricing_summary", "topk_lineitems_per_order",
-                 "tfidf_cosine_top1", "embedding_cosine_near_dups"]:
+                 "tfidf_cosine_top1", "embedding_cosine_near_dups",
+                 "remove_repeated_spans", "doc_bigram_perplexity"]:
         assert plans.scale_lint(QUERIES[name](spark, SF)) == [], name
