@@ -440,5 +440,15 @@ def test_scale_lint_flags_and_passes(spark):
     # the engine's own headline queries stay clean
     for name in ["pricing_summary", "topk_lineitems_per_order",
                  "tfidf_cosine_top1", "embedding_cosine_near_dups",
-                 "remove_repeated_spans", "doc_bigram_perplexity"]:
+                 "remove_repeated_spans"]:
         assert plans.scale_lint(QUERIES[name](spark, SF)) == [], name
+    # doc_bigram_perplexity attaches the vocabulary-size SCALAR via a
+    # broadcast 1-row crossJoin (same benign pattern as bigram_pmi's
+    # corpus totals): the lint flags that BNLJ plus the global
+    # aggregate's final 1-row reduce (partial aggregation runs
+    # map-side; the single partition carries one row) — and nothing
+    # else
+    finds = plans.scale_lint(QUERIES["doc_bigram_perplexity"](spark, SF))
+    assert finds and all(
+        "nested-loop" in f or "single-partition" in f for f in finds
+    ), finds
