@@ -582,26 +582,38 @@ def cosine_near_dup_pairs(
     ``n_tables`` (for near-identical vectors a single table already
     catches ~all pairs).
     """
+    # localCheckpoint: both self-join sides consume the signature
+    # frame — without it the whole signature pass (incl. the Arrow
+    # matmul) re-executes per side (the semantic_dedup_pairs profile
+    # finding). Norms are hoisted to one fold per ROW so the verify
+    # does one dot fold per candidate instead of three aggregates —
+    # bit-identical to cosine() (same fold orders, same two doubles
+    # multiplied).
     sigs = lsh_signature_frame(
         corpus, dim=dim, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, n_tables=n_tables, seed=seed, impl=impl,
-    )
+    ).localCheckpoint()
     a = sigs.select(
-        F.col("__id").alias("a_id"), F.col("__v").alias("__av"), "__tbl", "__sig"
+        F.col("__id").alias("a_id"), F.col("__v").alias("__av"),
+        l2_norm(F.col("__v")).alias("__na"), "__tbl", "__sig",
     )
     b = sigs.select(
-        F.col("__id").alias("b_id"), F.col("__v").alias("__bv"), "__tbl", "__sig"
+        F.col("__id").alias("b_id"), F.col("__v").alias("__bv"),
+        l2_norm(F.col("__v")).alias("__nb"), "__tbl", "__sig",
     )
     cand = (
         a.join(b, on=["__tbl", "__sig"])
         .where(F.col("a_id") < F.col("b_id"))
-        .select("a_id", "b_id", "__av", "__bv")
+        .select("a_id", "b_id", "__av", "__bv", "__na", "__nb")
         .distinct()
     )
     return (
-        cand.withColumn("cosine", cosine(F.col("__av"), F.col("__bv")))
+        cand.withColumn(
+            "cosine",
+            dot(F.col("__av"), F.col("__bv")) / (F.col("__na") * F.col("__nb")),
+        )
         .where(F.col("cosine") >= threshold)
-        .drop("__av", "__bv")
+        .drop("__av", "__bv", "__na", "__nb")
     )
 
 
@@ -752,19 +764,49 @@ def semantic_dedup_pairs(
             F.max(F.struct(F.col("d").alias("d"), (-F.col("cell")).alias("nc"))).alias("m")
         )
         cells = best.select("__id", (-F.col("m.nc")).cast("int").alias("cell"))
-    assigned = corpus.select(
-        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
-    ).join(cells, "__id")
+    # hoist each vector's L2 norm to ONE fold per ROW before the
+    # self-join: the verify would otherwise re-fold both norms for
+    # every pair (3 interpreted aggregates per pair -> 1), an
+    # O(cell_width) redundancy per vector. Bit-identical to
+    # cosine(): same fold order per norm, same two doubles multiplied.
+    # localCheckpoint: BOTH sides of the self-join consume `assigned`,
+    # and without it the full upstream pipeline (per-row transforms +
+    # the Arrow assignment pass) re-executes once per side — profiled
+    # as ~3x the executor time of the verify itself. Same move as
+    # connected_components' edge materialization; rows are (id, vec,
+    # norm, cell) — N x dim, far smaller than any pair frame.
+    assigned = (
+        corpus.select(
+            F.col(id_col).alias("__id"),
+            F.col(vec_col).alias("__v"),
+            l2_norm(F.col(vec_col)).alias("__n"),
+        )
+        .join(cells, "__id")
+        .localCheckpoint()
+    )
     a = assigned.select(
-        F.col("__id").alias("a_id"), F.col("__v").alias("__av"), "cell"
+        F.col("__id").alias("a_id"), F.col("__v").alias("__av"),
+        F.col("__n").alias("__na"), "cell",
     )
     b = assigned.select(
-        F.col("__id").alias("b_id"), F.col("__v").alias("__bv"), "cell"
+        F.col("__id").alias("b_id"), F.col("__v").alias("__bv"),
+        F.col("__n").alias("__nb"), "cell",
     )
+    # the verify is CPU-bound (a dot fold per pair), but its input
+    # BYTES are small, so AQE's size-based coalescing squeezes it onto
+    # a couple of tasks — pin cell-hash partitioning at the session's
+    # shuffle width so every core verifies (an unrolled codegen dot
+    # was A/B-measured SLOWER than the fold: 4.7 s vs 2.6 s — the
+    # per-element array accessors lose to one pass over the array)
+    n_shuffle = int(a.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     return (
-        a.join(b, on=["cell"])
+        a.repartition(n_shuffle, "cell")
+        .join(b, on=["cell"])
         .where(F.col("a_id") < F.col("b_id"))
-        .withColumn("cosine", cosine(F.col("__av"), F.col("__bv")))
+        .withColumn(
+            "cosine",
+            dot(F.col("__av"), F.col("__bv")) / (F.col("__na") * F.col("__nb")),
+        )
         .where(F.col("cosine") >= threshold)
         .select("a_id", "b_id", "cell", "cosine")
     )

@@ -3758,13 +3758,21 @@ def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     bigram/context token (vocabulary-wide parallelism), the V scalar
     broadcast as a 1-row cross join, one per-doc aggregate."""
     from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
     docs = load_table(spark, sf_dir, "documents")
-    w = T.tokens("text")
+    # materialize the token array ONCE per row before the per-element
+    # lambda (referencing the raw tokens EXPRESSION inside transform
+    # re-runs the normalize+split per element — O(len^2) regex work),
+    # and spread the single-file input before the explode
+    toks = ensure_parallelism(docs, "doc_id").select(
+        "doc_id", T.tokens("text").alias("w")
+    )
+    w = F.col("w")
     idx = F.when(
         F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
     ).otherwise(F.array().cast("array<int>"))
-    bg = docs.select(
+    bg = toks.select(
         "doc_id",
         F.explode(
             F.transform(
@@ -3781,7 +3789,7 @@ def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = bg.groupBy("b").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
     vocab = (
-        docs.select(F.explode(w).alias("t"))
+        toks.select(F.explode(w).alias("t"))
         .agg(F.count_distinct("t").alias("vs"))
     )
     nll = F.floor(

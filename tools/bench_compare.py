@@ -52,8 +52,11 @@ COMPARE = [
     "quantize_embeddings_int8",
     "tfidf_cosine_top1_blocked",
     "near_dup_clusters",
+    "near_dup_clusters_star",
     "decontaminate_documents",
     "remove_repeated_segments",
+    "remove_repeated_spans",
+    "doc_bigram_perplexity",
     "embedding_cosine_near_dups",
     "suppliers_kept_waiting",
     "shipping_priority_top10",
