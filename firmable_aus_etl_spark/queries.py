@@ -832,6 +832,80 @@ def q_lsh_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ann_recall_oracle() -> str:
+    """Recall@3 of the sign-LSH path vs exact brute force — both sides
+    deterministic (the LSH candidate set re-derives from hyperplane
+    literals; exact top-3 from the same cosine), so even the QUALITY
+    METRIC of the approximate path is oracle-checkable."""
+    return f"""
+WITH approx AS ({_lsh_oracle(64, 6, 6, 42)}),
+exact AS (
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  s AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, c.v) AS cosine
+    FROM e q JOIN e c ON q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id
+  ),
+  r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM s)
+  SELECT query_id, neighbor_id FROM r WHERE rk <= 3
+)
+SELECT CAST(count(DISTINCT x.query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(floor(1000000.0
+                  * sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  / count(*)) AS BIGINT) AS recall_e6
+FROM exact x
+LEFT JOIN approx a
+  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+"""
+
+
+@register("ann_recall_report", _ann_recall_oracle())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@3 of the sign-LSH scale path against
+    GLOBAL exact brute force (self excluded on both sides) — the
+    measurement a production similarity-search deployment runs before
+    trusting an approximate index. One row: (n_queries, n_exact,
+    n_hits, recall_e6). Deterministic end to end, so the DuckDB twin
+    re-derives BOTH sides (hyperplane-literal buckets + exact top-3)
+    and checks the metric itself, not just the candidates; recall is
+    emitted as floor-scaled integer micro-units (no FP division drift
+    between engines). On this fixture the honest answer is ~0.35: the
+    embeddings are near-uniform random — LSH's worst case, since
+    global top-3 neighbors of unclustered points sit near the median
+    cosine where hyperplane agreement carries little signal. Real
+    embedding corpora are clustered (where sign-LSH earns its keep,
+    cf. the 500/500 near-dup recall of embedding_cosine_near_dups);
+    raising n_tables buys recall linearly in cost. That trade being
+    MEASURABLE per corpus is what this query is for."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding")
+    exact = V.brute_force_topk(queries, corpus, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    approx = V.lsh_topk(
+        queries, corpus, dim=64, k=3, n_planes=6, n_tables=6
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        F.floor(
+            1000000.0
+            * F.sum(F.coalesce("__hit", F.lit(0)))
+            / F.count("*")
+        ).cast("long").alias("recall_e6"),
+    )
+
+
 def _ivf_fixed_oracle(dim: int, n_cells: int, nprobe: int, seed: int) -> str:
     """IVF probe with FIXED unit centroids (ivf_topk's untrained
     default) — assignment is an argmax over centroid literals, so the
