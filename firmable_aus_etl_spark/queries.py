@@ -969,6 +969,67 @@ def q_ivf_ann_top3_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _ivf_recall_oracle(dim: int, n_cells: int, nprobe: int, seed: int) -> str:
+    """Recall@3 of the fixed-centroid IVF probe vs exact brute force —
+    same audit shape as _ann_recall_oracle, so the two approximate
+    paths are comparable on identical ground truth."""
+    return f"""
+WITH approx AS ({_ivf_fixed_oracle(dim, n_cells, nprobe, seed)}),
+exact AS (
+  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+  s AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, c.v) AS cosine
+    FROM e q JOIN e c ON q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id
+  ),
+  r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM s)
+  SELECT query_id, neighbor_id FROM r WHERE rk <= 3
+)
+SELECT CAST(count(DISTINCT x.query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(floor(1000000.0
+                  * sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  / count(*)) AS BIGINT) AS recall_e6
+FROM exact x
+LEFT JOIN approx a
+  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+"""
+
+
+@register("ivf_recall_report", _ivf_recall_oracle(64, 16, 4, 7))
+def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probe twin of ann_recall_report (identical exact ground
+    truth, identical metric shape), so the recall/cost trade of the
+    two approximate paths — sign-LSH buckets vs nprobe-of-16 cells —
+    is directly comparable per corpus from two driver-green rows."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding")
+    exact = V.brute_force_topk(queries, corpus, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    approx = V.ivf_topk(
+        queries, corpus, dim=64, k=3, n_cells=16, nprobe=4, seed=7
+    ).select("query_id", "neighbor_id", F.lit(1).alias("__hit"))
+    joined = exact.join(approx, ["query_id", "neighbor_id"], "left")
+    return joined.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        F.floor(
+            1000000.0
+            * F.sum(F.coalesce("__hit", F.lit(0)))
+            / F.count("*")
+        ).cast("long").alias("recall_e6"),
+    )
+
+
 @register("ivf_ann_top3")  # rows-only: k-means centroids are data-trained at
 # runtime (collected driver-side), so no literal SQL twin exists; the probe
 # machinery itself is oracle-proven by ivf_ann_top3_fixed, and
