@@ -954,7 +954,12 @@ def remove_repeated_spans(
     family); extends remove_repeated_segments' fixed-granularity
     semantics to arbitrary-offset spans.
     """
-    toks = df.select(
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    # single-file inputs would run the tokenize + gram explode of every
+    # downstream branch on one core (conditional — no-op at scale);
+    # A/B at sf0.1: 1.74 -> 1.14 s
+    toks = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("__id"),
         F.split(F.lower(F.trim(F.col(text_col))), " ").alias("__w"),
     )

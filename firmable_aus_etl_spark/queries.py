@@ -3678,7 +3678,11 @@ def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     UDF); the join keys on the gram string — at 100 TB, hash the gram
     to a 64-bit key to shrink the shuffle (same move as the
     fingerprint family)."""
-    docs = load_table(spark, sf_dir, "documents")
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )  # single-file input: spread the tokenize/explode (no-op at scale)
     toks = docs.select(
         "doc_id", "source", F.split(F.lower(F.trim("text")), " ").alias("w")
     ).filter(F.size("w") >= 8)
@@ -3744,7 +3748,11 @@ def q_remove_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     everything native — the reassembly is sort_array(collect_list(
     struct(pos, seg))) so order is deterministic under any
     partitioning."""
-    docs = load_table(spark, sf_dir, "documents")
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(
+        load_table(spark, sf_dir, "documents"), "doc_id"
+    )  # single-file input: spread the tokenize/explode (no-op at scale)
     toks = docs.select(
         "doc_id", F.split(F.lower(F.trim("text")), " ").alias("w")
     )
