@@ -959,20 +959,8 @@ def remove_repeated_spans(
     # single-file inputs would run the tokenize + gram explode of every
     # downstream branch on one core (conditional — no-op at scale);
     # A/B at sf0.1: 1.74 -> 1.14 s
-    toks = ensure_parallelism(df, id_col).select(
-        F.col(id_col).alias("__id"),
-        F.split(F.lower(F.trim(F.col(text_col))), " ").alias("__w"),
-    )
-    # guard: sequence(1, k) with k < 1 would produce a DESCENDING
-    # sequence in Spark ([1, 0]), not an empty one
-    idx = F.when(
-        F.size("__w") >= n, F.sequence(F.lit(1), F.size("__w") - n + 1)
-    ).otherwise(F.array().cast("array<int>"))
-    starts = toks.select(
-        "__id", "__w", F.explode(idx).alias("i")
-    ).select(
-        "__id", "i", F.concat_ws(" ", F.slice("__w", F.col("i"), n)).alias("g")
-    )
+    toks = span_tokens(ensure_parallelism(df, id_col), id_col, text_col)
+    starts = span_starts(toks, n=n)
     boiler = F.broadcast(
         starts.groupBy("g")
         .agg(F.count_distinct("__id").alias("nd"))
@@ -982,6 +970,50 @@ def remove_repeated_spans(
     dup_starts = starts.join(boiler, "g").select(
         "__id", F.col("i").alias("p"), F.lit(1).alias("__dup")
     )
+    rebuilt = span_rebuild(toks, dup_starts, n=n)
+    return df.select(F.col(id_col).alias("__id")).join(
+        rebuilt, "__id", "left"
+    ).select(
+        F.col("__id").alias(id_col),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+    )
+
+
+def span_tokens(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """(__id, __w token array) — the normalized token frame span
+    removal operates on; shared by the one-shot operator and the
+    incremental view so both see identical tokenization."""
+    return df.select(
+        F.col(id_col).alias("__id"),
+        F.split(F.lower(F.trim(F.col(text_col))), " ").alias("__w"),
+    )
+
+
+def span_starts(toks: DataFrame, *, n: int) -> DataFrame:
+    """(__id, i, g) sliding n-gram start postings from a span_tokens
+    frame — guards Spark's descending-sequence pitfall for docs
+    shorter than n."""
+    idx = F.when(
+        F.size("__w") >= n, F.sequence(F.lit(1), F.size("__w") - n + 1)
+    ).otherwise(F.array().cast("array<int>"))
+    return toks.select("__id", "__w", F.explode(idx).alias("i")).select(
+        "__id", "i", F.concat_ws(" ", F.slice("__w", F.col("i"), n)).alias("g")
+    )
+
+
+def span_rebuild(
+    toks: DataFrame, dup_starts: DataFrame, *, n: int
+) -> DataFrame:
+    """Coverage + position reassembly given (__id, __w) tokens and
+    (__id, p, __dup) flagged span starts: a token is removed iff some
+    flagged start lies within its previous n-1 positions (ONE
+    rangeBetween window per doc), survivors concat in position order.
+    Returns (__id, cleaned, n_removed). Shared by remove_repeated_spans
+    and the incremental span view (identical semantics by
+    construction)."""
     positions = toks.select(
         "__id", F.posexplode("__w").alias("p0", "tok")
     ).select("__id", (F.col("p0") + 1).alias("p"), "tok")
@@ -992,7 +1024,7 @@ def remove_repeated_spans(
         Window.partitionBy("__id").orderBy("p").rangeBetween(-(n - 1), 0)
     )
     covered = flagged.withColumn("cov", F.max("__dup").over(w_cover))
-    rebuilt = covered.groupBy("__id").agg(
+    return covered.groupBy("__id").agg(
         F.concat_ws(
             " ",
             F.transform(
@@ -1005,11 +1037,4 @@ def remove_repeated_spans(
             ),
         ).alias("cleaned"),
         F.sum("cov").cast("long").alias("n_removed"),
-    )
-    return df.select(F.col(id_col).alias("__id")).join(
-        rebuilt, "__id", "left"
-    ).select(
-        F.col("__id").alias(id_col),
-        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
-        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
     )

@@ -836,3 +836,201 @@ def prune_versions(state_root: str, *, keep: int = 2) -> list[int]:
         shutil.rmtree(os.path.join(state_root, f"v{v}"), ignore_errors=True)
         removed.append(v)
     return sorted(removed)
+
+
+# ------------------------------------------------------------------
+# Incrementally-maintained SPAN-DEDUP view (threshold-crossing deltas)
+# ------------------------------------------------------------------
+
+
+def span_view_increment(
+    docs: DataFrame,
+    state_dir: str,
+    batch_id: int,
+    *,
+    n: int = 8,
+    min_docs: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> None:
+    """Maintain remove_repeated_spans' output incrementally: after any
+    prefix of batches, read_span_view == the one-shot operator over
+    the union of those batches (equality-with-recompute tested both
+    ways; no monotone-id precondition — span coverage depends only on
+    (doc tokens, global boilerplate set), never on id order. Each doc
+    must arrive in exactly one batch, the partitioned-arrival norm).
+
+    The delta insight: gram doc-counts only GROW under append-only
+    ingest, so a historical doc's cleaned text changes iff it contains
+    a gram that CROSSED the min_docs threshold in this batch. The
+    increment therefore recomputes only (new docs) ∪ (historical docs
+    holding a crossing gram) and carries every other view row forward
+    untouched — no historical text is re-tokenized.
+
+    State (batch-keyed stores overwrite on at-least-once replay;
+    derived stores are versioned vN built from the latest complete
+    parent < N, the incremental_agg_stream scheme):
+      state_dir/toks/batch=N    (__id, __w) token arrays of batch N
+      state_dir/starts/batch=N  (__id, i, g) gram start postings
+      state_dir/counts/vN       (g, nd) cumulative distinct-doc counts
+      state_dir/view/vN         (doc_id, cleaned, n_removed)
+
+    At 100 TB: the starts store is the join target for crossing grams
+    — lay it out bucketed by gram hash (partitioning.write_bucketed)
+    so the affected-doc probe prunes to colliding buckets instead of
+    scanning all history (same move as the ingest signature store).
+    Crossing grams are few by nature (each gram crosses at most once,
+    ever), so the probe side is always small.
+    """
+    from firmable_aus_etl_spark.operators.dedup import (
+        span_rebuild,
+        span_starts,
+        span_tokens,
+    )
+
+    spark = docs.sparkSession
+    toks_b = span_tokens(docs, id_col, text_col)
+    starts_b = span_starts(toks_b, n=n)
+
+    toks_root = os.path.join(state_dir, "toks")
+    starts_root = os.path.join(state_dir, "starts")
+    toks_b.write.mode("overwrite").parquet(
+        os.path.join(toks_root, f"batch={batch_id}")
+    )
+    starts_b.write.mode("overwrite").parquet(
+        os.path.join(starts_root, f"batch={batch_id}")
+    )
+    # read the batch stores back so every downstream branch scans
+    # parquet instead of re-running the tokenize lineage per consumer
+    toks_b = spark.read.parquet(os.path.join(toks_root, f"batch={batch_id}"))
+    starts_b = spark.read.parquet(
+        os.path.join(starts_root, f"batch={batch_id}")
+    )
+
+    batch_counts = starts_b.groupBy("g").agg(
+        F.count_distinct("__id").alias("nd_b")
+    )
+    counts_root = os.path.join(state_dir, "counts")
+    parent = None
+    for d in glob.glob(os.path.join(counts_root, "v*")):
+        m = re.fullmatch(r"v(\d+)", os.path.basename(d))
+        if m and int(m.group(1)) < batch_id and os.path.exists(
+            os.path.join(d, "_SUCCESS")
+        ):
+            parent = max(parent or 0, int(m.group(1)))
+    if parent is not None:
+        prev = spark.read.parquet(os.path.join(counts_root, f"v{parent}"))
+        merged = prev.select("g", F.col("nd").alias("nd_p")).join(
+            batch_counts, "g", "full_outer"
+        ).select(
+            "g",
+            (
+                F.coalesce("nd_p", F.lit(0)) + F.coalesce("nd_b", F.lit(0))
+            ).cast("long").alias("nd"),
+            F.coalesce("nd_p", F.lit(0)).cast("long").alias("nd_prev"),
+        )
+    else:
+        merged = batch_counts.select(
+            "g", F.col("nd_b").cast("long").alias("nd"),
+            F.lit(0).cast("long").alias("nd_prev"),
+        )
+    merged.select("g", "nd").write.mode("overwrite").parquet(
+        os.path.join(counts_root, f"v{batch_id}")
+    )
+    merged = spark.read.parquet(
+        os.path.join(counts_root, f"v{batch_id}")
+    ).join(
+        # nd_prev is recomputed from the parent on replay, not stored
+        spark.read.parquet(os.path.join(counts_root, f"v{parent}")).select(
+            "g", F.col("nd").alias("nd_prev")
+        )
+        if parent is not None
+        else spark.createDataFrame([], "g string, nd_prev long"),
+        "g",
+        "left",
+    ).select("g", "nd", F.coalesce("nd_prev", F.lit(0)).alias("nd_prev"))
+
+    boiler = merged.filter(F.col("nd") >= min_docs).select("g")
+    crossing = merged.filter(
+        (F.col("nd") >= min_docs) & (F.col("nd_prev") < min_docs)
+    ).select("g")
+
+    hist_start_dirs = [
+        d for b, d in _batch_dirs(starts_root) if b < batch_id
+    ]
+    if hist_start_dirs:
+        hist_starts = spark.read.parquet(*hist_start_dirs)
+        affected_hist = (
+            hist_starts.join(F.broadcast(crossing), "g")
+            .select("__id")
+            .distinct()
+        )
+        hist_toks_dirs = [
+            d for b, d in _batch_dirs(toks_root) if b < batch_id
+        ]
+        toks_aff = spark.read.parquet(*hist_toks_dirs).join(
+            affected_hist, "__id"
+        )
+        starts_aff = hist_starts.join(affected_hist, "__id")
+        toks_all = toks_b.unionByName(toks_aff)
+        starts_all = starts_b.unionByName(starts_aff)
+    else:
+        toks_all, starts_all = toks_b, starts_b
+
+    dup_starts = starts_all.join(F.broadcast(boiler), "g").select(
+        "__id", F.col("i").alias("p"), F.lit(1).alias("__dup")
+    )
+    rebuilt = span_rebuild(toks_all, dup_starts, n=n).select(
+        F.col("__id").alias("doc_id"),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
+    )
+
+    view_root = os.path.join(state_dir, "view")
+    vparent = None
+    for d in glob.glob(os.path.join(view_root, "v*")):
+        m = re.fullmatch(r"v(\d+)", os.path.basename(d))
+        if m and int(m.group(1)) < batch_id and os.path.exists(
+            os.path.join(d, "_SUCCESS")
+        ):
+            vparent = max(vparent or 0, int(m.group(1)))
+    if vparent is not None:
+        prev_view = spark.read.parquet(os.path.join(view_root, f"v{vparent}"))
+        carried = prev_view.join(
+            rebuilt.select("doc_id"), "doc_id", "left_anti"
+        )
+        out = carried.unionByName(rebuilt)
+    else:
+        out = rebuilt
+    out.write.mode("overwrite").parquet(os.path.join(view_root, f"v{batch_id}"))
+
+
+def span_view_stream(
+    stream: DataFrame,
+    state_dir: str,
+    *,
+    checkpoint: str,
+    n: int = 8,
+    min_docs: int = 3,
+):
+    """Structured Streaming wrapper: one span_view_increment per
+    micro-batch (foreachBatch, availableNow)."""
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        span_view_increment(batch, state_dir, batch_id, n=n, min_docs=min_docs)
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_span_view(spark: SparkSession, state_dir: str) -> DataFrame:
+    """Latest complete version of the incremental span-dedup view."""
+    root = os.path.join(state_dir, "view")
+    v = _latest_version(root)
+    if v is None:
+        raise FileNotFoundError(f"no versions under {root}")
+    return spark.read.parquet(os.path.join(root, f"v{v}"))

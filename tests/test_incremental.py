@@ -578,3 +578,83 @@ def test_prune_versions_keeps_latest_complete(spark, tmp_path):
     removed = prune_versions(root, keep=2)
     assert removed == [1, 9]
     assert sorted(map(tuple, read_corpus_report(spark, state).collect())) == before
+
+
+# --- incrementally-maintained span-dedup view -----------------------------
+
+
+def _span_recompute(spark, rows):
+    from firmable_aus_etl_spark.operators.dedup import remove_repeated_spans
+
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    return sorted(
+        map(tuple, remove_repeated_spans(df, "doc_id", "text", n=8, min_docs=3).collect())
+    )
+
+
+def test_span_view_equals_recompute_per_batch(spark, tmp_path):
+    """After every batch, the incremental view equals the one-shot
+    operator over the union of all batches — including the batch where
+    a shared span CROSSES the min_docs threshold and historical docs
+    must be re-cleaned."""
+    from firmable_aus_etl_spark.streaming.incremental import (
+        read_span_view,
+        span_view_increment,
+    )
+
+    span = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    batches = [
+        [(1, f"{span} one unique"),
+         (2, "noise words only here nothing shared at all")],
+        [(3, f"start pad {span}")],          # 2 docs hold the span: below threshold
+        [(4, f"{span} tail bits"),           # 3rd holder: crosses -> docs 1,3 re-cleaned
+         (5, "another unrelated document entirely")],
+    ]
+    state = str(tmp_path / "spanstate")
+    seen: list = []
+    views = []
+    for i, rows in enumerate(batches):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        span_view_increment(df, state, i, n=8, min_docs=3)
+        seen += rows
+        got = sorted(map(tuple, read_span_view(spark, state).collect()))
+        assert got == _span_recompute(spark, seen), f"batch {i}"
+        views.append(got)
+    # the threshold-crossing batch actually removed the span everywhere
+    final = {r[0]: r for r in views[-1]}
+    assert final[1] == (1, "one unique", 10)
+    assert final[3] == (3, "start pad", 10)
+    assert final[4] == (4, "tail bits", 10)
+    assert final[2][2] == 0 and final[5][2] == 0
+    # and before the crossing nothing was removed
+    assert all(r[2] == 0 for r in views[1])
+
+
+def test_span_view_replay_idempotent(spark, tmp_path):
+    """At-least-once replay of the last batch leaves the view
+    byte-identical (batch-keyed stores overwrite; versioned stores
+    rebuild from the parent, not from their own previous write)."""
+    from firmable_aus_etl_spark.streaming.incremental import (
+        read_span_view,
+        span_view_increment,
+    )
+
+    span = "one two three four five six seven eight nine ten"
+    batches = [
+        [(1, f"{span} aa"), (2, f"bb {span}")],
+        [(3, f"cc {span} dd")],
+    ]
+    state = str(tmp_path / "spanstate2")
+    for i, rows in enumerate(batches):
+        span_view_increment(
+            spark.createDataFrame(rows, "doc_id long, text string"),
+            state, i, n=8, min_docs=3,
+        )
+    before = sorted(map(tuple, read_span_view(spark, state).collect()))
+    span_view_increment(  # replay batch 1
+        spark.createDataFrame(batches[1], "doc_id long, text string"),
+        state, 1, n=8, min_docs=3,
+    )
+    after = sorted(map(tuple, read_span_view(spark, state).collect()))
+    assert after == before
+    assert before == _span_recompute(spark, batches[0] + batches[1])
