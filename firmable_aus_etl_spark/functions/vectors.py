@@ -703,6 +703,58 @@ def ivf_index_topk(
     ).drop("__qv", "__cv")
 
 
+def _semantic_verify_arrow(assigned: DataFrame, threshold: float) -> DataFrame:
+    """Within-cell pair verification as one normalized gram matrix per
+    cell (applyInPandas): rows arrive whole-cell per call, vectors
+    stack into an (w, dim) float64 matrix, C = Vn @ Vn.T, and pairs
+    i < j (by id, ascending — deterministic emission order) with
+    C >= threshold come back as (a_id, b_id, cell, cosine). numpy
+    pairwise summation differs from the sequential fold only at
+    ~1e-16 relative — parity-tested at 9 dp against verify="expr"."""
+    from pyspark.sql.types import (
+        DoubleType, IntegerType, StructField, StructType,
+    )
+
+    id_t = assigned.schema["__id"].dataType
+    out_schema = StructType(
+        [
+            StructField("a_id", id_t, True),
+            StructField("b_id", id_t, True),
+            StructField("cell", IntegerType(), True),
+            StructField("cosine", DoubleType(), True),
+        ]
+    )
+
+    def per_cell(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("__id").reset_index(drop=True)
+        w = len(pdf)
+        if w < 2:
+            return pd.DataFrame(
+                {"a_id": [], "b_id": [], "cell": [], "cosine": []}
+            ).astype({"cell": "int32", "cosine": "float64"})
+        m = np.stack(pdf["__v"].to_numpy()).astype(np.float64)
+        n = np.linalg.norm(m, axis=1)
+        n[n == 0.0] = 1.0  # zero vectors never reach a 0.99 threshold
+        c = (m / n[:, None]) @ (m / n[:, None]).T
+        iu, ju = np.triu_indices(w, k=1)
+        keep = c[iu, ju] >= threshold
+        ids = pdf["__id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "a_id": ids[iu[keep]],
+                "b_id": ids[ju[keep]],
+                "cell": np.full(int(keep.sum()), int(pdf["cell"].iloc[0]),
+                                dtype=np.int32),
+                "cosine": c[iu, ju][keep],
+            }
+        )
+
+    return assigned.groupBy("cell").applyInPandas(per_cell, schema=out_schema)
+
+
 def semantic_dedup_pairs(
     corpus: DataFrame,
     centroids: list[list[float]],
@@ -711,6 +763,7 @@ def semantic_dedup_pairs(
     vec_col: str = "embedding",
     threshold: float = 0.99,
     impl: str = "arrow",
+    verify: str = "expr",
 ) -> DataFrame:
     """SemDeDup-style cluster-blocked embedding dedup (Abbas et al.,
     "SemDeDup: Data-efficient learning at web-scale through semantic
@@ -734,7 +787,18 @@ def semantic_dedup_pairs(
     and measured 77 s at sf0.1, and over unrolled literal terms, which
     OOM janino). Same argmax tie rule both paths: highest dot, ties to
     the LOWEST cell id, matching the SQL twin's ORDER BY d DESC, cell
-    (parity-tested)."""
+    (parity-tested).
+
+    ``verify="expr"`` (default) scores each within-cell pair with the
+    sequential dot fold — bit-identical to the SQL oracle, the
+    correctness path. ``verify="arrow"`` is the scale fast path: one
+    applyInPandas per cell computing the normalized GRAM MATRIX
+    (numpy, O(w^2 d) flops at memory bandwidth instead of per-pair
+    interpreted folds). Its cosines differ from the fold only in FP
+    summation order (~1e-16 relative; pair-set parity tested at 9 dp)
+    — keep the expr path wherever bit-stable output is contractual.
+    Cell width w bounds the w x w gram buffer: raise n_cells if cells
+    outgrow executor memory (the standard SemDeDup lever)."""
     if impl == "arrow":
         cells = assign_cells_arrow(
             corpus, centroids, id_col=id_col, vec_col=vec_col
@@ -792,6 +856,8 @@ def semantic_dedup_pairs(
         F.col("__id").alias("b_id"), F.col("__v").alias("__bv"),
         F.col("__n").alias("__nb"), "cell",
     )
+    if verify == "arrow":
+        return _semantic_verify_arrow(assigned, threshold)
     # the verify is CPU-bound (a dot fold per pair), but its input
     # BYTES are small, so AQE's size-based coalescing squeezes it onto
     # a couple of tasks — pin cell-hash partitioning at the session's

@@ -315,3 +315,25 @@ def test_semantic_dedup_arrow_expr_parity(spark):
     ).collect()))
     assert a == e
     assert len(a) > 0  # threshold low enough that parity is non-vacuous
+
+
+def test_semantic_dedup_arrow_verify_parity(spark):
+    """The gram-matrix (applyInPandas) verify must find the identical
+    PAIR SET as the exact expression fold, with cosines equal to 9 dp
+    (numpy pairwise summation differs only in FP order)."""
+    from firmable_aus_etl_spark.datasets import load_table
+
+    emb = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    raw = V.make_planes(64, 16, seed=7)
+    cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw]
+    kw = dict(threshold=0.2, impl="arrow")
+    e = sorted(
+        (r.a_id, r.b_id, r.cell, round(r.cosine, 9))
+        for r in V.semantic_dedup_pairs(emb, cents, verify="expr", **kw).collect()
+    )
+    a = sorted(
+        (r.a_id, r.b_id, r.cell, round(r.cosine, 9))
+        for r in V.semantic_dedup_pairs(emb, cents, verify="arrow", **kw).collect()
+    )
+    assert a == e
+    assert len(a) > 0
