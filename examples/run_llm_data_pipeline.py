@@ -36,12 +36,27 @@ def main() -> None:
     docs = load_table(spark, sf_dir, "documents")
     n0 = docs.count()
 
-    # 1. hygiene: redact PII, score quality/repetition, identify language
-    scored = docs.select(
+    # 1. hygiene: redact PII, then strip cross-doc boilerplate SPANS
+    #    (sliding 8-grams shared by >= 3 docs, caught at ANY offset) so
+    #    the quality scores below judge real content, not site chrome —
+    #    the C4 ordering
+    redacted = docs.select(
+        "doc_id", "source", "lang", T.redact_pii("text").alias("text")
+    )
+    despanned = redacted.drop("text").join(
+        dedup.remove_repeated_spans(
+            redacted, "doc_id", "text", n=8, min_docs=3
+        ).select("doc_id", F.col("cleaned").alias("text"), "n_removed"),
+        "doc_id",
+    )
+
+    # 1a. score quality/repetition, identify language (post-boilerplate)
+    scored = despanned.select(
         "doc_id",
         "source",
         "lang",
-        T.redact_pii("text").alias("text"),
+        "text",
+        "n_removed",
         T.quality_score("text").alias("quality"),
         T.dup_ngram_ratio("text", 2).alias("dup_ratio"),
         T.language_id("text").alias("lang_detected"),
