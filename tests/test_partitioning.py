@@ -210,3 +210,64 @@ def test_compact_sorted_keeps_stats_tight(spark, tmp_path):
         spans.append((min(k[0] for k in ks), max(k[1] for k in ks)))
     widths = [hi - lo for lo, hi in spans]
     assert sum(widths) / len(widths) < 1000 / max(2, len(widths)) * 2
+
+
+def test_aqe_skew_join_splits_hot_partition(spark):
+    """AQE's skew-join handling is the runtime HALF of the skew story
+    (salted_join is the static half): with realistic thresholds scaled
+    down to fixture size, a sort-merge join against a hot key must
+    come back from adaptive planning with the skewed partition SPLIT
+    (skew=true on the SMJ), and the result must equal the plain join.
+    This is the lever that absorbs 100 TB hot keys without a manual
+    salt."""
+    import pyspark.sql.functions as F
+
+    conf = spark.conf
+    saved = {
+        k: conf.get(k)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.adaptive.skewJoin.enabled",
+            "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            "spark.sql.adaptive.coalescePartitions.enabled",
+        )
+    }
+    try:
+        conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")  # force SMJ
+        conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+        conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+        conf.set(
+            "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB"
+        )
+        conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+        conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+
+        # one hot key with 200k wide rows, 1000 uniform keys
+        big = spark.range(0, 200_000).select(
+            F.when(F.col("id") < 150_000, F.lit(0))
+            .otherwise(F.pmod("id", F.lit(1000)))
+            .alias("k"),
+            F.concat(F.lit("x" * 64), F.col("id").cast("string")).alias("pad"),
+        )
+        dim = spark.range(0, 1000).select(
+            F.col("id").alias("k"), (F.col("id") * 2).alias("v")
+        )
+        # correctness: every big row finds exactly one dim row
+        n = big.join(dim, "k").count()
+        assert n == 200_000
+        # execute THIS DataFrame (~0-row collect; the join still runs
+        # fully) so its queryExecution carries the final adaptive plan.
+        # The filter references BOTH sides via a hash, so it cannot
+        # push below the join or be proven empty (which would let AQE
+        # replace the whole join with an EmptyRelation).
+        joined = big.join(dim, "k").filter(
+            F.xxhash64("pad", "v") == F.lit(123)
+        )
+        assert joined.collect() == []
+        final_plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in final_plan, final_plan[:2000]
+    finally:
+        for k, v in saved.items():
+            conf.set(k, v)
