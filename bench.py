@@ -66,6 +66,7 @@ HEADLINE = [
     "copurchase_graph_summary",   # triangle counting (oriented two-join)
     "bigram_pmi_documents",       # collocation PMI (corpus-total stats)
     "hourly_event_anomalies",     # trailing-window anomaly scoring
+    "doc_bigram_perplexity",      # corpus bigram-LM cross-entropy scoring
 ]
 
 # Iterations of the sentinel loop; the reference time was calibrated

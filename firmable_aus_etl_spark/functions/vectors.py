@@ -65,8 +65,14 @@ def brute_force_topk(
     window shuffles only (query_id, k) survivors. ``partition_cond``
     restricts candidate pairs (e.g. same label / same IVF cell).
     """
+    # norms are hoisted to ONE fold per ROW on each side, so the
+    # per-pair score is a single dot fold instead of three aggregates
+    # (the norms would otherwise re-fold for every pair) —
+    # bit-identical to cosine(): same fold orders, same two doubles
+    # multiplied
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(vec_col).alias("__qv"),
+        l2_norm(F.col(vec_col)).alias("__qn"),
         *[c for c in queries.columns if c not in (query_id, vec_col)],
     )
     if broadcast_queries:
@@ -77,12 +83,16 @@ def brute_force_topk(
     # a single input file serialize it (no-op when the scan is wide)
     c = ensure_parallelism(corpus, corpus_id).select(
         F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("__cv"),
+        l2_norm(F.col(vec_col)).alias("__cn"),
         *[c2 for c2 in corpus.columns if c2 not in (corpus_id, vec_col)],
     )
     cond = F.col("query_id") != F.col("neighbor_id")
     if partition_cond is not None:
         cond = cond & partition_cond
-    scored = q.join(c, on=cond).withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    scored = q.join(c, on=cond).withColumn(
+        "cosine",
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    )
     out = topk_per_group(
         scored,
         ["query_id"],
@@ -91,7 +101,7 @@ def brute_force_topk(
         keep_rank=True,
         rank_col="rank",
     )
-    return out.drop("__qv", "__cv")
+    return out.drop("__qv", "__cv", "__qn", "__cn")
 
 
 def hyperplane_signature(
