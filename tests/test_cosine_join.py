@@ -245,3 +245,51 @@ def test_driver_estimator_agrees_with_spark_stats(spark):
         # the full-corpus estimator sees the exact same counts
         assert py_dec["pair_rows"] == spark_dec["pair_rows"]
         assert py_dec["cand_rows"] == spark_dec["cand_rows"]
+
+
+def test_driver_estimator_heavy_marking_matches_spark_window(spark):
+    """The pure-Python estimator's heavy-prefix sets must equal the
+    Spark window's EXACTLY on randomized corpora (weights, ties, and
+    the (weight desc, token asc) suffix order all mirrored) — the core
+    claim behind dispatching from a driver-side sample."""
+    import random
+
+    from firmable_aus_etl_spark.operators.cosine_join import _heavy_terms
+
+    vocab = [f"w{i}" for i in range(30)] + ["wa", "wab", "w1x"]
+    for seed in range(3):
+        rng = random.Random(seed)
+        docs = [
+            (i, " ".join(rng.choices(vocab, k=rng.randint(3, 15))))
+            for i in range(1, 25)
+        ]
+        wt = _weighted(spark, docs)
+        heavy_spark = {
+            (r["doc_id"], r["t"])
+            for r in _heavy_terms(
+                wt, id_col="doc_id", token_col="t", weight_col="wt",
+                threshold=0.6, block_cols=[],
+            ).collect()
+        }
+        # python mirror: recompute the same inv-df weights, mark heavy
+        from collections import Counter
+
+        df_counts: Counter = Counter()
+        tfs = []
+        for i, text in docs:
+            tf = Counter(text.split())
+            tfs.append((i, tf))
+            for t in tf:
+                df_counts[t] += 1
+        heavy_py = set()
+        for i, tf in tfs:
+            w = {t: n / df_counts[t] for t, n in tf.items()}
+            total = sum(x * x for x in w.values())
+            order = sorted(w, reverse=True)
+            order.sort(key=lambda t: w[t])
+            suffix = 0.0
+            for t in order:
+                suffix += w[t] * w[t]
+                if suffix >= 0.6 * 0.6 * total:
+                    heavy_py.add((i, t))
+        assert heavy_py == heavy_spark, f"seed {seed}"
