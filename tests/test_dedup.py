@@ -329,3 +329,32 @@ def test_remove_repeated_spans_below_min_docs_kept(spark):
         ).collect()
     }
     assert out == {1: 0, 2: 0, 3: 0}
+
+
+def test_remove_repeated_spans_random_corpus_invariants(spark):
+    """Randomized invariants, any corpus: cleaned text is an ordered
+    subsequence of the original tokens; n_removed accounts exactly for
+    the dropped tokens; removal is monotone in min_docs (stricter
+    threshold removes no more)."""
+    import random
+
+    rng = random.Random(7)
+    vocab = [f"t{i}" for i in range(12)]
+    rows = [
+        (i, " ".join(rng.choices(vocab, k=rng.randint(1, 30))))
+        for i in range(1, 31)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out3 = {r.doc_id: r for r in dedup.remove_repeated_spans(
+        df, "doc_id", "text", n=4, min_docs=3).collect()}
+    out9 = {r.doc_id: r for r in dedup.remove_repeated_spans(
+        df, "doc_id", "text", n=4, min_docs=9).collect()}
+    orig = {i: t.lower().strip().split(" ") for i, t in rows}
+    for i, toks in orig.items():
+        cleaned = out3[i].cleaned.split(" ") if out3[i].cleaned else []
+        # ordered subsequence check
+        it = iter(toks)
+        assert all(any(tok == o for o in it) for tok in cleaned), i
+        assert len(toks) - len(cleaned) == out3[i].n_removed, i
+        # monotone: min_docs=9 removes a subset of what min_docs=3 does
+        assert out9[i].n_removed <= out3[i].n_removed, i
