@@ -934,6 +934,15 @@ def remove_repeated_spans(
     start lies within the previous n-1 positions); survivors
     reassemble in position order. Returns (id, cleaned, n_removed).
 
+    Equivalence note: because any repeated substring of length >= n
+    contains an n-gram that repeats with it, n-gram coverage removal
+    removes EXACTLY the tokens inside cross-doc repeated substrings of
+    length >= n — the same semantics suffix-array training-data dedup
+    targets (Lee et al., "Deduplicating Training Data Makes Language
+    Models Better", ACL 2022, min-length-50 substrings), expressed as
+    two shuffles instead of a monolithic suffix array. The within-doc
+    sibling is :func:`remove_within_doc_repeats`.
+
     Plan shape (scale notes):
       1. gram frequency: one groupBy on the n-gram string; the
          boilerplate set (nd >= min_docs) is corpus-wide small by
@@ -1037,4 +1046,49 @@ def span_rebuild(
             ),
         ).alias("cleaned"),
         F.sum("cov").cast("long").alias("n_removed"),
+    )
+
+
+def remove_within_doc_repeats(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    *,
+    n: int = 8,
+    min_count: int = 2,
+) -> DataFrame:
+    """WITHIN-doc repeated-span removal — the self-repetition sibling
+    of :func:`remove_repeated_spans` (together they cover the
+    within/cross-doc span-dedup pair): an n-gram occurring >=
+    ``min_count`` times inside ONE document keeps its FIRST occurrence
+    and every LATER occurrence's coverage is removed (looped template
+    blocks, stuck-generation repeats, copy-pasted paragraphs).
+
+    Keep-first semantics: a start is flagged iff its position is not
+    the gram's minimal position within the doc (and the gram repeats
+    at least min_count times there); coverage/reassembly are the same
+    span_rebuild pass as the cross-doc operator. One groupBy on
+    (doc, gram) — partitioned BY DOC, so unlike the cross-doc
+    frequency pass this never shuffles on a corpus-wide key; the rest
+    stays doc-local. Returns (id, cleaned, n_removed).
+    """
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    toks = span_tokens(ensure_parallelism(df, id_col), id_col, text_col)
+    starts = span_starts(toks, n=n)
+    per_doc = starts.groupBy("__id", "g").agg(
+        F.count("*").alias("cnt"), F.min("i").alias("first_i")
+    )
+    dup_starts = (
+        starts.join(per_doc, ["__id", "g"])
+        .filter((F.col("cnt") >= min_count) & (F.col("i") > F.col("first_i")))
+        .select("__id", F.col("i").alias("p"), F.lit(1).alias("__dup"))
+    )
+    rebuilt = span_rebuild(toks, dup_starts, n=n)
+    return df.select(F.col(id_col).alias("__id")).join(
+        rebuilt, "__id", "left"
+    ).select(
+        F.col("__id").alias(id_col),
+        F.coalesce("cleaned", F.lit("")).alias("cleaned"),
+        F.coalesce("n_removed", F.lit(0)).alias("n_removed"),
     )

@@ -3854,6 +3854,61 @@ def q_remove_repeated_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "remove_within_doc_repeats",
+    """
+    WITH toks AS (
+      SELECT doc_id, string_split(lower(trim(text)), ' ') AS w
+      FROM documents
+    ), pos AS (
+      SELECT doc_id, i AS p, w[i] AS tok
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w))) AS i
+            FROM toks)
+    ), starts AS (
+      SELECT doc_id, i, array_to_string(w[i : i + 3], ' ') AS g
+      FROM (SELECT doc_id, w, unnest(generate_series(1, len(w) - 3)) AS i
+            FROM toks)
+    ), per_doc AS (
+      SELECT doc_id, g, count(*) AS cnt, min(i) AS first_i
+      FROM starts GROUP BY doc_id, g
+    ), dupstart AS (
+      SELECT s.doc_id, s.i
+      FROM starts s JOIN per_doc d ON s.doc_id = d.doc_id AND s.g = d.g
+      WHERE d.cnt >= 2 AND s.i > d.first_i
+    ), covered AS (
+      SELECT DISTINCT p.doc_id, p.p
+      FROM pos p JOIN dupstart d
+        ON p.doc_id = d.doc_id AND d.i BETWEEN p.p - 3 AND p.p
+    ), kept AS (
+      SELECT p.doc_id, p.p, p.tok
+      FROM pos p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.p = c.p
+      WHERE c.p IS NULL
+    )
+    SELECT d.doc_id,
+           coalesce(k.cleaned, '') AS cleaned,
+           CAST(coalesce(r.nc, 0) AS BIGINT) AS n_removed
+    FROM documents d
+    LEFT JOIN (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS cleaned
+               FROM kept GROUP BY doc_id) k ON d.doc_id = k.doc_id
+    LEFT JOIN (SELECT doc_id, count(*) AS nc
+               FROM covered GROUP BY doc_id) r ON d.doc_id = r.doc_id
+    """,
+)
+def q_remove_within_doc_repeats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITHIN-doc repeated-span removal (keep-first): a 4-gram
+    occurring twice inside one document keeps its first occurrence and
+    loses the rest — looped template blocks, stuck-generation repeats.
+    The self-repetition sibling of remove_repeated_spans (together:
+    the within/cross-doc span-dedup pair); frequency grouping is
+    (doc, gram), so this path never shuffles on a corpus-wide key."""
+    from firmable_aus_etl_spark.operators import dedup
+
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.remove_within_doc_repeats(
+        docs, "doc_id", "text", n=4, min_count=2
+    )
+
+
+@register(
     "doc_bigram_perplexity",
     f"""
     WITH toks AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),

@@ -358,3 +358,30 @@ def test_remove_repeated_spans_random_corpus_invariants(spark):
         assert len(toks) - len(cleaned) == out3[i].n_removed, i
         # monotone: min_docs=9 removes a subset of what min_docs=3 does
         assert out9[i].n_removed <= out3[i].n_removed, i
+
+
+def test_remove_within_doc_repeats_keep_first(spark):
+    """Planted self-repeats: the FIRST occurrence survives, later
+    occurrences are removed; cross-doc sharing alone does not trigger
+    removal; docs without self-repeats are untouched."""
+    span = "alpha beta gamma delta"
+    rows = [
+        # span occurs twice in doc 1 -> second occurrence removed
+        (1, f"{span} filler words here {span} tail"),
+        # same span once per doc -> within-doc rule leaves both alone
+        (2, f"intro {span} outro"),
+        (3, "no repeats in this document at all"),
+        # back-to-back triple repeat -> keep first, drop the rest
+        (4, f"{span} {span} {span}"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = {
+        r.doc_id: (r.cleaned, r.n_removed)
+        for r in dedup.remove_within_doc_repeats(
+            df, "doc_id", "text", n=4, min_count=2
+        ).collect()
+    }
+    assert out[1] == (f"{span} filler words here tail", 4)
+    assert out[2] == (f"intro {span} outro", 0)
+    assert out[3][1] == 0
+    assert out[4] == (span, 8)
