@@ -419,23 +419,38 @@ def simhash_candidate_pairs(
     *,
     max_hamming: int = 3,
     blocks: int = 4,
+    portable: bool = False,
 ) -> DataFrame:
     """SimHash near-dup candidates via the pigeonhole block trick.
 
-    Split the 64-bit hash into ``blocks`` chunks; two hashes within
+    Split the hash into ``blocks`` chunks; two hashes within
     ``max_hamming <= blocks-1`` must agree on at least one chunk, so a
     self-join per chunk finds all candidates with equi-join cost.
     Verify with true hamming distance after the join.
+
+    ``portable=True`` switches the base token hash to the 31-bit md5
+    family (md5_base_hash) and the signature to 31 bits chunked over a
+    32-bit space — every stage then replays bit-for-bit in DuckDB
+    (see queries.simhash_near_dups oracle). The chunking must track the
+    signature width: chunking a 31-bit signature over 64 bits would
+    leave the high chunks all-zero, turning the pigeonhole equi-join
+    into an accidental cross join.
     """
-    width = 64 // blocks
+    n_bits = 31 if portable else 64
+    sig_bits = 32 if portable else 64
     toks = F.array_distinct(F.split(normalize_name(F.col(text_col)), " "))
     # same file-layout decoupling as minhash_lsh_pairs
     from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
     df = ensure_parallelism(df, id_col)
+    base = (
+        (lambda t: md5_base_hash(t))
+        if portable
+        else (lambda t: F.xxhash64(t))
+    )
     hashed = df.select(
         F.col(id_col).alias("__id"),
-        F.transform(toks, lambda t: F.xxhash64(t)).alias("__h"),
+        F.transform(toks, base).alias("__h"),
     )
     # flat-aggregation signature: explode token hashes and take 64
     # codegen'd bit-sums in one groupBy, instead of 64 interpreted
@@ -447,18 +462,19 @@ def simhash_candidate_pairs(
         F.count("*").alias("__n"),
         *[
             F.sum(F.shiftright(F.col("__th"), b).bitwiseAND(F.lit(1))).alias(f"__b{b}")
-            for b in range(64)
+            for b in range(n_bits)
         ],
     )
     sh = None
-    for b in range(64):
+    for b in range(n_bits):
         bit = F.shiftleft(
             (F.col(f"__b{b}") * 2 > F.col("__n")).cast("long"), b
         )
         sh = bit if sh is None else sh.bitwiseOR(bit)
     sig = counts.select("__id", sh.alias("__sh"))
     return hamming_near_dup_pairs(
-        sig, "__id", "__sh", max_hamming=max_hamming, blocks=blocks
+        sig, "__id", "__sh", max_hamming=max_hamming, blocks=blocks,
+        sig_bits=sig_bits,
     )
 
 
@@ -469,14 +485,21 @@ def hamming_near_dup_pairs(
     *,
     max_hamming: int = 3,
     blocks: int = 4,
+    sig_bits: int = 64,
 ) -> DataFrame:
-    """Pigeonhole hamming join over PRECOMPUTED 64-bit signatures:
+    """Pigeonhole hamming join over PRECOMPUTED fixed-width signatures:
     two signatures within ``max_hamming <= blocks-1`` bits must agree
     on at least one of ``blocks`` chunks, so a per-chunk equi-self-join
     finds every candidate at hash-join cost; true hamming verifies.
     Shared by SimHash text dedup and perceptual-hash media dedup.
-    Emits (a_id, b_id, hamming) with a_id < b_id."""
-    width = 64 // blocks
+    Emits (a_id, b_id, hamming) with a_id < b_id.
+
+    ``sig_bits`` must match the actual signature width (64 for xxhash
+    SimHash / aHash, 32 for the portable 31-bit md5 family): chunks
+    beyond the real width are identically zero and would match every
+    row against every row — quadratic, the exact failure the pigeonhole
+    trick exists to avoid."""
+    width = sig_bits // blocks
     chunked = sig.select(
         F.col(id_col).alias("__id"),
         F.col(sig_col).alias("__sh"),
