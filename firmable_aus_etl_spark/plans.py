@@ -102,6 +102,47 @@ def count_reused_exchanges_final(df: DataFrame) -> int:
     return final_adaptive_plan(df).count("ReusedExchange")
 
 
+def _top_level_bracket_groups(s: str) -> list[str]:
+    """Split ``[a, b], [c], [d]`` into its top-level ``[...]`` groups
+    (nested brackets stay inside their group)."""
+    groups, depth, start = [], 0, -1
+    for i, ch in enumerate(s):
+        if ch == "[":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == "]":
+            depth -= 1
+            if depth == 0 and start >= 0:
+                groups.append(s[start + 1 : i])
+                start = -1
+    return groups
+
+
+def unbounded_windows(df: DataFrame) -> list[str]:
+    """Window operators with NO partition spec — the precise form of
+    the 100 TB scale-killer the generic SinglePartition heuristic
+    over-approximates (1-row scalar aggregates and broadcast
+    attachments also print SinglePartition but carry bounded rows).
+
+    Reads the optimized logical plan: a ``Window`` node prints
+    ``Window [functions], [partitionSpec], [orderSpec]``; when the
+    window is unpartitioned the partition group is omitted, leaving
+    TWO top-level groups whose second is an ordering (contains a sort
+    direction). Returns the offending Window lines (empty = clean).
+    """
+    opt = df._jdf.queryExecution().optimizedPlan().toString()
+    out = []
+    for line in opt.splitlines():
+        stripped = line.strip().lstrip("+-: ").strip()
+        if not stripped.startswith("Window "):
+            continue
+        groups = _top_level_bracket_groups(stripped)
+        if len(groups) == 2 and (" ASC" in groups[1] or " DESC" in groups[1]):
+            out.append(stripped[:200])
+    return out
+
+
 def scale_lint(df: DataFrame) -> list[str]:
     """Static plan lint for the 100 TB red flags this engine's own
     plan tests enforce, packaged as an API users can run on THEIR
@@ -123,6 +164,11 @@ def scale_lint(df: DataFrame) -> list[str]:
     volume is bounded by k — callers can filter the findings list."""
     plan = physical_plan(df)
     findings = []
+    for w in unbounded_windows(df):
+        findings.append(
+            f"unbounded-window: every row moves through ONE task "
+            f"(window has ORDER BY but no PARTITION BY): {w[:120]}"
+        )
     if "CartesianProduct" in plan:
         findings.append(
             "cartesian-product: O(|L|*|R|) join; bound both sides or "

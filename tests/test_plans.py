@@ -452,3 +452,64 @@ def test_scale_lint_flags_and_passes(spark):
     assert finds and all(
         "nested-loop" in f or "single-partition" in f for f in finds
     ), finds
+
+
+def test_unbounded_window_detector(spark):
+    """unbounded_windows: precise detector for ORDER BY-without-
+    PARTITION BY windows (the SinglePartition heuristic
+    over-approximates — scalar aggregates also print it)."""
+    from pyspark.sql import Window
+    from firmable_aus_etl_spark.datasets import load_table
+
+    orders = load_table(spark, SF, "orders")
+    glob = orders.withColumn(
+        "rn", F.row_number().over(Window.orderBy("o_orderkey"))
+    )
+    assert plans.unbounded_windows(glob), "global window must flag"
+    part = orders.withColumn(
+        "rn",
+        F.row_number().over(
+            Window.partitionBy("o_custkey").orderBy("o_orderkey")
+        ),
+    )
+    assert plans.unbounded_windows(part) == []
+    # partition-without-order (running total frame) is NOT flagged
+    noord = orders.withColumn(
+        "s", F.sum("o_totalprice").over(Window.partitionBy("o_custkey"))
+    )
+    assert plans.unbounded_windows(noord) == []
+    # scalar aggregate prints SinglePartition but has no Window at all
+    assert plans.unbounded_windows(orders.agg(F.count("*"))) == []
+
+
+# Every entry must name a query whose unpartitioned window runs over a
+# frame bounded by something OTHER than data volume — the justification
+# is part of the contract and is checked for staleness below (an entry
+# whose query stops flagging must be removed).
+UNBOUNDED_WINDOW_ALLOWLIST = {
+    "serial_id_nations": "25-row nation dim; documented single-partition "
+    "caveat with a monotonic variant for scale (operators/windows.py)",
+    "salted_join_segments": "window runs on the DISTINCT c_mktsegment "
+    "frame — 5 rows, bounded by segment cardinality, not data volume",
+    "cumulative_distinct_customers": "window runs on the per-MONTH "
+    "aggregate frame — rows bounded by calendar span, not data volume",
+    "interpolate_daily_revenue": "window runs on the per-DAY aggregate "
+    "frame — rows bounded by calendar span, not data volume",
+}
+
+
+@pytest.mark.slow
+def test_registry_has_no_unbounded_windows(spark):
+    """Round-3 verdict item #3: no registered query may ship an
+    ORDER BY-without-PARTITION BY window over a data-scale frame.
+    orderkey_gaps and customer_value_deciles were the two offenders —
+    both now bucket + stitch (bounded boundary state) instead."""
+    flagged, stale = {}, []
+    for name, fn in sorted(QUERIES.items()):
+        uw = plans.unbounded_windows(fn(spark, SF))
+        if uw and name not in UNBOUNDED_WINDOW_ALLOWLIST:
+            flagged[name] = uw
+        if not uw and name in UNBOUNDED_WINDOW_ALLOWLIST:
+            stale.append(name)
+    assert not flagged, f"unbounded global windows outside allowlist: {flagged}"
+    assert not stale, f"allowlist entries no longer flag (remove them): {stale}"
