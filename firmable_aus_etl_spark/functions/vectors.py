@@ -395,6 +395,175 @@ def lsh_topk(
     ).drop("__query_id_v", "__neighbor_id_v")
 
 
+def multiprobe_flipsets(n_planes: int, max_flip: int = 2) -> list[list[int]]:
+    """Bit-index flip sets of size 0..max_flip in (size, lexicographic)
+    order — the probe universe of query-directed multi-probe LSH
+    (Lv et al., VLDB'07). Shared by the Spark operator and the SQL
+    oracle generator so both rank the identical universe."""
+    out: list[list[int]] = [[]]
+    out += [[b] for b in range(n_planes)]
+    if max_flip >= 2:
+        out += [[a, b] for a in range(n_planes) for b in range(a + 1, n_planes)]
+    return out
+
+
+def lsh_multiprobe_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    dim: int,
+    query_id: str = "vec_id",
+    corpus_id: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int | None = 3,
+    n_planes: int = 7,
+    n_tables: int = 6,
+    probes: int = 10,
+    seed: int = 42,
+) -> DataFrame:
+    """Query-directed multi-probe sign-LSH top-k (round-3 verdict item
+    #2 — single-bucket probing measured recall 0.35 on the near-uniform
+    fixture; multi-probe recovers the neighbors that fall JUST across a
+    hyperplane).
+
+    Per table, a query probes not only its own bucket but the
+    ``probes`` buckets with the smallest *boundary distance*: flipping
+    sign bit b costs |dot_b| (how close the query sits to plane b), a
+    flip set costs the sum of its bits, and the probe list is the
+    cheapest ``probes`` of the hamming<=2 flip universe — so probing
+    effort goes exactly where a near neighbor is most likely to have
+    landed. Candidates stay an equi-join on (table, signature); the
+    probe budget multiplies only the QUERY side's join input (corpus
+    signatures are computed and shuffled once), so candidate volume is
+    directly controlled by ``probes`` — the knob the recall audit
+    (ann_recall_report) measures against its candidate telemetry.
+
+    Deterministic end to end: dots fold left-to-right in double, flip
+    costs add in fixed (a<b) order, and probe ranking breaks cost ties
+    by probe signature — so the DuckDB oracle re-derives the identical
+    probe lists and candidate set.
+    """
+    tables = [
+        make_planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
+    ]
+    all_planes = F.lit(
+        [[float(x) for x in p] for planes in tables for p in planes]
+    )
+    flipsets = multiprobe_flipsets(n_planes, 2)
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    def dots_col() -> Column:
+        return F.transform(
+            all_planes,
+            lambda p: F.aggregate(
+                F.zip_with(F.col(vec_col), p, lambda a, b: a.cast("double") * b),
+                F.lit(0.0),
+                lambda acc, v: acc + v,
+            ),
+        )
+
+    def table_sig(t: int) -> Column:
+        def step(acc, i):
+            bit = (
+                F.element_at(F.col("__dots"), i + 1 + t * n_planes) >= 0
+            ).cast("long")
+            return acc + bit * F.pow(F.lit(2.0), i).cast("long")
+
+        return F.aggregate(
+            F.sequence(F.lit(0), F.lit(n_planes - 1)), F.lit(0).cast("long"), step
+        )
+
+    # ---- corpus: one signature row per (vec, table) — computed once,
+    # shuffled once; the probe budget never touches this side.
+    c0 = ensure_parallelism(corpus, corpus_id).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("__cv"),
+        dots_col().alias("__dots"),
+    )
+    cs = c0.select(
+        "neighbor_id",
+        "__cv",
+        F.posexplode(F.array(*[table_sig(t) for t in range(n_tables)])).alias(
+            "__table", "__sig"
+        ),
+    )
+
+    # ---- queries: materialize dots+sigs behind projection boundaries
+    # (the flip-cost expressions below reference them ~30x per table;
+    # duplicated aggregate subtrees run interpreted — the repo-wide
+    # codegen-overflow rule).
+    q0 = ensure_parallelism(queries, query_id).select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).alias("__qv"),
+        dots_col().alias("__dots"),
+    )
+    q1 = q0.select(
+        "query_id",
+        "__qv",
+        "__dots",
+        F.array(*[table_sig(t) for t in range(n_tables)]).alias("__sigs"),
+    )
+
+    def flip_cost(t: int, fs: list[int]) -> Column:
+        if not fs:
+            return F.lit(0.0)
+        c = F.abs(F.element_at(F.col("__dots"), fs[0] + 1 + t * n_planes))
+        for b in fs[1:]:
+            c = c + F.abs(F.element_at(F.col("__dots"), b + 1 + t * n_planes))
+        return c
+
+    def probe_list(t: int) -> Column:
+        sig_t = F.element_at(F.col("__sigs"), t + 1)
+        structs = [
+            F.struct(
+                flip_cost(t, fs).alias("c"),
+                sig_t.bitwiseXOR(
+                    F.lit(sum(1 << b for b in fs)).cast("long")
+                ).alias("s"),
+            )
+            for fs in flipsets
+        ]
+        ranked = F.slice(F.array_sort(F.array(*structs)), 1, probes)
+        return F.transform(ranked, lambda x: x["s"])
+
+    qp = q1.select(
+        "query_id",
+        "__qv",
+        F.posexplode(F.array(*[probe_list(t) for t in range(n_tables)])).alias(
+            "__table", "__probes"
+        ),
+    ).select(
+        "query_id", "__qv", "__table", F.explode("__probes").alias("__sig")
+    )
+
+    cand = (
+        qp.alias("q")
+        .join(
+            cs.alias("c"),
+            on=[
+                F.col("q.__table") == F.col("c.__table"),
+                F.col("q.__sig") == F.col("c.__sig"),
+                F.col("query_id") != F.col("neighbor_id"),
+            ],
+        )
+        .select("query_id", "neighbor_id", "__qv", "__cv")
+        .distinct()
+    )
+    if k is None:
+        # telemetry surface: the distinct candidate pairs themselves
+        # (recall without its candidate cost is half a number)
+        return cand.select("query_id", "neighbor_id")
+    scored = cand.withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+    return topk_per_group(
+        scored,
+        ["query_id"],
+        [F.col("cosine").desc(), F.col("neighbor_id").asc()],
+        k=k,
+        keep_rank=True,
+        rank_col="rank",
+    ).drop("__qv", "__cv")
+
+
 def _plane_sigs_arrow(
     df: DataFrame,
     *,

@@ -337,3 +337,66 @@ def test_semantic_dedup_arrow_verify_parity(spark):
     )
     assert a == e
     assert len(a) > 0
+
+
+def _lcg_corpus(spark, n=120, dim=16, seed=7):
+    state, rows = seed, []
+    for i in range(n):
+        vec = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            vec.append(state / float(1 << 31) - 0.5)
+        rows.append((i, vec))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_multiprobe_flipsets_order_and_count(spark):
+    fs = V.multiprobe_flipsets(4, 2)
+    # 1 empty + 4 singles + C(4,2)=6 pairs, in (size, lex) order
+    assert fs == [[], [0], [1], [2], [3], [0, 1], [0, 2], [0, 3],
+                  [1, 2], [1, 3], [2, 3]]
+    assert len(V.multiprobe_flipsets(7, 2)) == 1 + 7 + 21
+
+
+def test_multiprobe_beats_single_probe_recall(spark):
+    df = _lcg_corpus(spark)
+    qs = df.filter(F.col("vec_id") % 12 == 0)
+    exact = V.brute_force_topk(qs, df, k=3)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+
+    single = V.lsh_topk(qs, df, dim=16, k=3, n_planes=6, n_tables=3)
+    multi = V.lsh_multiprobe_topk(
+        qs, df, dim=16, k=3, n_planes=6, n_tables=3, probes=8
+    )
+    r1 = len(truth & {(r.query_id, r.neighbor_id) for r in single.collect()}) / len(truth)
+    r2 = len(truth & {(r.query_id, r.neighbor_id) for r in multi.collect()}) / len(truth)
+    assert r2 > r1, f"multi-probe must beat single-probe: {r2} vs {r1}"
+    assert r2 >= 0.8, f"multi-probe recall too low: {r2}"
+
+
+def test_multiprobe_probe_budget_bounds_candidates(spark):
+    df = _lcg_corpus(spark)
+    qs = df.filter(F.col("vec_id") % 12 == 0)
+    c_small = V.lsh_multiprobe_topk(
+        qs, df, dim=16, k=None, n_planes=6, n_tables=3, probes=2
+    ).count()
+    c_big = V.lsh_multiprobe_topk(
+        qs, df, dim=16, k=None, n_planes=6, n_tables=3, probes=12
+    ).count()
+    assert c_small <= c_big, (c_small, c_big)
+    # probes=1 degrades to exactly the single-probe candidate set
+    single_cand = V.lsh_multiprobe_topk(
+        qs, df, dim=16, k=None, n_planes=6, n_tables=3, probes=1
+    )
+    base = V.lsh_topk(qs, df, dim=16, k=10**6, n_planes=6, n_tables=3)
+    assert {(r.query_id, r.neighbor_id) for r in single_cand.collect()} == {
+        (r.query_id, r.neighbor_id) for r in base.collect()
+    }
+
+
+def test_multiprobe_deterministic(spark):
+    df = _lcg_corpus(spark)
+    qs = df.filter(F.col("vec_id") % 12 == 0)
+    a = V.lsh_multiprobe_topk(qs, df, dim=16, k=3, n_planes=6, n_tables=3, probes=8)
+    b = V.lsh_multiprobe_topk(qs, df, dim=16, k=3, n_planes=6, n_tables=3, probes=8)
+    assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
