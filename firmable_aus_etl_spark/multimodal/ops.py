@@ -78,17 +78,36 @@ def read_binary_dir(spark: SparkSession, path: str, *, pattern: str = "*") -> Da
 
 def with_media_metadata(df: DataFrame) -> DataFrame:
     """Cheap metadata sniffing from magic bytes — pure expressions, no
-    decode: mime from the leading bytes, media_type from mime."""
+    decode: mime from the leading bytes, media_type from mime, and for
+    PNG the IHDR width/height (big-endian u32 at fixed offsets 17/21 —
+    the signature and IHDR chunk header are fixed-size, so the
+    dimensions are a substring + hex-parse away, JVM-side)."""
     head = F.hex(F.substring(F.col("content"), 1, 4))
+    is_png = head.startswith("89504E47")
     mime = (
-        F.when(head.startswith("89504E47"), "image/png")
+        F.when(is_png, "image/png")
         .when(head.startswith("FFD8FF"), "image/jpeg")
         .when(head.startswith("52494646"), "audio/wav")  # RIFF
         .when(head.startswith("1A45DFA3"), "video/webm")
         .otherwise(F.lit("application/octet-stream"))
     )
-    return df.withColumn("mime", mime).withColumn(
-        "media_type", F.split(F.col("mime"), "/").getItem(0)
+
+    def _be32(offset: int):
+        return F.conv(F.hex(F.substring(F.col("content"), offset, 4)), 16, 10).cast(
+            "long"
+        )
+
+    meta_type = MEDIA_SCHEMA["meta"].dataType
+    png_meta = F.struct(
+        _be32(17).alias("width"),
+        _be32(21).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("long").alias("sample_rate"),
+    ).cast(meta_type)
+    return (
+        df.withColumn("mime", mime)
+        .withColumn("media_type", F.split(F.col("mime"), "/").getItem(0))
+        .withColumn("meta", F.when(is_png, png_meta).otherwise(F.col("meta")))
     )
 
 
@@ -97,13 +116,18 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode + feature-extract over image bytes via mapInPandas.
 
-    ``fake=False``: raises DecodeUnavailable inside the task (no codec
-    libs here). ``fake=True``: deterministic stand-in features derived
-    from the sha256 digest — exercises the full distributed path
-    (Arrow batching, schema, partitioning) with verifiable output.
+    ``fake=False`` (default): PNG content decodes FOR REAL (stdlib
+    codec, multimodal/png.py) and the feature vector is the normalized
+    ``feature_dim``-bin grayscale histogram of the actual pixels;
+    non-PNG raises DecodeUnavailable inside the task (no JPEG/video
+    codec libs here). ``fake=True``: deterministic stand-in features
+    derived from the sha256 digest — exercises the distributed path
+    with any byte content.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from firmable_aus_etl_spark.multimodal import png as _png
+
         for pdf in batches:
             ids, shas, sizes, feats = [], [], [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
@@ -116,9 +140,20 @@ def decode_image_features(
                     # STUB: deterministic fake embedding from the hash;
                     # a real impl would decode pixels and run a model.
                     feats.append([digest[i] / 255.0 for i in range(feature_dim)])
+                elif b.startswith(b"\x89PNG"):
+                    # REAL decode (stdlib PNG): feature = normalized
+                    # feature_dim-bin grayscale histogram of actual pixels
+                    w, h, ch, px = _png.decode_png(b)
+                    gray = _png.gray_from_pixels(px, ch)
+                    hist = [0] * feature_dim
+                    for g in gray:
+                        hist[g * feature_dim // 256] += 1
+                    n = max(len(gray), 1)
+                    feats.append([c / n for c in hist])
                 else:
                     raise DecodeUnavailable(
-                        "image decode requires codec libs absent from this container"
+                        "non-PNG image decode requires codec libs absent "
+                        "from this container (PNG decodes for real)"
                     )
             yield pd.DataFrame(
                 {"media_id": ids, "sha256": shas, "n_bytes": sizes, "features": feats}
@@ -186,14 +221,17 @@ def resize_images(
     typed frame out; partitioning and batch shape are the real
     distributed path).
 
-    ``fake=False``: raises DecodeUnavailable inside the task (no codec
-    libs in this container). ``fake=True``: deterministic stand-in —
-    emits a (width*height)-byte tile cycled from the source digest, so
-    output sizes and values are verifiable without a codec. A real
-    implementation decodes, resamples to (width, height), re-encodes.
+    ``fake=False`` (default): PNG content resizes FOR REAL — stdlib
+    decode, nearest-neighbor resample, stdlib PNG re-encode; non-PNG
+    raises DecodeUnavailable inside the task (no JPEG/video codecs
+    here). ``fake=True``: deterministic stand-in — emits a
+    (width*height)-byte tile cycled from the source digest, so output
+    sizes and values are verifiable with any byte content.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from firmable_aus_etl_spark.multimodal import png as _png
+
         n_out = width * height
         for pdf in batches:
             ids, ws, hs, outs = [], [], [], []
@@ -204,9 +242,18 @@ def resize_images(
                     digest = hashlib.sha256(b).digest()
                     reps = n_out // len(digest) + 1
                     outs.append((digest * reps)[:n_out])
+                elif b.startswith(b"\x89PNG"):
+                    # REAL path: decode -> nearest-neighbor resample ->
+                    # re-encode as PNG (stdlib codec both directions)
+                    w0, h0, ch, px = _png.decode_png(b)
+                    rp = _png.resize_nearest(px, w0, h0, ch, width, height)
+                    outs.append(
+                        _png.encode_png(rp, width, height, channels=ch)
+                    )
                 else:
                     raise DecodeUnavailable(
-                        "image resize requires codec libs absent from this container"
+                        "non-PNG image resize requires codec libs absent "
+                        "from this container (PNG resizes for real)"
                     )
                 ids.append(mid)
                 ws.append(width)
@@ -266,31 +313,48 @@ def perceptual_hash_images(df: DataFrame, *, fake: bool = False) -> DataFrame:
     bit_i = pixel_i > mean — the classic perceptual fingerprint whose
     hamming distance survives re-encoding and small edits.
 
-    ``fake=True`` uses the deterministic stand-in decoder: the first 64
-    content bytes (cycled) act as the 8x8 grayscale, so byte-identical
-    LEADING content under different trailing metadata maps to the same
-    hash — the invariance property the tests exercise without codec
-    libs. A real decoder plugs into the same mapInPandas shape
-    (Arrow-batched, memory bounded by maxRecordsPerBatch).
+    ``fake=False`` (default): PNG content hashes FOR REAL — stdlib
+    decode to pixels, grayscale, 8x8 box-average, threshold at the
+    mean — so re-encodes of the same pixels (different filter choice,
+    compression level, or tEXt metadata) map to the SAME hash and
+    visually distinct images differ; non-PNG raises DecodeUnavailable
+    (no JPEG/video codecs here). ``fake=True`` keeps the stand-in
+    decoder (first 64 content bytes cycled as the 8x8 grayscale) for
+    arbitrary byte fixtures. Either way the distributed shape is the
+    same mapInPandas (Arrow-batched, memory bounded by
+    maxRecordsPerBatch).
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from firmable_aus_etl_spark.multimodal import png as _png
+
         for pdf in batches:
             ids, hashes = [], []
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
-                if not fake:
+                if fake:
+                    px = [b[i % len(b)] if b else 0 for i in range(64)]
+                    mean = sum(px) / 64.0
+                    h = 0
+                    for i, p in enumerate(px):
+                        if p > mean:
+                            h |= 1 << i
+                    if h >= 1 << 63:  # two's-complement into LongType
+                        h -= 1 << 64
+                elif b.startswith(b"\x89PNG"):
+                    # REAL aHash: stdlib PNG decode -> grayscale -> 8x8
+                    # box-average -> threshold at the mean. Re-encoding
+                    # the same pixels (different compression level,
+                    # different ancillary metadata) maps to the SAME
+                    # hash because only pixels enter the computation.
+                    w, h0, ch, px = _png.decode_png(b)
+                    gray = _png.gray_from_pixels(px, ch)
+                    h = _png.ahash64(gray, w, h0)
+                else:
                     raise DecodeUnavailable(
-                        "image decode requires codec libs absent from this container"
+                        "non-PNG perceptual hash requires codec libs absent "
+                        "from this container (PNG decodes for real)"
                     )
-                px = [b[i % len(b)] if b else 0 for i in range(64)]
-                mean = sum(px) / 64.0
-                h = 0
-                for i, p in enumerate(px):
-                    if p > mean:
-                        h |= 1 << i
-                if h >= 1 << 63:  # two's-complement into LongType
-                    h -= 1 << 64
                 ids.append(mid)
                 hashes.append(h)
             yield pd.DataFrame({"media_id": ids, "ahash": hashes})
