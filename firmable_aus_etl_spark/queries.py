@@ -1602,6 +1602,113 @@ def q_string_projection_documents(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
+# --- cleaning-family oracles (round-3 verdict item #5: op6/7/10/11/16
+# were test-only; each gets a DuckDB twin so COVERAGE.md's "test-only"
+# rows in §2.2-2.3 go to zero) ---------------------------------------
+
+@register(
+    "rename_normalize_customers",
+    """
+    SELECT c_custkey, c_name, c_acctbal FROM customer
+    """,
+)
+def q_rename_normalize_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op6 rename-normalize (reference clean_abr.py:20): dirty mixed-
+    case/padded column names conform to snake_case. The oracle's proof
+    IS the schema compare — the driver matches sorted column NAMES, so
+    ' C Name ' must come out exactly 'c_name' (values pass through
+    untouched)."""
+    from firmable_aus_etl_spark.operators.cleaning import normalize_column_names
+
+    cust = load_table(spark, sf_dir, "customer")
+    dirty = cust.select(
+        F.col("c_custkey").alias("C_CustKey"),
+        F.col("c_name").alias(" C Name "),
+        F.col("c_acctbal").alias("C_ACCTBAL"),
+    )
+    return normalize_column_names(dirty)
+
+
+@register(
+    "trim_all_customers",
+    """
+    SELECT c_custkey, c_name, c_mktsegment, c_acctbal FROM customer
+    """,
+)
+def q_trim_all_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op7 trim-all (reference clean_abr.py:23): whitespace-padded
+    string columns come back exactly as the clean originals while the
+    non-string column passes through the type-dispatch untouched —
+    proven by comparing against the unpadded table."""
+    from firmable_aus_etl_spark.operators.cleaning import trim_all_strings
+
+    cust = load_table(spark, sf_dir, "customer")
+    padded = cust.select(
+        "c_custkey",
+        # space padding only: Spark's trim() strips the space character,
+        # not tabs (pandas .str.strip() would also take \t — documented
+        # semantic difference, cf. operators/cleaning.py op7)
+        F.concat(F.lit("  "), F.col("c_name"), F.lit("   ")).alias("c_name"),
+        F.concat(F.lit(" "), F.col("c_mktsegment")).alias("c_mktsegment"),
+        "c_acctbal",
+    )
+    return trim_all_strings(padded)
+
+
+@register(
+    "notnull_filter_documents",
+    """
+    SELECT doc_id, text, lang FROM documents WHERE doc_id % 7 <> 0
+    """,
+)
+def q_notnull_filter_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op10 notnull filter (reference clean_common_crawl.py:28): nulls
+    planted on a deterministic key pattern, na.drop recovers exactly
+    the complement — the oracle filters on the planting rule, so a
+    filter that dropped too much or too little mismatches."""
+    from firmable_aus_etl_spark.operators.cleaning import drop_null_required
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.when(F.col("doc_id") % 7 == 0, F.lit(None).cast("string"))
+        .otherwise(F.col("text"))
+        .alias("text"),
+        "lang",
+    )
+    return drop_null_required(docs, ["text"])
+
+
+@register(
+    "conform_schema_documents",
+    """
+    SELECT doc_id, lang, '' AS ingest_batch, source FROM documents
+    """,
+)
+def q_conform_schema_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op11 conform schema (reference clean_abr.py:42-51): coerce onto
+    a canonical column list — adds the missing ingest_batch as '',
+    drops text/n_chars, reorders. Add/drop/reorder all visible to the
+    oracle's schema + value compare."""
+    from firmable_aus_etl_spark.operators.cleaning import conform_schema
+
+    docs = load_table(spark, sf_dir, "documents")
+    return conform_schema(docs, ["doc_id", "lang", "ingest_batch", "source"])
+
+
+@register(
+    "dedup_full_rows_documents",
+    """
+    SELECT DISTINCT lang, source FROM documents
+    """,
+)
+def q_dedup_full_rows_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op16 full-row distinct (reference clean_abr.py:34) on a
+    projection with real duplicates (every lang x source combination
+    repeats across documents)."""
+    docs = load_table(spark, sf_dir, "documents").select("lang", "source")
+    return dedup.dedup_full(docs)
+
+
 @register(
     "coalesce_fallback_events",
     """
