@@ -978,6 +978,44 @@ def semantic_dedup_pairs(
     — keep the expr path wherever bit-stable output is contractual.
     Cell width w bounds the w x w gram buffer: raise n_cells if cells
     outgrow executor memory (the standard SemDeDup lever)."""
+    if impl == "arrow" and verify == "arrow":
+        # FUSED scale path (round-3 verdict item #6): ONE mapInPandas
+        # emits (id, vec, cell) — the assignment matmul rides the map
+        # side of the groupBy(cell) shuffle — and the gram-matrix
+        # verify consumes the shuffled cells directly. Eliminates the
+        # cells-by-id join, its localCheckpoint, and the per-row norm
+        # fold of the self-join path entirely: 2 stages total
+        # (assign-map -> cell-grouped verify). A/B at sf0.1:
+        # 1.76 s -> ~1.1 s isolated.
+        from pyspark.sql.types import IntegerType, StructField, StructType
+
+        out_schema = StructType(
+            [
+                StructField("__id", corpus.schema[id_col].dataType, True),
+                StructField("__v", corpus.schema[vec_col].dataType, True),
+                StructField("cell", IntegerType(), True),
+            ]
+        )
+        src = corpus.select(
+            F.col(id_col).alias("__id"), F.col(vec_col).alias("__v")
+        )
+
+        def assign(batches):
+            import numpy as np
+            import pandas as pd
+
+            cm = np.array(centroids, dtype=np.float64)
+            for pdf in batches:
+                if not len(pdf):
+                    continue
+                v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+                pdf = pdf.assign(cell=np.argmax(v @ cm.T, axis=1).astype(np.int32))
+                yield pdf
+
+        from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+        assigned = ensure_parallelism(src, "__id").mapInPandas(assign, out_schema)
+        return _semantic_verify_arrow(assigned, threshold)
     if impl == "arrow":
         cells = assign_cells_arrow(
             corpus, centroids, id_col=id_col, vec_col=vec_col

@@ -6232,35 +6232,59 @@ def q_semantic_dedup_cell_blocked(spark: SparkSession, sf_dir: str) -> DataFrame
     boundary-straddling pairs are missed by design — on this corpus
     497/500 twin pairs share a cell; the 3 straddles are the
     demonstrated trade vs the LSH path's 500/500."""
+    from pyspark.sql.types import (
+        ArrayType, DoubleType, IntegerType, LongType, StructField, StructType,
+    )
+
     from firmable_aus_etl_spark.functions import vectors as V
     from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
     raw_planes = V.make_planes(64, 64, seed=7)
     cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw_planes]
 
-    emb = load_table(spark, sf_dir, "embeddings")
-    scale = F.aggregate(
-        F.transform("embedding", lambda x: F.abs(x)),
-        F.lit(0.0).cast("float"),
-        lambda acc, x: F.greatest(acc, x),
-    ).cast("double") / 127.0
-    raw = emb.select(
-        "vec_id",
-        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
-        scale.alias("scale"),
-    ).where(F.col("scale") > 0)
-    twins = raw.select(
-        (F.col("vec_id") + 1000000).alias("vec_id"),
-        F.transform(
-            "v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("double") * F.col("scale")
-        ).alias("v"),
+    # FULLY FUSED map stage (round-3 verdict item #6): contamination
+    # (int8 round-trip twin), scale guard, and nearest-centroid
+    # assignment in ONE Arrow pass on the map side of the cell
+    # shuffle; the gram-matrix verify consumes the shuffled cells.
+    # 2 stages total. FP parity with the SQL twin: abs/max/divide and
+    # floor(x/scale+0.5)*scale are exact-result elementwise ops
+    # (identical IEEE doubles both engines); only the assignment
+    # matmul and gram cosines use numpy pairwise summation, which the
+    # oracle compare absorbs at its 9-dp rounding (same trade the
+    # assign_cells_arrow path made, parity-tested).
+    out_schema = StructType(
+        [
+            StructField("__id", LongType(), True),
+            StructField("__v", ArrayType(DoubleType()), True),
+            StructField("cell", IntegerType(), True),
+        ]
     )
-    corpus = ensure_parallelism(
-        raw.select("vec_id", "v").unionByName(twins), "vec_id"
-    )
-    return V.semantic_dedup_pairs(
-        corpus, cents, id_col="vec_id", vec_col="v", threshold=0.99
-    )
+
+    def fused(batches):
+        import numpy as np
+        import pandas as pd
+
+        cm = np.array(cents, dtype=np.float64)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            vf = np.stack([np.asarray(x, dtype=np.float32) for x in pdf["embedding"]])
+            v = vf.astype(np.float64)
+            scale = np.abs(vf).max(axis=1).astype(np.float64) / 127.0
+            keep = scale > 0
+            ids = pdf["vec_id"].to_numpy()[keep]
+            v, scale = v[keep], scale[keep]
+            tw = np.floor(v / scale[:, None] + 0.5) * scale[:, None]
+            allv = np.concatenate([v, tw])
+            allid = np.concatenate([ids, ids + 1000000])
+            cells = np.argmax(allv @ cm.T, axis=1).astype(np.int32)
+            yield pd.DataFrame(
+                {"__id": allid, "__v": list(allv), "cell": cells}
+            )
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    assigned = ensure_parallelism(emb, "vec_id").mapInPandas(fused, out_schema)
+    return V._semantic_verify_arrow(assigned, 0.99)
 
 
 def _gopher_oracle() -> str:
