@@ -142,7 +142,9 @@ def main() -> None:
             f"each query executed {runs_n}x in one JVM; reported time is the "
             "min (codegen/JIT ramp and scheduler noise excluded); all runs "
             "disclosed; sentinel = fixed busy-loop timed before/after, "
-            "slowdown = mean/ref, normalized = raw/slowdown"
+            "slowdown = mean/ref, normalized = raw/slowdown; adaptive "
+            "tfidf planning stats are memoized per (path, mtime), so "
+            "min-of-N excludes that planning scan after run 1"
         ),
         "sf": sf,
     }
@@ -163,7 +165,22 @@ def main() -> None:
         "sentinel": [sentinel_pre, sentinel_post, SENTINEL_REF, slowdown],
     }
     line = json.dumps(compact, separators=(",", ":"))
-    assert len(line.encode()) < 1800, f"compact bench line {len(line)}B >= 1800B"
+    if len(line.encode()) >= 1800:
+        # NEVER crash here (an assert would be stripped under -O and a
+        # crash emits no final line at all — the round-2 "parsed: null"
+        # failure this contract exists to prevent): degrade to a
+        # truncated-but-valid object. Per-query timings live in the
+        # side file regardless.
+        compact = {
+            "metric": "headline_queries_total",
+            "value": total,
+            "unit": "sec",
+            "queries": {},
+            "queries_truncated": len(timings),
+            "sf": sf,
+            "sentinel": [sentinel_pre, sentinel_post, SENTINEL_REF, slowdown],
+        }
+        line = json.dumps(compact, separators=(",", ":"))
     print(line)
 
 

@@ -160,9 +160,15 @@ def cosine_naive_join(
     corpora where nearly every co-token pair qualifies, so prefix
     pruning cannot reduce work below the output and its extra
     distinct + re-join passes are pure overhead). The join still keys
-    on (blocks, token), so parallelism scales with the vocabulary."""
+    on (blocks, token), so parallelism scales with the vocabulary.
+
+    ``id_col`` must be GLOBALLY unique (not merely unique per block):
+    both exact plans group norms by (id, blocks) identically — so the
+    plans can never diverge under adaptive dispatch — but the final
+    norm attach joins on id alone, which would duplicate rows for an
+    id repeated across blocks."""
     blocks = list(block_cols)
-    nrm = wt.groupBy(id_col).agg(
+    nrm = wt.groupBy(id_col, *blocks).agg(
         F.sqrt(F.sum(F.col(weight_col) * F.col(weight_col))).alias("nrm")
     )
     a = wt.alias("a")
@@ -251,7 +257,7 @@ def estimate_cosine_plan(
     pairs_ub = min(float(cand_rows), block_pairs)
     est_prefix = cand_rows + pairs_ub * (tokens_per_doc + 2.0)
     return {
-        "plan": "naive" if est_naive <= est_prefix else "prefix",
+        "plan": "naive" if est_naive < est_prefix else "prefix",
         "est_naive": est_naive,
         "est_prefix": est_prefix,
         "pair_rows": pair_rows,
@@ -412,7 +418,7 @@ def cosine_join_adaptive(
     est_naive = pair_rows / 2.0
     pairs_ub = min(float(cand_rows), block_pairs)
     est_prefix = cand_rows + pairs_ub * (tokens_per_doc + 2.0)
-    plan = "naive" if est_naive <= est_prefix else "prefix"
+    plan = "naive" if est_naive < est_prefix else "prefix"
     if decision_out is not None:
         scale = 1.0 / (p * p)
         decision_out.update(

@@ -879,9 +879,13 @@ def _connected_components_star(
     label propagation, but component height halves per pass instead of
     shrinking by one, so convergence is O(log^2 n) rounds on ANY graph
     shape, including diameter-n chains. Self-loops (x = min) are
-    dropped each pass; convergence = the edge set stops changing
-    (checked with a count + order-insensitive xxhash64 checksum in one
-    tiny aggregate job).
+    dropped each pass; convergence = the edge set stops changing:
+    a count + order-insensitive xxhash64 checksum (one tiny aggregate
+    job per round) is the cheap pre-check, and a signature match is
+    CONFIRMED by one exact left-anti join before terminating — a
+    hash-sum collision between different successive edge sets can
+    therefore delay convergence detection by a round but can never
+    end the loop early with a wrong labeling.
 
     At fixpoint every surviving edge is (node, component-min): the
     star. Labels = those edges + a self-label for every node not on
@@ -916,14 +920,21 @@ def _connected_components_star(
 
     rounds = 0
     prev = edge_sig(cur)
+    prev_frame = cur
     for _ in range(max_iter):
         rounds += 1
         cur = star_pass(cur, large=True)
         cur = star_pass(cur, large=False)
         sig = edge_sig(cur)
         if (sig["n"], sig["sig"]) == (prev["n"], prev["sig"]):
-            break
+            # exact confirmation: equal counts + empty one-sided
+            # difference of two DISTINCT sets => set equality. Runs
+            # only on signature match, so the per-round cost stays
+            # one 1-row aggregate.
+            if cur.join(prev_frame, ["x", "y"], "left_anti").limit(1).count() == 0:
+                break
         prev = sig
+        prev_frame = cur
     if stats is not None:
         stats["rounds"] = rounds
     # fixpoint edges are (node, root) stars; x > y always holds here
