@@ -2,15 +2,22 @@
 
 Images/audio/video are opaque ``binary`` columns plus typed metadata
 structs. The Spark-side mechanics — schema, partition sizing, Arrow
-batch shape, UDF signatures — are real and tested; the actual codec
-work is stubbed (image/audio libraries are not in this container)
-behind ``DecodeUnavailable`` or a deterministic fake, clearly marked.
+batch shape, UDF signatures — are real and tested. Since round 4 the
+codecs are REAL for the stdlib-decodable formats: PNG (png.py — zlib +
+filter reconstruction) drives perceptual hashing / resize / feature
+extraction on actual pixels, and RIFF/WAVE PCM (wav.py) drives
+windowed RMS/ZCR/peak audio features on actual samples. Formats that
+need external codec libraries (JPEG, mp3/aac, video) stay behind
+``DecodeUnavailable`` gates or a clearly-marked deterministic fake.
 """
 
 from firmable_aus_etl_spark.multimodal.ops import (
     MEDIA_SCHEMA,
     DecodeUnavailable,
+    audio_features,
+    audio_frame_windows,
     read_binary_dir,
+    resize_images,
     with_media_metadata,
     decode_image_features,
     dedup_media_exact,
@@ -22,7 +29,10 @@ from firmable_aus_etl_spark.multimodal.ops import (
 __all__ = [
     "MEDIA_SCHEMA",
     "DecodeUnavailable",
+    "audio_features",
+    "audio_frame_windows",
     "read_binary_dir",
+    "resize_images",
     "with_media_metadata",
     "decode_image_features",
     "dedup_media_exact",

@@ -97,6 +97,16 @@ def with_media_metadata(df: DataFrame) -> DataFrame:
             "long"
         )
 
+    def _le32(offset: int):
+        # little-endian u32: hex() yields bytes in file order, so the
+        # value is the byte-reversed hex string
+        h = F.hex(F.substring(F.col("content"), offset, 4))
+        swapped = F.concat(
+            F.substring(h, 7, 2), F.substring(h, 5, 2),
+            F.substring(h, 3, 2), F.substring(h, 1, 2),
+        )
+        return F.conv(swapped, 16, 10).cast("long")
+
     meta_type = MEDIA_SCHEMA["meta"].dataType
     png_meta = F.struct(
         _be32(17).alias("width"),
@@ -104,10 +114,30 @@ def with_media_metadata(df: DataFrame) -> DataFrame:
         F.lit(None).cast("long").alias("duration_ms"),
         F.lit(None).cast("long").alias("sample_rate"),
     ).cast(meta_type)
+    # canonical 44-byte-header WAV only (fmt chunk first, size 16):
+    # sample rate LE u32 @25, byte rate @29, data size @41; duration =
+    # data_bytes * 1000 / byte_rate. Non-canonical layouts keep null
+    # meta — the real parser (wav.decode_wav) walks chunks properly.
+    is_canon_wav = (
+        head.startswith("52494646")
+        & (F.substring(F.col("content"), 13, 4) == F.lit(b"fmt "))
+        & (_le32(17) == 16)
+    )
+    wav_meta = F.struct(
+        F.lit(None).cast("long").alias("width"),
+        F.lit(None).cast("long").alias("height"),
+        F.floor(_le32(41) * 1000.0 / _le32(29)).cast("long").alias("duration_ms"),
+        _le32(25).alias("sample_rate"),
+    ).cast(meta_type)
     return (
         df.withColumn("mime", mime)
         .withColumn("media_type", F.split(F.col("mime"), "/").getItem(0))
-        .withColumn("meta", F.when(is_png, png_meta).otherwise(F.col("meta")))
+        .withColumn(
+            "meta",
+            F.when(is_png, png_meta)
+            .when(is_canon_wav, wav_meta)
+            .otherwise(F.col("meta")),
+        )
     )
 
 
@@ -382,3 +412,84 @@ def dedup_media_perceptual(
     return hamming_near_dup_pairs(
         sig, "media_id", "ahash", max_hamming=max_hamming, blocks=blocks
     )
+
+
+AUDIO_FEATURES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("window_idx", LongType(), True),
+        StructField("start_sample", LongType(), True),
+        StructField("rms", DoubleType(), True),
+        StructField("zcr", DoubleType(), True),
+        StructField("peak", DoubleType(), True),
+    ]
+)
+
+
+def audio_features(
+    df: DataFrame,
+    *,
+    frame_samples: int = 1600,
+    hop_samples: int = 800,
+    fake: bool = False,
+) -> DataFrame:
+    """Windowed audio features over audio bytes via mapInPandas: one
+    row per (media_id, window) with RMS / zero-crossing rate / peak —
+    the cheap VAD / silence-trim / level-normalization inputs of an
+    audio training-data pipeline.
+
+    ``fake=False`` (default): RIFF/WAVE PCM decodes FOR REAL (stdlib
+    parser, multimodal/wav.py — 8/16-bit PCM, any channel count,
+    downmixed to mono by integer mean); compressed formats (mp3 and
+    friends) raise DecodeUnavailable inside the task. ``fake=True``
+    treats the raw bytes as unsigned 8-bit PCM — the deterministic
+    stand-in for arbitrary byte fixtures. Same scale shape as
+    decode_image_features: Arrow-batched Python, memory bounded by
+    maxRecordsPerBatch, parallelism set upstream of the map.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from firmable_aus_etl_spark.multimodal import wav as _wav
+
+        for pdf in batches:
+            ids, idxs, starts, rmss, zcrs, peaks = [], [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                if fake:
+                    mono = [s - 128 for s in b]
+                    scale = 128.0
+                elif b.startswith(b"RIFF"):
+                    _rate, ch, width, samples = _wav.decode_wav(b)
+                    if width == 1:
+                        samples = [s - 128 for s in samples]
+                        scale = 128.0
+                    else:
+                        scale = 32768.0
+                    mono = _wav.to_mono(samples, ch)
+                else:
+                    raise DecodeUnavailable(
+                        "non-WAV audio decode requires codec libs absent "
+                        "from this container (RIFF/WAVE PCM decodes for real)"
+                    )
+                feats = _wav.window_features(
+                    mono, frame=frame_samples, hop=hop_samples, full_scale=scale
+                )
+                for i, (start, rms, zcr, peak) in enumerate(feats):
+                    ids.append(mid)
+                    idxs.append(i)
+                    starts.append(start)
+                    rmss.append(rms)
+                    zcrs.append(zcr)
+                    peaks.append(peak)
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "window_idx": idxs,
+                    "start_sample": starts,
+                    "rms": rmss,
+                    "zcr": zcrs,
+                    "peak": peaks,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
