@@ -1,0 +1,141 @@
+"""Snapshot-parquet MERGE backend: create / merge / delete clause /
+time travel / idempotent replay / crash atomicity (pointer written
+last)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.sources import lakehouse as LH
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+@pytest.fixture()
+def root(tmp_path):
+    return str(tmp_path / "tbl")
+
+
+def test_create_and_read(spark, root):
+    df = spark.createDataFrame([(1, "a", 10.0), (2, "b", 20.0)],
+                               "id long, name string, score double")
+    v = LH.write_snapshot(df, root)
+    assert v == 0
+    assert rows(LH.read_snapshot(spark, root)) == rows(df)
+
+
+def test_merge_update_insert_keep(spark, root):
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id long, name string, score double",
+    )
+    LH.write_snapshot(base, root)
+    updates = spark.createDataFrame(
+        [(2, "b", 25.0),   # changed -> update
+         (3, "c", 30.0),   # identical -> keep (no-op)
+         (4, "d", 40.0)],  # new -> insert
+        "id long, name string, score double",
+    )
+    v = LH.merge_into_snapshot(spark, root, updates, ["id"])
+    assert v == 1
+    assert rows(LH.read_snapshot(spark, root)) == [
+        (1, "a", 10.0), (2, "b", 25.0), (3, "c", 30.0), (4, "d", 40.0),
+    ]
+    # time travel: version 0 unchanged
+    assert rows(LH.read_snapshot(spark, root, version=0)) == rows(base)
+
+
+def test_merge_delete_clause(spark, root):
+    base = spark.createDataFrame(
+        [(1, "active", 1.0), (2, "dead", 2.0)], "id long, status string, x double"
+    )
+    LH.write_snapshot(base, root)
+    updates = spark.createDataFrame(
+        [(2, "tombstone", 2.0)], "id long, status string, x double"
+    )
+    LH.merge_into_snapshot(
+        spark, root, updates, ["id"],
+        delete_where=F.col("status") == "tombstone",
+    )
+    assert rows(LH.read_snapshot(spark, root)) == [(1, "active", 1.0)]
+
+
+def test_merge_idempotent_replay(spark, root):
+    base = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    LH.write_snapshot(base, root)
+    updates = spark.createDataFrame([(1, 11.0), (2, 22.0)], "id long, v double")
+    LH.merge_into_snapshot(spark, root, updates, ["id"])
+    first = rows(LH.read_snapshot(spark, root))
+    # retry after a presumed failure reapplies the same updates
+    LH.merge_into_snapshot(spark, root, updates, ["id"])
+    assert rows(LH.read_snapshot(spark, root)) == first
+
+
+def test_crash_before_pointer_is_invisible(spark, root):
+    base = spark.createDataFrame([(1, 10.0)], "id long, v double")
+    LH.write_snapshot(base, root)
+    # simulate a writer that crashed after writing data, before commit:
+    # snapshot dir exists, pointer still says 0
+    half = spark.createDataFrame([(9, 99.0)], "id long, v double")
+    half.write.mode("overwrite").parquet(os.path.join(root, "snapshot=1"))
+    assert LH.latest_version(root) == 0
+    assert rows(LH.read_snapshot(spark, root)) == [(1, 10.0)]
+    # the next successful merge claims version 1 by overwriting the
+    # orphan, then commits
+    v = LH.merge_into_snapshot(
+        spark, root, spark.createDataFrame([(2, 20.0)], "id long, v double"),
+        ["id"],
+    )
+    assert v == 1
+    assert rows(LH.read_snapshot(spark, root)) == [(1, 10.0), (2, 20.0)]
+
+
+def test_prefer_update_when(spark, root):
+    base = spark.createDataFrame(
+        [(1, 0.9, "keepme")], "id long, confidence double, val string"
+    )
+    LH.write_snapshot(base, root)
+    worse = spark.createDataFrame(
+        [(1, 0.5, "worse")], "id long, confidence double, val string"
+    )
+    LH.merge_into_snapshot(
+        spark, root, worse, ["id"],
+        prefer_update_when=F.col("u.confidence") > F.col("e.confidence"),
+    )
+    assert rows(LH.read_snapshot(spark, root)) == [(1, 0.9, "keepme")]
+
+
+def test_vacuum_keeps_latest(spark, root):
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    LH.write_snapshot(df, root)
+    for i in range(3):
+        up = spark.createDataFrame([(1, float(i + 2))], "id long, v double")
+        LH.merge_into_snapshot(spark, root, up, ["id"])
+    removed = LH.vacuum_snapshots(root, keep=2)
+    assert removed == [0, 1]
+    assert rows(LH.read_snapshot(spark, root)) == [(1, 4.0)]
+    with pytest.raises(Exception):
+        LH.read_snapshot(spark, root, version=0).collect()
+
+
+def test_equivalence_with_jdbc_merge_semantics(spark, root):
+    """The snapshot MERGE and the operator-level merge_upsert agree row
+    for row — the lakehouse backend is the same semantics behind a
+    durable pointer."""
+    from firmable_aus_etl_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "x", 1.0), (2, "y", 2.0)], "id long, s string, v double"
+    )
+    updates = spark.createDataFrame(
+        [(2, "y", 9.0), (3, "z", 3.0)], "id long, s string, v double"
+    )
+    LH.write_snapshot(base, root)
+    LH.merge_into_snapshot(spark, root, updates, ["id"])
+    direct = merge_upsert(base, updates, ["id"])
+    assert rows(LH.read_snapshot(spark, root)) == rows(direct)
