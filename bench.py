@@ -67,6 +67,7 @@ HEADLINE = [
     "bigram_pmi_documents",       # collocation PMI (corpus-total stats)
     "hourly_event_anomalies",     # trailing-window anomaly scoring
     "doc_bigram_perplexity",      # corpus bigram-LM cross-entropy scoring
+    "lsh_multiprobe_ann_top3",    # query-directed multi-probe ANN (r4)
 ]
 
 # Iterations of the sentinel loop; the reference time was calibrated

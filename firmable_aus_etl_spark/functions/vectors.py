@@ -420,6 +420,7 @@ def lsh_multiprobe_topk(
     n_tables: int = 6,
     probes: int = 10,
     seed: int = 42,
+    impl: str = "expr",
 ) -> DataFrame:
     """Query-directed multi-probe sign-LSH top-k (round-3 verdict item
     #2 — single-bucket probing measured recall 0.35 on the near-uniform
@@ -438,51 +439,82 @@ def lsh_multiprobe_topk(
     directly controlled by ``probes`` — the knob the recall audit
     (ann_recall_report) measures against its candidate telemetry.
 
-    Deterministic end to end: dots fold left-to-right in double, flip
-    costs add in fixed (a<b) order, and probe ranking breaks cost ties
-    by probe signature — so the DuckDB oracle re-derives the identical
-    probe lists and candidate set.
+    Deterministic end to end: flip costs add in fixed (a<b) order and
+    probe ranking breaks cost ties by probe signature — so the DuckDB
+    oracle re-derives the identical probe lists and candidate set.
+    ``impl="expr"`` (default) keeps everything JVM-side; the heavy
+    expression trees are built as parsed SQL strings because py4j
+    CONSTRUCTION cost, not execution, dominated the first version
+    (measured at sf0.1: ~4 s of driver time building ~2.7k Column
+    objects per run -> 0.6 s via F.expr; end-to-end 4.4 s -> 2.2 s).
+    ``impl="arrow"`` computes the plane dots as one numpy matmul per
+    Arrow batch — A/B-slower here (2.4 s vs 1.3 s exec: Python worker
+    + double Arrow vector transfer outweigh the interpreted fold at
+    thousands of rows) but the right choice when rows x planes grows
+    another order of magnitude; its pairwise summation flips a
+    signature bit or reorders two flip costs only at |dot| ~ 1e-13
+    (same trade as _plane_sigs_arrow).
     """
     tables = [
         make_planes(dim, n_planes, seed=seed + 1000 * t) for t in range(n_tables)
     ]
-    all_planes = F.lit(
-        [[float(x) for x in p] for planes in tables for p in planes]
-    )
     flipsets = multiprobe_flipsets(n_planes, 2)
     from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
     def dots_col() -> Column:
-        return F.transform(
-            all_planes,
-            lambda p: F.aggregate(
-                F.zip_with(F.col(vec_col), p, lambda a, b: a.cast("double") * b),
-                F.lit(0.0),
-                lambda acc, v: acc + v,
-            ),
+        # plane matrix as ONE parsed SQL literal: F.lit(nested_list)
+        # round-trips py4j once per ELEMENT (2,688 calls / ~1.5 s of
+        # driver time here) — the same construction-cost trap as the
+        # struct loop, same F.expr cure. repr() floats round-trip
+        # exactly, so the plan literals are bit-identical.
+        planes_sql = ", ".join(
+            "array(" + ", ".join(f"{x!r}D" for x in p) + ")"
+            for planes in tables
+            for p in planes
+        )
+        return F.expr(
+            f"transform(array({planes_sql}), p -> "
+            f"aggregate(zip_with({vec_col}, p, (a, b) -> CAST(a AS DOUBLE) * b), "
+            f"0.0D, (acc, v) -> acc + v))"
         )
 
     def table_sig(t: int) -> Column:
-        def step(acc, i):
-            bit = (
-                F.element_at(F.col("__dots"), i + 1 + t * n_planes) >= 0
-            ).cast("long")
-            return acc + bit * F.pow(F.lit(2.0), i).cast("long")
-
-        return F.aggregate(
-            F.sequence(F.lit(0), F.lit(n_planes - 1)), F.lit(0).cast("long"), step
+        # ONE SQL string per table instead of ~n_planes py4j Column
+        # constructions: the py4j round-trips of expression BUILDING
+        # dominated this operator's per-run cost (measured ~4 s of
+        # driver time at 6 tables x 29 flip structs before the
+        # F.expr rewrite; server-side parsing of the same tree is
+        # milliseconds). Same integer math as lsh_topk's fold.
+        return F.expr(
+            f"aggregate(sequence(0, {n_planes - 1}), CAST(0 AS BIGINT), "
+            f"(acc, i) -> acc + CAST(element_at(__dots, i + 1 + {t * n_planes}) >= 0 AS BIGINT)"
+            f" * CAST(pow(2.0D, i) AS BIGINT))"
         )
+
+    flat = [[float(x) for x in p] for planes in tables for p in planes]
 
     # ---- corpus: one signature row per (vec, table) — computed once,
     # shuffled once; the probe budget never touches this side.
-    c0 = ensure_parallelism(corpus, corpus_id).select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(vec_col).alias("__cv"),
-        dots_col().alias("__dots"),
-    )
+    if impl == "arrow":
+        c0 = _plane_dots_arrow(
+            corpus, planes_flat=flat, id_col=corpus_id, vec_col=vec_col
+        ).select(
+            F.col("__id").alias("neighbor_id"),
+            F.col("__v").alias("__cv"),
+            l2_norm(F.col("__v")).alias("__cn"),
+            "__dots",
+        )
+    else:
+        c0 = ensure_parallelism(corpus, corpus_id).select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            l2_norm(F.col(vec_col)).alias("__cn"),
+            dots_col().alias("__dots"),
+        )
     cs = c0.select(
         "neighbor_id",
         "__cv",
+        "__cn",
         F.posexplode(F.array(*[table_sig(t) for t in range(n_tables)])).alias(
             "__table", "__sig"
         ),
@@ -492,68 +524,86 @@ def lsh_multiprobe_topk(
     # (the flip-cost expressions below reference them ~30x per table;
     # duplicated aggregate subtrees run interpreted — the repo-wide
     # codegen-overflow rule).
-    q0 = ensure_parallelism(queries, query_id).select(
-        F.col(query_id).alias("query_id"),
-        F.col(vec_col).alias("__qv"),
-        dots_col().alias("__dots"),
-    )
+    if impl == "arrow":
+        q0 = _plane_dots_arrow(
+            queries, planes_flat=flat, id_col=query_id, vec_col=vec_col
+        ).select(
+            F.col("__id").alias("query_id"),
+            F.col("__v").alias("__qv"),
+            l2_norm(F.col("__v")).alias("__qn"),
+            "__dots",
+        )
+    else:
+        q0 = ensure_parallelism(queries, query_id).select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+            dots_col().alias("__dots"),
+        )
     q1 = q0.select(
         "query_id",
         "__qv",
+        "__qn",
         "__dots",
         F.array(*[table_sig(t) for t in range(n_tables)]).alias("__sigs"),
     )
 
-    def flip_cost(t: int, fs: list[int]) -> Column:
+    def _flip_cost_sql(t: int, fs: list[int]) -> str:
         if not fs:
-            return F.lit(0.0)
-        c = F.abs(F.element_at(F.col("__dots"), fs[0] + 1 + t * n_planes))
-        for b in fs[1:]:
-            c = c + F.abs(F.element_at(F.col("__dots"), b + 1 + t * n_planes))
-        return c
+            return "CAST(0.0 AS DOUBLE)"
+        return " + ".join(
+            f"abs(element_at(__dots, {b + 1 + t * n_planes}))" for b in fs
+        )
 
     def probe_list(t: int) -> Column:
-        sig_t = F.element_at(F.col("__sigs"), t + 1)
-        structs = [
-            F.struct(
-                flip_cost(t, fs).alias("c"),
-                sig_t.bitwiseXOR(
-                    F.lit(sum(1 << b for b in fs)).cast("long")
-                ).alias("s"),
-            )
+        # one parsed SQL expression per table (see table_sig): ranked
+        # (cost, probe_sig) structs, cheapest `probes` kept, cost ties
+        # broken by probe signature via struct field order
+        sig_t = f"element_at(__sigs, {t + 1})"
+        structs = ", ".join(
+            f"named_struct('c', {_flip_cost_sql(t, fs)}, "
+            f"'s', CAST({sig_t} ^ {sum(1 << b for b in fs)} AS BIGINT))"
             for fs in flipsets
-        ]
-        ranked = F.slice(F.array_sort(F.array(*structs)), 1, probes)
-        return F.transform(ranked, lambda x: x["s"])
+        )
+        return F.expr(
+            f"transform(slice(array_sort(array({structs})), 1, {probes}), x -> x.s)"
+        )
 
     qp = q1.select(
         "query_id",
         "__qv",
+        "__qn",
         F.posexplode(F.array(*[probe_list(t) for t in range(n_tables)])).alias(
             "__table", "__probes"
         ),
     ).select(
-        "query_id", "__qv", "__table", F.explode("__probes").alias("__sig")
+        "query_id", "__qv", "__qn", "__table", F.explode("__probes").alias("__sig")
     )
 
-    cand = (
-        qp.alias("q")
-        .join(
-            cs.alias("c"),
-            on=[
-                F.col("q.__table") == F.col("c.__table"),
-                F.col("q.__sig") == F.col("c.__sig"),
-                F.col("query_id") != F.col("neighbor_id"),
-            ],
-        )
-        .select("query_id", "neighbor_id", "__qv", "__cv")
-        .distinct()
+    joined = qp.alias("q").join(
+        cs.alias("c"),
+        on=[
+            F.col("q.__table") == F.col("c.__table"),
+            F.col("q.__sig") == F.col("c.__sig"),
+            F.col("query_id") != F.col("neighbor_id"),
+        ],
     )
     if k is None:
         # telemetry surface: the distinct candidate pairs themselves
-        # (recall without its candidate cost is half a number)
-        return cand.select("query_id", "neighbor_id")
-    scored = cand.withColumn("cosine", cosine(F.col("__qv"), F.col("__cv")))
+        # (recall without its candidate cost is half a number) —
+        # projected BEFORE the distinct so no vector payload rides
+        # the dedup shuffle
+        return joined.select("query_id", "neighbor_id").distinct()
+    # norms hoisted to one fold per ROW upstream: per-pair scoring is a
+    # single dot fold (bit-identical to cosine(): same fold orders,
+    # same two doubles multiplied — the brute_force_topk move)
+    cand = joined.select(
+        "query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn"
+    ).distinct()
+    scored = cand.withColumn(
+        "cosine",
+        dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    )
     return topk_per_group(
         scored,
         ["query_id"],
@@ -561,7 +611,52 @@ def lsh_multiprobe_topk(
         k=k,
         keep_rank=True,
         rank_col="rank",
-    ).drop("__qv", "__cv")
+    ).drop("__qv", "__cv", "__qn", "__cn")
+
+
+def _plane_dots_arrow(
+    df: DataFrame,
+    *,
+    planes_flat: list[list[float]],
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """All plane dot products via one Arrow-batched numpy matmul —
+    (__id, __v, __dots array<double>[n_tables*n_planes]). The
+    multi-probe query side needs the raw dots (flip costs), not just
+    their signs, so this is the dots-preserving sibling of
+    _plane_sigs_arrow with the same value-parity reasoning: numpy
+    pairwise summation differs from the sequential fold only at
+    ~1e-16 relative, which flips a sign (or reorders two flip costs)
+    only at |dot| ~ 1e-13 — vanishing for continuous embeddings."""
+    from pyspark.sql.types import ArrayType, DoubleType, StructField, StructType
+
+    out_schema = StructType(
+        [
+            StructField("__id", df.schema[id_col].dataType, True),
+            StructField("__v", df.schema[vec_col].dataType, True),
+            StructField("__dots", ArrayType(DoubleType()), True),
+        ]
+    )
+    src = df.select(F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"))
+
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        pm = np.array(planes_flat, dtype=np.float64)  # (T*P, dim)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            v = np.stack([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])
+            dots = v @ pm.T
+            yield pd.DataFrame(
+                {"__id": pdf["__id"], "__v": pdf["__v"], "__dots": list(dots)}
+            )
+
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    return ensure_parallelism(src, "__id").mapInPandas(fn, out_schema)
 
 
 def _plane_sigs_arrow(

@@ -400,3 +400,16 @@ def test_multiprobe_deterministic(spark):
     a = V.lsh_multiprobe_topk(qs, df, dim=16, k=3, n_planes=6, n_tables=3, probes=8)
     b = V.lsh_multiprobe_topk(qs, df, dim=16, k=3, n_planes=6, n_tables=3, probes=8)
     assert sorted(map(tuple, a.collect())) == sorted(map(tuple, b.collect()))
+
+
+def test_multiprobe_arrow_expr_parity(spark):
+    df = _lcg_corpus(spark)
+    qs = df.filter(F.col("vec_id") % 12 == 0)
+    kw = dict(dim=16, k=3, n_planes=6, n_tables=3, probes=8)
+    a = V.lsh_multiprobe_topk(qs, df, impl="expr", **kw)
+    b = V.lsh_multiprobe_topk(qs, df, impl="arrow", **kw)
+    ra = sorted((r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+                for r in a.collect())
+    rb = sorted((r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
+                for r in b.collect())
+    assert ra == rb
