@@ -137,11 +137,18 @@ def make_planes(dim: int, n_planes: int, *, seed: int = 42) -> list[list[float]]
     return planes
 
 
+def _array_lit(values: list[float]) -> Column:
+    """Double-array literal as ONE parsed SQL expression. F.lit(list)
+    round-trips py4j once per ELEMENT (measured ~1.5 s for a 42x64
+    matrix), so every literal vector/matrix in this module goes
+    through here. repr() floats round-trip exactly — plan literals
+    are bit-identical to the F.lit form."""
+    return F.expr("array(" + ", ".join(f"{float(x)!r}D" for x in values) + ")")
+
+
 def _dot_literal(vec: Column, plane: list[float]) -> Column:
-    # F.lit(list) builds ONE array literal; F.array of per-element lits
-    # costs thousands of py4j round-trips at construction time
     return F.aggregate(
-        F.zip_with(vec, F.lit([float(x) for x in plane]), lambda a, b: a.cast("double") * b),
+        F.zip_with(vec, _array_lit(plane), lambda a, b: a.cast("double") * b),
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
@@ -336,9 +343,17 @@ def lsh_topk(
     # n_tables*n_planes dot products per row; per-table signatures then
     # fold the materialized dot array. (n_tables separate
     # hyperplane_signature expressions each duplicating the dot
-    # subtrees run interpreted and measured ~10s for 500 rows.)
-    all_planes = F.lit(
-        [[float(x) for x in p] for planes in tables for p in planes]
+    # subtrees run interpreted and measured ~10s for 500 rows.) The
+    # matrix literal itself parses as one SQL expression — see
+    # _array_lit for the py4j construction-cost rationale.
+    flat_planes = [p for planes in tables for p in planes]
+    all_planes = F.expr(
+        "array("
+        + ", ".join(
+            "array(" + ", ".join(f"{float(x)!r}D" for x in p) + ")"
+            for p in flat_planes
+        )
+        + ")"
     )
 
     def sig_frame(df: DataFrame, idc: str, idalias: str) -> DataFrame:
