@@ -115,7 +115,7 @@ def hyperplane_signature(
     sig = F.lit(0).cast("long")
     for i, p in enumerate(planes):
         d = F.aggregate(
-            F.zip_with(vec, F.lit([float(x) for x in p]), lambda a, b: a.cast("double") * b),
+            F.zip_with(vec, _array_lit(p), lambda a, b: a.cast("double") * b),
             F.lit(0.0),
             lambda acc, v: acc + v,
         )
