@@ -1,0 +1,107 @@
+"""Multimodal training-data pipeline demo on REAL codecs (round 4):
+
+    generate a small media corpus (PNGs via the stdlib encoder — with
+    planted re-encoded duplicates and near-duplicates — plus WAV tones
+    and one opaque JPEG-like blob) -> binaryFile ingest -> expression-
+    level mime/dimension/duration sniffing -> exact binary dedup ->
+    PERCEPTUAL image dedup on decoded pixels (aHash + pigeonhole
+    hamming join) -> 8x8 thumbnail resize (decode/resample/re-encode)
+    -> grayscale-histogram image features -> windowed RMS/ZCR audio
+    features; the non-decodable blob is carried as metadata-only (the
+    honest DecodeUnavailable boundary).
+
+Every heavy stage is the same Arrow-batched mapInPandas the 100 TB
+path uses; only the fixture generation is driver-side.
+
+    python examples/run_multimodal_pipeline.py [work_dir]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.multimodal import (
+    audio_features,
+    dedup_media_exact,
+    dedup_media_perceptual,
+    decode_image_features,
+    read_binary_dir,
+    resize_images,
+    with_media_metadata,
+)
+from firmable_aus_etl_spark.multimodal import png as P
+from firmable_aus_etl_spark.multimodal import wav as W
+from firmable_aus_etl_spark.session import get_session
+
+
+def _gradient(w, h, *, invert=False, shift=0):
+    px = bytearray()
+    for y in range(h):
+        for x in range(w):
+            v = (x * 7 + y * 13 + shift) % 256
+            px.append(255 - v if invert else v)
+    return bytes(px)
+
+
+def build_fixture(d: str) -> None:
+    os.makedirs(d, exist_ok=True)
+    base = _gradient(32, 32)
+    # original + exact byte copy + re-encode (different filter + tEXt
+    # metadata: same pixels, different bytes) + visually distinct
+    open(os.path.join(d, "img_a.png"), "wb").write(P.encode_png(base, 32, 32))
+    open(os.path.join(d, "img_a_copy.png"), "wb").write(P.encode_png(base, 32, 32))
+    open(os.path.join(d, "img_a_reenc.png"), "wb").write(
+        P.encode_png(base, 32, 32, filter_type=4,
+                     text_chunks={"Software": "another encoder"})
+    )
+    open(os.path.join(d, "img_b.png"), "wb").write(
+        P.encode_png(_gradient(32, 32, invert=True), 32, 32)
+    )
+    tone = [int(12000 * math.sin(2 * math.pi * 330 * i / 16000)) for i in range(8000)]
+    open(os.path.join(d, "tone.wav"), "wb").write(W.encode_wav(tone))
+    open(os.path.join(d, "quiet.wav"), "wb").write(W.encode_wav([0] * 8000))
+    open(os.path.join(d, "photo.jpg"), "wb").write(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+
+
+def main() -> None:
+    work = sys.argv[1] if len(sys.argv) > 1 else "/tmp/multimodal_demo"
+    media_dir = os.path.join(work, "media")
+    build_fixture(media_dir)
+    spark = get_session("multimodal-pipeline")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    media = with_media_metadata(read_binary_dir(spark, media_dir))
+    print("ingested:", media.count())
+    media.select("uri", "mime", "meta.width", "meta.height",
+                 "meta.duration_ms", "meta.sample_rate").show(truncate=False)
+
+    # 1. exact binary dedup drops the byte-identical copy
+    uniq = dedup_media_exact(media)
+    print("after exact dedup:", uniq.count())
+
+    # 2. perceptual dedup on DECODED pixels finds the re-encode
+    images = uniq.filter(F.col("mime") == "image/png")
+    pairs = dedup_media_perceptual(images, max_hamming=3)
+    print("perceptual near-dup pairs (hamming):")
+    pairs.show()
+
+    # 3. real resize: decode -> nearest resample -> PNG re-encode
+    thumbs = resize_images(images, width=8, height=8)
+    print("thumbnails:", [(r.media_id, len(r.content)) for r in thumbs.collect()])
+
+    # 4. real image features: normalized grayscale histogram
+    decode_image_features(images).select("media_id", "features").show(truncate=60)
+
+    # 5. real audio features on the WAV clips
+    audio = uniq.filter(F.col("mime") == "audio/wav")
+    audio_features(audio, frame_samples=1600, hop_samples=1600).show()
+
+
+if __name__ == "__main__":
+    main()

@@ -85,3 +85,18 @@ def test_pandas_api_flow_matches_native_pipeline(spark):
     a = sorted(map(tuple, clean_abr_pandas_api(raw).collect()))
     b = sorted(map(tuple, clean_abr_companies(raw).collect()))
     assert a == b and len(a) >= 2
+
+
+def test_multimodal_pipeline_demo(spark, tmp_path):
+    mod = _load("/root/repo/examples/run_multimodal_pipeline.py", "mm_demo")
+    old = sys.argv
+    sys.argv = ["run_multimodal_pipeline.py", str(tmp_path / "mm")]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    # fixture left on disk: 7 files, 4 png
+    import os
+
+    files = os.listdir(tmp_path / "mm" / "media")
+    assert len([f for f in files if f.endswith(".png")]) == 4
