@@ -2,13 +2,14 @@
 
     generate a small media corpus (PNGs via the stdlib encoder — with
     planted re-encoded duplicates and near-duplicates — plus WAV tones
-    and one opaque JPEG-like blob) -> binaryFile ingest -> expression-
-    level mime/dimension/duration sniffing -> exact binary dedup ->
-    PERCEPTUAL image dedup on decoded pixels (aHash + pigeonhole
-    hamming join) -> 8x8 thumbnail resize (decode/resample/re-encode)
-    -> grayscale-histogram image features -> windowed RMS/ZCR audio
-    features; the non-decodable blob is carried as metadata-only (the
-    honest DecodeUnavailable boundary).
+    and a REAL baseline JPEG of the same pixels as one PNG) ->
+    binaryFile ingest -> expression-level mime/dimension/duration
+    sniffing -> exact binary dedup -> PERCEPTUAL image dedup on
+    decoded pixels ACROSS FORMATS (aHash + pigeonhole hamming join
+    pairs the JPEG with its PNG twin) -> 8x8 thumbnail resize
+    (decode/resample/re-encode in the source format) ->
+    grayscale-histogram image features -> windowed RMS/ZCR audio
+    features.
 
 Every heavy stage is the same Arrow-batched mapInPandas the 100 TB
 path uses; only the fixture generation is driver-side.
@@ -35,6 +36,7 @@ from firmable_aus_etl_spark.multimodal import (
     resize_images,
     with_media_metadata,
 )
+from firmable_aus_etl_spark.multimodal import jpeg as J
 from firmable_aus_etl_spark.multimodal import png as P
 from firmable_aus_etl_spark.multimodal import wav as W
 from firmable_aus_etl_spark.session import get_session
@@ -66,7 +68,13 @@ def build_fixture(d: str) -> None:
     tone = [int(12000 * math.sin(2 * math.pi * 330 * i / 16000)) for i in range(8000)]
     open(os.path.join(d, "tone.wav"), "wb").write(W.encode_wav(tone))
     open(os.path.join(d, "quiet.wav"), "wb").write(W.encode_wav([0] * 8000))
-    open(os.path.join(d, "photo.jpg"), "wb").write(b"\xff\xd8\xff\xe0" + b"\x00" * 64)
+    # REAL baseline JPEG of a smooth ramp + its PNG twin: the
+    # cross-format perceptual pair
+    ramp = bytes(min(255, x * 4 + y * 3) for y in range(32) for x in range(32))
+    open(os.path.join(d, "ramp.jpg"), "wb").write(
+        J.encode_jpeg(ramp, 32, 32, quality=95)
+    )
+    open(os.path.join(d, "ramp.png"), "wb").write(P.encode_png(ramp, 32, 32))
 
 
 def main() -> None:
@@ -85,8 +93,9 @@ def main() -> None:
     uniq = dedup_media_exact(media)
     print("after exact dedup:", uniq.count())
 
-    # 2. perceptual dedup on DECODED pixels finds the re-encode
-    images = uniq.filter(F.col("mime") == "image/png")
+    # 2. perceptual dedup on DECODED pixels finds the PNG re-encode AND
+    #    the cross-format JPEG/PNG pair
+    images = uniq.filter(F.col("media_type") == "image")
     pairs = dedup_media_perceptual(images, max_hamming=3)
     print("perceptual near-dup pairs (hamming):")
     pairs.show()

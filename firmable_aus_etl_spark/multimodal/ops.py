@@ -57,7 +57,31 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 
 class DecodeUnavailable(NotImplementedError):
-    """Raised where a real codec would run; this container has none."""
+    """Raised where a real codec would run and none exists for the
+    format. PNG, baseline JPEG, and RIFF/WAVE PCM decode for REAL with
+    the stdlib codecs in this package; this gate remains for
+    progressive/arithmetic JPEG, webp, mp3/aac, and video."""
+
+
+def _decode_image(b: bytes) -> tuple[int, int, int, bytes]:
+    """Magic-byte dispatch to the real stdlib image codecs: returns
+    (width, height, channels, pixel bytes) for PNG and baseline JPEG;
+    raises DecodeUnavailable for anything else (including JPEG
+    profiles outside baseline — the gate stays honest)."""
+    from firmable_aus_etl_spark.multimodal import jpeg as _jpeg
+    from firmable_aus_etl_spark.multimodal import png as _png
+
+    if b.startswith(b"\x89PNG"):
+        return _png.decode_png(b)
+    if b.startswith(b"\xff\xd8"):
+        try:
+            return _jpeg.decode_jpeg(b)
+        except _jpeg.JpegUnsupported as e:
+            raise DecodeUnavailable(f"JPEG profile outside baseline: {e}") from e
+    raise DecodeUnavailable(
+        "image format requires codec libs absent from this container "
+        "(PNG and baseline JPEG decode for real)"
+    )
 
 
 def read_binary_dir(spark: SparkSession, path: str, *, pattern: str = "*") -> DataFrame:
@@ -146,13 +170,13 @@ def decode_image_features(
 ) -> DataFrame:
     """Decode + feature-extract over image bytes via mapInPandas.
 
-    ``fake=False`` (default): PNG content decodes FOR REAL (stdlib
-    codec, multimodal/png.py) and the feature vector is the normalized
-    ``feature_dim``-bin grayscale histogram of the actual pixels;
-    non-PNG raises DecodeUnavailable inside the task (no JPEG/video
-    codec libs here). ``fake=True``: deterministic stand-in features
-    derived from the sha256 digest — exercises the distributed path
-    with any byte content.
+    ``fake=False`` (default): PNG and baseline JPEG decode FOR REAL
+    (stdlib codecs, multimodal/png.py + jpeg.py) and the feature
+    vector is the normalized ``feature_dim``-bin grayscale histogram
+    of the actual pixels; other formats raise DecodeUnavailable inside
+    the task. ``fake=True``: deterministic stand-in features derived
+    from the sha256 digest — exercises the distributed path with any
+    byte content.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -170,21 +194,17 @@ def decode_image_features(
                     # STUB: deterministic fake embedding from the hash;
                     # a real impl would decode pixels and run a model.
                     feats.append([digest[i] / 255.0 for i in range(feature_dim)])
-                elif b.startswith(b"\x89PNG"):
-                    # REAL decode (stdlib PNG): feature = normalized
-                    # feature_dim-bin grayscale histogram of actual pixels
-                    w, h, ch, px = _png.decode_png(b)
+                else:
+                    # REAL decode (stdlib PNG/baseline-JPEG): feature =
+                    # normalized feature_dim-bin grayscale histogram of
+                    # actual pixels
+                    w, h, ch, px = _decode_image(b)
                     gray = _png.gray_from_pixels(px, ch)
                     hist = [0] * feature_dim
                     for g in gray:
                         hist[g * feature_dim // 256] += 1
                     n = max(len(gray), 1)
                     feats.append([c / n for c in hist])
-                else:
-                    raise DecodeUnavailable(
-                        "non-PNG image decode requires codec libs absent "
-                        "from this container (PNG decodes for real)"
-                    )
             yield pd.DataFrame(
                 {"media_id": ids, "sha256": shas, "n_bytes": sizes, "features": feats}
             )
@@ -251,12 +271,13 @@ def resize_images(
     typed frame out; partitioning and batch shape are the real
     distributed path).
 
-    ``fake=False`` (default): PNG content resizes FOR REAL — stdlib
-    decode, nearest-neighbor resample, stdlib PNG re-encode; non-PNG
-    raises DecodeUnavailable inside the task (no JPEG/video codecs
-    here). ``fake=True``: deterministic stand-in — emits a
-    (width*height)-byte tile cycled from the source digest, so output
-    sizes and values are verifiable with any byte content.
+    ``fake=False`` (default): PNG and baseline JPEG resize FOR REAL —
+    stdlib decode, nearest-neighbor resample, re-encode in the source
+    format (JPEG alpha-channel targets fall back to PNG); other
+    formats raise DecodeUnavailable inside the task. ``fake=True``:
+    deterministic stand-in — emits a (width*height)-byte tile cycled
+    from the source digest, so output sizes and values are verifiable
+    with any byte content.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -272,19 +293,23 @@ def resize_images(
                     digest = hashlib.sha256(b).digest()
                     reps = n_out // len(digest) + 1
                     outs.append((digest * reps)[:n_out])
-                elif b.startswith(b"\x89PNG"):
-                    # REAL path: decode -> nearest-neighbor resample ->
-                    # re-encode as PNG (stdlib codec both directions)
-                    w0, h0, ch, px = _png.decode_png(b)
-                    rp = _png.resize_nearest(px, w0, h0, ch, width, height)
-                    outs.append(
-                        _png.encode_png(rp, width, height, channels=ch)
-                    )
                 else:
-                    raise DecodeUnavailable(
-                        "non-PNG image resize requires codec libs absent "
-                        "from this container (PNG resizes for real)"
-                    )
+                    # REAL path: decode -> nearest-neighbor resample ->
+                    # re-encode in the SOURCE format (stdlib codecs both
+                    # directions; gray+alpha/RGBA JPEG targets fall back
+                    # to PNG output since JFIF has no alpha)
+                    w0, h0, ch, px = _decode_image(b)
+                    rp = _png.resize_nearest(px, w0, h0, ch, width, height)
+                    if b.startswith(b"\xff\xd8") and ch in (1, 3):
+                        from firmable_aus_etl_spark.multimodal import jpeg as _jpeg
+
+                        outs.append(
+                            _jpeg.encode_jpeg(rp, width, height, channels=ch)
+                        )
+                    else:
+                        outs.append(
+                            _png.encode_png(rp, width, height, channels=ch)
+                        )
                 ids.append(mid)
                 ws.append(width)
                 hs.append(height)
@@ -343,12 +368,13 @@ def perceptual_hash_images(df: DataFrame, *, fake: bool = False) -> DataFrame:
     bit_i = pixel_i > mean — the classic perceptual fingerprint whose
     hamming distance survives re-encoding and small edits.
 
-    ``fake=False`` (default): PNG content hashes FOR REAL — stdlib
-    decode to pixels, grayscale, 8x8 box-average, threshold at the
-    mean — so re-encodes of the same pixels (different filter choice,
-    compression level, or tEXt metadata) map to the SAME hash and
-    visually distinct images differ; non-PNG raises DecodeUnavailable
-    (no JPEG/video codecs here). ``fake=True`` keeps the stand-in
+    ``fake=False`` (default): PNG and baseline JPEG hash FOR REAL —
+    stdlib decode to pixels, grayscale, 8x8 box-average, threshold at
+    the mean — so re-encodes of the same pixels (different filter
+    choice, compression level, tEXt metadata, or the OTHER format)
+    map to the same or near-identical hash and visually distinct
+    images differ; gated formats raise DecodeUnavailable.
+    ``fake=True`` keeps the stand-in
     decoder (first 64 content bytes cycled as the 8x8 grayscale) for
     arbitrary byte fixtures. Either way the distributed shape is the
     same mapInPandas (Arrow-batched, memory bounded by
@@ -371,20 +397,16 @@ def perceptual_hash_images(df: DataFrame, *, fake: bool = False) -> DataFrame:
                             h |= 1 << i
                     if h >= 1 << 63:  # two's-complement into LongType
                         h -= 1 << 64
-                elif b.startswith(b"\x89PNG"):
-                    # REAL aHash: stdlib PNG decode -> grayscale -> 8x8
-                    # box-average -> threshold at the mean. Re-encoding
-                    # the same pixels (different compression level,
-                    # different ancillary metadata) maps to the SAME
-                    # hash because only pixels enter the computation.
-                    w, h0, ch, px = _png.decode_png(b)
+                else:
+                    # REAL aHash: stdlib decode (PNG or baseline JPEG)
+                    # -> grayscale -> 8x8 box-average -> threshold at
+                    # the mean. Re-encoding the same pixels (different
+                    # filter/metadata, or a lossless-enough JPEG
+                    # re-save) maps to the SAME or near-identical hash
+                    # because only pixels enter the computation.
+                    w, h0, ch, px = _decode_image(b)
                     gray = _png.gray_from_pixels(px, ch)
                     h = _png.ahash64(gray, w, h0)
-                else:
-                    raise DecodeUnavailable(
-                        "non-PNG perceptual hash requires codec libs absent "
-                        "from this container (PNG decodes for real)"
-                    )
                 ids.append(mid)
                 hashes.append(h)
             yield pd.DataFrame({"media_id": ids, "ahash": hashes})

@@ -60,12 +60,15 @@ def test_decode_fake_features_deterministic(spark, media_df):
     assert again[expect] == row.features
 
 
-def test_decode_without_codec_raises_for_non_png(spark, media_df):
-    # PNG now decodes for real; the codec gate remains for JPEG & co
-    jpg_only = media_df.filter(F.col("uri").endswith(".jpg"))
+def test_decode_without_codec_raises_for_gated_formats(spark):
+    # PNG and baseline JPEG decode for real; the codec gate remains for
+    # webp/video and for non-baseline JPEG profiles
+    df = spark.createDataFrame(
+        [(1, b"\x1aE\xdf\xa3webmdata")], "media_id long, content binary"
+    )
     with pytest.raises(Exception) as exc_info:
-        decode_image_features(jpg_only, fake=False).collect()
-    assert "DecodeUnavailable" in str(exc_info.value) or "decode" in str(exc_info.value)
+        decode_image_features(df, fake=False).collect()
+    assert "DecodeUnavailable" in str(exc_info.value) or "codec" in str(exc_info.value)
 
 
 def test_frame_sample_plan(spark):
@@ -107,15 +110,17 @@ def test_resize_images_fake_path(spark, media_df):
     assert {r.media_id: bytes(r.content) for r in out} == again
 
 
-def test_resize_images_real_path_gated_for_non_png(spark, media_df):
+def test_resize_images_real_path_gated_for_gated_formats(spark):
     import pytest as _pytest
 
     from firmable_aus_etl_spark.multimodal.ops import resize_images
 
-    jpg_only = media_df.filter(F.col("uri").endswith(".jpg"))
+    df = spark.createDataFrame(
+        [(1, b"\x1aE\xdf\xa3webmdata")], "media_id long, content binary"
+    )
     with _pytest.raises(Exception) as exc_info:
-        resize_images(jpg_only, fake=False).collect()
-    assert "DecodeUnavailable" in str(exc_info.value) or "resize" in str(exc_info.value)
+        resize_images(df, fake=False).collect()
+    assert "DecodeUnavailable" in str(exc_info.value) or "codec" in str(exc_info.value)
 
 
 def test_audio_frame_windows_boundaries(spark):
