@@ -4,10 +4,12 @@ Images/audio/video are opaque ``binary`` columns plus typed metadata
 structs. The Spark-side mechanics — schema, partition sizing, Arrow
 batch shape, UDF signatures — are real and tested. Since round 4 the
 codecs are REAL for the stdlib-decodable formats: PNG (png.py — zlib +
-filter reconstruction) drives perceptual hashing / resize / feature
-extraction on actual pixels, and RIFF/WAVE PCM (wav.py) drives
-windowed RMS/ZCR/peak audio features on actual samples. Formats that
-need external codec libraries (JPEG, mp3/aac, video) stay behind
+filter reconstruction) and baseline JPEG (jpeg.py — Huffman + IDCT,
+tables read from the stream) drive perceptual hashing / resize /
+feature extraction on actual pixels, and RIFF/WAVE PCM (wav.py)
+drives windowed RMS/ZCR/peak audio features on actual samples.
+Formats that genuinely need external codec libraries
+(progressive/arithmetic JPEG, webp, mp3/aac, video) stay behind
 ``DecodeUnavailable`` gates or a clearly-marked deterministic fake.
 """
 
