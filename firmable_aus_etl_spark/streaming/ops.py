@@ -89,6 +89,28 @@ def streaming_dedup(
     return events.withWatermark("ts", watermark).dropDuplicates(list(keys))
 
 
+def streaming_dedup_within_watermark(
+    events: DataFrame,
+    keys: Sequence[str] = ("event_id",),
+    *,
+    watermark: str = "30 minutes",
+) -> DataFrame:
+    """Watermark-expiring keyed dedup via the native
+    ``dropDuplicatesWithinWatermark`` (Spark 3.5+).
+
+    Differs from streaming_dedup in state semantics when the key does
+    NOT include the event-time column: plain dropDuplicates keeps one
+    state row per key FOREVER unless ts is part of the key, while this
+    variant drops a key's state once the watermark passes its last
+    sighting — the right tool for at-least-once sources whose
+    duplicates arrive close together (Kafka redeliveries), where
+    unbounded key state is the 100 TB failure mode.
+    """
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        list(keys)
+    )
+
+
 def foreach_batch_merge(
     stream: DataFrame,
     target_path: str,

@@ -76,6 +76,32 @@ def test_streaming_dedup(spark, events_dir, tmp_path):
     assert n.n == ev.count()
 
 
+def test_streaming_dedup_within_watermark(spark, events_dir, tmp_path):
+    from firmable_aus_etl_spark.streaming.ops import (
+        streaming_dedup_within_watermark,
+    )
+
+    dup_dir = str(tmp_path / "dup_wm")
+    ev = spark.read.parquet(events_dir)
+    ev.write.mode("overwrite").parquet(dup_dir)
+    ev.write.mode("append").parquet(dup_dir)
+
+    stream = read_stream_parquet(spark, dup_dir)
+    deduped = streaming_dedup_within_watermark(
+        stream, ["event_id"], watermark="10 days"
+    )
+    q = (
+        deduped.writeStream.format("memory").queryName("dedup_wm_out")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    n = spark.sql(
+        "select count(distinct event_id) c, count(*) n from dedup_wm_out"
+    ).first()
+    assert n.c == n.n, "dedup must emit each key once"
+    assert n.n == ev.count()
+
+
 def test_foreach_batch_merge(spark, events_dir, tmp_path):
     target = str(tmp_path / "merge_target")
     ckpt = str(tmp_path / "ckpt")
