@@ -4,12 +4,13 @@ Images/audio/video are opaque ``binary`` columns plus typed metadata
 structs. The Spark-side mechanics — schema, partition sizing, Arrow
 batch shape, UDF signatures — are real and tested. Since round 4 the
 codecs are REAL for the stdlib-decodable formats: PNG (png.py — zlib +
-filter reconstruction) and baseline JPEG (jpeg.py — Huffman + IDCT,
-tables read from the stream) drive perceptual hashing / resize /
-feature extraction on actual pixels, and RIFF/WAVE PCM (wav.py)
-drives windowed RMS/ZCR/peak audio features on actual samples.
-Formats that genuinely need external codec libraries
-(progressive/arithmetic JPEG, webp, mp3/aac, video) stay behind
+filter reconstruction), baseline JPEG (jpeg.py — Huffman + IDCT,
+tables read from the stream), and GIF (gif.py — LZW, animation
+composition) drive perceptual hashing / resize / feature extraction /
+frame extraction on actual pixels, and RIFF/WAVE PCM (wav.py) drives
+windowed RMS/ZCR/peak audio features on actual samples. Formats that
+genuinely need external codec libraries (progressive/arithmetic JPEG,
+webp, mp3/aac, real video containers) stay behind
 ``DecodeUnavailable`` gates or a clearly-marked deterministic fake.
 """
 
@@ -24,6 +25,7 @@ from firmable_aus_etl_spark.multimodal.ops import (
     decode_image_features,
     dedup_media_exact,
     dedup_media_perceptual,
+    gif_frames,
     perceptual_hash_images,
     frame_sample_plan,
 )
@@ -39,6 +41,7 @@ __all__ = [
     "decode_image_features",
     "dedup_media_exact",
     "dedup_media_perceptual",
+    "gif_frames",
     "perceptual_hash_images",
     "frame_sample_plan",
 ]

@@ -78,9 +78,17 @@ def _decode_image(b: bytes) -> tuple[int, int, int, bytes]:
             return _jpeg.decode_jpeg(b)
         except _jpeg.JpegUnsupported as e:
             raise DecodeUnavailable(f"JPEG profile outside baseline: {e}") from e
+    if b.startswith(b"GIF8"):
+        from firmable_aus_etl_spark.multimodal import gif as _gif
+
+        try:
+            w, h, frames = _gif.decode_gif(b)
+        except _gif.GifUnsupported as e:
+            raise DecodeUnavailable(f"GIF profile outside support: {e}") from e
+        return w, h, 3, frames[0][1]  # first composed frame as the still
     raise DecodeUnavailable(
         "image format requires codec libs absent from this container "
-        "(PNG and baseline JPEG decode for real)"
+        "(PNG, baseline JPEG, and GIF decode for real)"
     )
 
 
@@ -103,13 +111,15 @@ def read_binary_dir(spark: SparkSession, path: str, *, pattern: str = "*") -> Da
 def with_media_metadata(df: DataFrame) -> DataFrame:
     """Cheap metadata sniffing from magic bytes — pure expressions, no
     decode: mime from the leading bytes, media_type from mime, and for
-    PNG the IHDR width/height (big-endian u32 at fixed offsets 17/21 —
-    the signature and IHDR chunk header are fixed-size, so the
-    dimensions are a substring + hex-parse away, JVM-side)."""
+    PNG/GIF the header width/height (fixed offsets — a substring +
+    hex-parse away, JVM-side; GIF's are little-endian u16, PNG's
+    big-endian u32)."""
     head = F.hex(F.substring(F.col("content"), 1, 4))
     is_png = head.startswith("89504E47")
+    is_gif = head.startswith("47494638")  # "GIF8"
     mime = (
         F.when(is_png, "image/png")
+        .when(is_gif, "image/gif")
         .when(head.startswith("FFD8FF"), "image/jpeg")
         .when(head.startswith("52494646"), "audio/wav")  # RIFF
         .when(head.startswith("1A45DFA3"), "video/webm")
@@ -131,7 +141,19 @@ def with_media_metadata(df: DataFrame) -> DataFrame:
         )
         return F.conv(swapped, 16, 10).cast("long")
 
+    def _le16(offset: int):
+        h16 = F.hex(F.substring(F.col("content"), offset, 2))
+        return F.conv(
+            F.concat(F.substring(h16, 3, 2), F.substring(h16, 1, 2)), 16, 10
+        ).cast("long")
+
     meta_type = MEDIA_SCHEMA["meta"].dataType
+    gif_meta = F.struct(
+        _le16(7).alias("width"),
+        _le16(9).alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("long").alias("sample_rate"),
+    ).cast(meta_type)
     png_meta = F.struct(
         _be32(17).alias("width"),
         _be32(21).alias("height"),
@@ -159,6 +181,7 @@ def with_media_metadata(df: DataFrame) -> DataFrame:
         .withColumn(
             "meta",
             F.when(is_png, png_meta)
+            .when(is_gif, gif_meta)
             .when(is_canon_wav, wav_meta)
             .otherwise(F.col("meta")),
         )
@@ -515,3 +538,69 @@ def audio_features(
             )
 
     return df.select("media_id", "content").mapInPandas(run, schema=AUDIO_FEATURES_SCHEMA)
+
+
+GIF_FRAMES_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", LongType(), True),
+        StructField("ts_ms", LongType(), True),
+        StructField("delay_ms", LongType(), True),
+        StructField("content", BinaryType(), True),  # PNG-encoded frame
+    ]
+)
+
+
+def gif_frames(df: DataFrame) -> DataFrame:
+    """REAL frame extraction for animated GIFs: one output row per
+    composed frame as PNG bytes with its timeline position — the
+    executable counterpart of frame_sample_plan (which only PLANS
+    (media_id, ts) rows for a codec-gated decoder). Downstream
+    per-frame work (perceptual_hash_images, dedup_media_perceptual,
+    resize_images, decode_image_features) consumes the PNG output
+    directly, so video-shaped dedup — repeated frames across or within
+    animations — runs end-to-end on real pixels.
+
+    Same scale shape as every decode stage: Arrow-batched mapInPandas,
+    memory bounded by maxRecordsPerBatch, frame fan-out is an output
+    property (explode-like) so downstream parallelism follows frames,
+    not clips. Non-GIF content raises DecodeUnavailable inside the
+    task."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        from firmable_aus_etl_spark.multimodal import gif as _gif
+        from firmable_aus_etl_spark.multimodal import png as _png
+
+        for pdf in batches:
+            ids, idxs, tss, delays, outs = [], [], [], [], []
+            for mid, content in zip(pdf["media_id"], pdf["content"]):
+                b = bytes(content) if content is not None else b""
+                if not b.startswith(b"GIF8"):
+                    raise DecodeUnavailable(
+                        "frame extraction requires an animated format with a "
+                        "stdlib codec (GIF decodes for real; video containers "
+                        "need external codecs)"
+                    )
+                try:
+                    w, h, frames = _gif.decode_gif(b)
+                except _gif.GifUnsupported as e:
+                    raise DecodeUnavailable(f"GIF profile outside support: {e}")
+                ts = 0
+                for i, (delay, rgb) in enumerate(frames):
+                    ids.append(mid)
+                    idxs.append(i)
+                    tss.append(ts)
+                    delays.append(delay)
+                    outs.append(_png.encode_png(rgb, w, h, channels=3))
+                    ts += delay
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "frame_idx": idxs,
+                    "ts_ms": tss,
+                    "delay_ms": delays,
+                    "content": outs,
+                }
+            )
+
+    return df.select("media_id", "content").mapInPandas(run, schema=GIF_FRAMES_SCHEMA)
