@@ -32,10 +32,12 @@ from firmable_aus_etl_spark.multimodal import (
     dedup_media_exact,
     dedup_media_perceptual,
     decode_image_features,
+    gif_frames,
     read_binary_dir,
     resize_images,
     with_media_metadata,
 )
+from firmable_aus_etl_spark.multimodal import gif as G
 from firmable_aus_etl_spark.multimodal import jpeg as J
 from firmable_aus_etl_spark.multimodal import png as P
 from firmable_aus_etl_spark.multimodal import wav as W
@@ -75,6 +77,14 @@ def build_fixture(d: str) -> None:
         J.encode_jpeg(ramp, 32, 32, quality=95)
     )
     open(os.path.join(d, "ramp.png"), "wb").write(P.encode_png(ramp, 32, 32))
+    # animated GIF with a REPEATED frame (a, b, a) — the per-frame
+    # dedup target
+    pal = [(0, 0, 0), (255, 0, 0), (0, 255, 0), (0, 0, 255)]
+    fa = bytes(min(3, x // 8) for y in range(32) for x in range(32))
+    fb = bytes(min(3, y // 8) for y in range(32) for x in range(32))
+    open(os.path.join(d, "anim.gif"), "wb").write(
+        G.encode_gif([fa, fb, fa], 32, 32, pal, delays_ms=[40, 40, 40])
+    )
 
 
 def main() -> None:
@@ -107,7 +117,20 @@ def main() -> None:
     # 4. real image features: normalized grayscale histogram
     decode_image_features(images).select("media_id", "features").show(truncate=60)
 
-    # 5. real audio features on the WAV clips
+    # 5. real animated-frame extraction + per-frame dedup: the
+    #    repeated frame (idx 0 vs 2) pairs up on decoded pixels
+    anim = uniq.filter(F.col("mime") == "image/gif")
+    frames = gif_frames(anim)
+    print("gif frames:", frames.select("media_id", "frame_idx", "ts_ms").count())
+    # media_id is an xxhash64 (full long range) — combine with the
+    # frame index by hashing, not arithmetic (ANSI overflow)
+    per_frame = frames.select(
+        F.xxhash64("media_id", "frame_idx").alias("media_id"), "content"
+    )
+    print("repeated-frame pairs:")
+    dedup_media_perceptual(per_frame).show()
+
+    # 6. real audio features on the WAV clips
     audio = uniq.filter(F.col("mime") == "audio/wav")
     audio_features(audio, frame_samples=1600, hop_samples=1600).show()
 

@@ -95,9 +95,10 @@ def test_multimodal_pipeline_demo(spark, tmp_path):
         mod.main()
     finally:
         sys.argv = old
-    # fixture left on disk: 8 files — 5 png, 1 real jpeg, 2 wav
+    # fixture left on disk: 9 files — 5 png, 1 real jpeg, 1 gif, 2 wav
     import os
 
     files = os.listdir(tmp_path / "mm" / "media")
     assert len([f for f in files if f.endswith(".png")]) == 5
     assert len([f for f in files if f.endswith(".jpg")]) == 1
+    assert len([f for f in files if f.endswith(".gif")]) == 1
