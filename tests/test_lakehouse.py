@@ -139,3 +139,84 @@ def test_equivalence_with_jdbc_merge_semantics(spark, root):
     LH.merge_into_snapshot(spark, root, updates, ["id"])
     direct = merge_upsert(base, updates, ["id"])
     assert rows(LH.read_snapshot(spark, root)) == rows(direct)
+
+
+def test_partitioned_merge_rewrites_only_affected(spark, root):
+    import os
+
+    from firmable_aus_etl_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "2024-01-01", 10.0), (2, "2024-01-01", 20.0),
+         (3, "2024-01-02", 30.0), (4, "2024-01-03", 40.0)],
+        "id long, day string, v double",
+    )
+    LH.write_snapshot(base, root, partition_by=["day"])
+    updates = spark.createDataFrame(
+        [(2, "2024-01-01", 25.0),   # update in day 01
+         (5, "2024-01-04", 50.0)],  # brand-new partition
+        "id long, day string, v double",
+    )
+    # inodes of the untouched partitions before the merge
+    def inodes(version, day):
+        d = os.path.join(root, f"snapshot={version}", f"day={day}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_02 = inodes(0, "2024-01-02")
+    before_03 = inodes(0, "2024-01-03")
+    v = LH.merge_into_partitioned_snapshot(
+        spark, root, updates, ["id"], "day"
+    )
+    assert v == 1
+    # results equal a whole-table merge (modulo column order)
+    expect = merge_upsert(base, updates, ["id"])
+    got = LH.read_snapshot(spark, root).select("id", "day", "v")
+    assert rows(got) == rows(expect)
+    # untouched partitions are HARD LINKS to the previous snapshot's
+    # files — identical inodes, zero bytes copied
+    assert inodes(1, "2024-01-02") == before_02
+    assert inodes(1, "2024-01-03") == before_03
+    # the affected partition was genuinely rewritten (no shared inodes)
+    aff_old = set(inodes(0, "2024-01-01").values())
+    aff_new = set(inodes(1, "2024-01-01").values())
+    assert not (aff_old & aff_new)
+    # new partition exists
+    assert os.path.isdir(os.path.join(root, "snapshot=1", "day=2024-01-04"))
+    # time travel still intact
+    assert rows(LH.read_snapshot(spark, root, version=0).select("id", "day", "v")) == rows(base)
+
+
+def test_partitioned_merge_delete_and_idempotence(spark, root):
+    base = spark.createDataFrame(
+        [(1, "a", "live"), (2, "a", "dead"), (3, "b", "live")],
+        "id long, part string, status string",
+    )
+    LH.write_snapshot(base, root, partition_by=["part"])
+    updates = spark.createDataFrame(
+        [(2, "a", "tombstone")], "id long, part string, status string"
+    )
+    LH.merge_into_partitioned_snapshot(
+        spark, root, updates, ["id"], "part",
+        delete_where=F.col("status") == "tombstone",
+    )
+    first = rows(LH.read_snapshot(spark, root).select("id", "part", "status"))
+    assert first == [(1, "a", "live"), (3, "b", "live")]
+    LH.merge_into_partitioned_snapshot(
+        spark, root, updates, ["id"], "part",
+        delete_where=F.col("status") == "tombstone",
+    )
+    assert rows(LH.read_snapshot(spark, root).select("id", "part", "status")) == first
+
+
+def test_partitioned_merge_rejects_unsafe_partition_values(spark, root):
+    base = spark.createDataFrame([(1, "ok", 1.0)], "id long, p string, v double")
+    LH.write_snapshot(base, root, partition_by=["p"])
+    bad = spark.createDataFrame(
+        [(2, "needs escape!", 2.0)], "id long, p string, v double"
+    )
+    with pytest.raises(ValueError):
+        LH.merge_into_partitioned_snapshot(spark, root, bad, ["id"], "p")
