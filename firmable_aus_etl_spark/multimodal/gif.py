@@ -5,10 +5,9 @@ GIF inputs, which finally gives the video-shaped operators
 (frame_sample_plan, dedup over frames) a fully real end-to-end path.
 
 Decoder scope: GIF87a/89a, global/local color tables, interlaced
-images, graphics-control extensions (frame delay + transparency),
-disposal methods 0/1 (draw over) and 2 (restore to background);
-disposal 3 (restore previous) raises GifUnsupported — it needs a
-frame-history stack and is rare in corpus data. LZW code stream with
+images, graphics-control extensions (frame delay + transparency), and
+all four disposal methods — 0/1 draw over, 2 restore to background,
+3 restore previous (one saved canvas, per spec). LZW code stream with
 variable widths up to 12 bits, LSB-first, CLEAR/EOI handling.
 
 Encoder scope: global-palette animations from palette-index frames
@@ -22,7 +21,8 @@ import struct
 
 
 class GifUnsupported(ValueError):
-    """Valid GIF, but outside the supported profile (disposal 3)."""
+    """Valid GIF, but outside the supported profile (reserved for
+    future gates; all four disposal methods are now implemented)."""
 
 
 # ----------------------------------------------------------------- LZW
@@ -134,7 +134,8 @@ _INTERLACE_PASSES = [(0, 8), (4, 8), (2, 4), (1, 2)]
 def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
     """Decode GIF -> (width, height, frames) with frames =
     [(delay_ms, rgb_bytes)] composed onto the running canvas
-    (disposal 0/1 draw-over, 2 restore-to-background)."""
+    (disposal 0/1 draw-over, 2 restore-to-background, 3
+    restore-previous)."""
     if data[:6] not in (b"GIF87a", b"GIF89a"):
         raise ValueError("not a GIF")
     w, h, flags, bg, _ar = struct.unpack("<HHBBB", data[6:13])
@@ -170,8 +171,6 @@ def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
                 delay_ms = delay_cs * 10
                 transparent = tidx if gflags & 0x01 else None
                 disposal = (gflags >> 2) & 0x07
-                if disposal == 3:
-                    raise GifUnsupported("disposal method 3 (restore previous)")
             # skip (remaining) data sub-blocks
             while data[pos] != 0:
                 pos += 1 + data[pos]
@@ -187,6 +186,8 @@ def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
                 ct = gct
             if ct is None:
                 raise ValueError("no color table for image")
+            if disposal == 3:
+                saved_canvas = bytes(canvas)  # restore-previous target
             mcs = data[pos]
             pos += 1
             chunks = bytearray()
@@ -216,6 +217,8 @@ def decode_gif(data: bytes) -> tuple[int, int, list[tuple[int, bytes]]]:
                     o = (cy * w + cx) * 3
                     canvas[o : o + 3] = ct[3 * ci : 3 * ci + 3]
             frames.append((delay_ms, bytes(canvas)))
+            if disposal == 3:
+                canvas = bytearray(saved_canvas)
             if disposal == 2 and gct is not None:
                 r, g, b = gct[3 * bg : 3 * bg + 3]
                 for dy in range(ih):

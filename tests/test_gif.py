@@ -91,13 +91,37 @@ def test_gif_transparency_composes_over_previous():
             assert out[o : o + 3] == bytes(expect), (x, y)
 
 
+def test_gif_disposal_restore_previous():
+    """Disposal 3: the middle frame's pixels must NOT persist into the
+    canvas the next frame composes over."""
+    w, h = 4, 4
+    base = frame(w, h, lambda x, y: 1)              # all red
+    overlay = frame(w, h, lambda x, y: 2)           # all green
+    patch = frame(w, h, lambda x, y: 3 if x == 0 else 0)  # col0 blue
+    data = bytearray(G.encode_gif([base, overlay, patch], w, h, PAL))
+    gces = []
+    j = 0
+    while True:
+        j = bytes(data).find(b"\x21\xf9\x04", j)
+        if j < 0:
+            break
+        gces.append(j)
+        j += 1
+    data[gces[1] + 3] |= 0x0C  # overlay frame: disposal 3
+    data[gces[2] + 3] |= 0x01  # patch frame: index 0 transparent
+    W, H, frames = G.decode_gif(bytes(data))
+    assert frames[1][1] == b"".join(bytes(PAL[i]) for i in overlay)
+    out = frames[2][1]
+    for y in range(h):
+        for x in range(w):
+            o = (y * w + x) * 3
+            # col0 = patch blue; everything else = BASE red (the green
+            # overlay was disposed back to the previous canvas)
+            expect = PAL[3] if x == 0 else PAL[1]
+            assert out[o : o + 3] == bytes(expect), (x, y)
+
+
 def test_gif_profile_gates():
-    f = frame(4, 4, lambda x, y: 0)
-    data = bytearray(G.encode_gif([f], 4, 4, PAL))
-    j = bytes(data).find(b"\x21\xf9\x04")
-    data[j + 3] |= 0x0C  # disposal method 3
-    with pytest.raises(G.GifUnsupported):
-        G.decode_gif(bytes(data))
     with pytest.raises(ValueError):
         G.decode_gif(b"GIF90a" + bytes(20))
 
