@@ -499,17 +499,24 @@ UNBOUNDED_WINDOW_ALLOWLIST = {
 
 
 @pytest.mark.slow
-def test_registry_has_no_unbounded_windows(spark):
-    """Round-3 verdict item #3: no registered query may ship an
-    ORDER BY-without-PARTITION BY window over a data-scale frame.
-    orderkey_gaps and customer_value_deciles were the two offenders —
-    both now bucket + stitch (bounded boundary state) instead."""
-    flagged, stale = {}, []
+def test_registry_has_no_unbounded_windows_or_cartesians(spark):
+    """Round-3 verdict item #3 (extended in round 4): no registered
+    query may ship an ORDER BY-without-PARTITION BY window over a
+    data-scale frame (orderkey_gaps and customer_value_deciles were
+    the offenders — both now bucket + stitch), and NO query may plan a
+    CartesianProduct at all (the registry is clean today; this pins
+    it — a theta-join regression that drops to a cartesian is the
+    other silent 100 TB killer)."""
+    flagged, stale, cartesians = {}, [], []
     for name, fn in sorted(QUERIES.items()):
-        uw = plans.unbounded_windows(fn(spark, SF))
+        df = fn(spark, SF)
+        uw = plans.unbounded_windows(df)
         if uw and name not in UNBOUNDED_WINDOW_ALLOWLIST:
             flagged[name] = uw
         if not uw and name in UNBOUNDED_WINDOW_ALLOWLIST:
             stale.append(name)
+        if "CartesianProduct" in plans.physical_plan(df):
+            cartesians.append(name)
     assert not flagged, f"unbounded global windows outside allowlist: {flagged}"
     assert not stale, f"allowlist entries no longer flag (remove them): {stale}"
+    assert not cartesians, f"CartesianProduct in plans: {cartesians}"
