@@ -151,6 +151,52 @@ def foreach_batch_merge(
     )
 
 
+def lakehouse_stream_sink(
+    stream: DataFrame,
+    root: str,
+    keys: Sequence[str],
+    *,
+    checkpoint: str,
+    partition_col: str | None = None,
+    tracked: Sequence[str] | None = None,
+):
+    """writeStream.foreachBatch sink that MERGEs each micro-batch into
+    a snapshot-isolated lakehouse table — foreach_batch_merge upgraded
+    from overwrite-a-parquet-dir to real snapshot semantics: every
+    micro-batch commits a new atomic snapshot (readers never see a
+    torn batch, time travel across batches comes free), and with
+    ``partition_col`` each batch rewrites only the partitions it
+    touches while the rest carry forward as hard links.
+
+    This IS the reference's incremental-load story (SURVEY §2.10: its
+    'streaming' surface is offset-paginated extraction + UPSERT loads)
+    composed end to end: Structured Streaming supplies delivery and
+    checkpointing, the lakehouse supplies transactional MERGE. Replays
+    of a batch are idempotent by merge semantics (update-iff-changed),
+    so at-least-once delivery yields an exactly-once table. Returns
+    the started query.
+    """
+    from firmable_aus_etl_spark.sources import lakehouse as LH
+
+    def _merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if partition_col is not None:
+            LH.merge_into_partitioned_snapshot(
+                spark, root, batch, list(keys), partition_col, tracked=tracked
+            )
+        else:
+            LH.merge_into_snapshot(
+                spark, root, batch, list(keys), tracked=tracked
+            )
+
+    return (
+        stream.writeStream.foreachBatch(_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

@@ -220,3 +220,48 @@ def test_partitioned_merge_rejects_unsafe_partition_values(spark, root):
     )
     with pytest.raises(ValueError):
         LH.merge_into_partitioned_snapshot(spark, root, bad, ["id"], "p")
+
+
+def test_lakehouse_stream_sink(spark, root, tmp_path):
+    """Structured Streaming micro-batches MERGE into the snapshot
+    table: final state equals a batch merge of all the data, each
+    batch committed a snapshot, and re-running the stream over the
+    same source is a no-op on row values (exactly-once table from
+    at-least-once delivery)."""
+    from firmable_aus_etl_spark.streaming.ops import (
+        lakehouse_stream_sink,
+        read_stream_parquet,
+    )
+
+    src = str(tmp_path / "src")
+    ev = (
+        spark.range(20)
+        .selectExpr(
+            "id",
+            "CAST(timestamp'2024-01-01 00:00:00' + make_interval(0,0,0,0,0,0,id) AS timestamp) AS ts",
+            "CAST(id % 3 AS STRING) AS part",
+            "id * 1.0 AS v",
+        )
+    )
+    ev.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+    q = lakehouse_stream_sink(
+        stream, root, ["id"],
+        checkpoint=str(tmp_path / "ckpt"),
+        partition_col="part",
+    )
+    q.awaitTermination(120)
+    got = rows(LH.read_snapshot(spark, root).select("id", "part", "v"))
+    assert got == rows(ev.select("id", "part", "v"))
+    v1 = LH.latest_version(root)
+    assert v1 is not None
+
+    # replay from a fresh checkpoint: merge is idempotent on values
+    q2 = lakehouse_stream_sink(
+        spark.readStream.schema(ev.schema).parquet(src), root, ["id"],
+        checkpoint=str(tmp_path / "ckpt2"),
+        partition_col="part",
+    )
+    q2.awaitTermination(120)
+    assert rows(LH.read_snapshot(spark, root).select("id", "part", "v")) == got
