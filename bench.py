@@ -30,8 +30,13 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from firmable_aus_etl_spark.queries import QUERIES  # noqa: E402
+from firmable_aus_etl_spark.queries import PIPELINE_QUERIES, QUERIES  # noqa: E402
 from firmable_aus_etl_spark.session import get_session  # noqa: E402
+
+# Bench surface = driver-sampleable oracle-bearing queries PLUS the
+# rows-only pipeline surface (xxhash/trained physical twins etc.) —
+# perf coverage is wider than the correctness-sampleable registry.
+ALL_QUERIES = {**QUERIES, **PIPELINE_QUERIES}
 
 # Headline set: one per operator family that matters at scale.
 HEADLINE = [
@@ -97,7 +102,7 @@ def main() -> None:
     spark = get_session("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    names = [n for n in HEADLINE if n in QUERIES]
+    names = [n for n in HEADLINE if n in ALL_QUERIES]
 
     sentinel_pre = _sentinel()
 
@@ -114,7 +119,7 @@ def main() -> None:
     for _ in range(runs_n):
         for name in names:
             t0 = time.time()
-            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            ALL_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             all_runs[name].append(round(time.time() - t0, 3))
 
     sentinel_post = _sentinel()

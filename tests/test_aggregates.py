@@ -101,10 +101,13 @@ def test_audit_suite_single_pass(spark):
 
 
 def test_approx_stats_error_bounds(spark):
-    from firmable_aus_etl_spark.queries import QUERIES
+    from firmable_aus_etl_spark.queries import PIPELINE_QUERIES
 
     sf_dir = "/root/testdata/sf0.001"
-    approx = {r.event_type: r for r in QUERIES["approx_stats_events"](spark, sf_dir).collect()}
+    approx = {
+        r.event_type: r
+        for r in PIPELINE_QUERIES["approx_stats_events"](spark, sf_dir).collect()
+    }
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     exact = {
         r.event_type: r

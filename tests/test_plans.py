@@ -8,7 +8,7 @@ import pytest
 from pyspark.sql import functions as F
 
 from firmable_aus_etl_spark import plans
-from firmable_aus_etl_spark.queries import QUERIES
+from firmable_aus_etl_spark.queries import PIPELINE_QUERIES, QUERIES
 
 SF = "/root/testdata/sf0.001"
 
@@ -112,7 +112,7 @@ def test_minhash_pipeline_reuses_shingle_exchange_at_runtime(spark):
     branches; AQE must materialize it once and reuse the exchange —
     the property that keeps the 100 TB signature stage from running
     multiple times."""
-    df = QUERIES["minhash_verified_near_dups"](spark, SF)
+    df = PIPELINE_QUERIES["minhash_verified_near_dups"](spark, SF)
     assert plans.count_reused_exchanges_final(df) >= 1
 
 
@@ -508,7 +508,7 @@ def test_registry_has_no_unbounded_windows_or_cartesians(spark):
     it — a theta-join regression that drops to a cartesian is the
     other silent 100 TB killer)."""
     flagged, stale, cartesians = {}, [], []
-    for name, fn in sorted(QUERIES.items()):
+    for name, fn in sorted({**QUERIES, **PIPELINE_QUERIES}.items()):
         df = fn(spark, SF)
         uw = plans.unbounded_windows(df)
         if uw and name not in UNBOUNDED_WINDOW_ALLOWLIST:

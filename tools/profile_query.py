@@ -11,7 +11,9 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from firmable_aus_etl_spark.queries import QUERIES  # noqa: E402
+from firmable_aus_etl_spark.queries import PIPELINE_QUERIES, QUERIES  # noqa: E402
+
+ALL_QUERIES = {**QUERIES, **PIPELINE_QUERIES}
 from firmable_aus_etl_spark.session import get_session  # noqa: E402
 
 
@@ -24,7 +26,7 @@ def main() -> None:
     times = []
     for i in range(n):
         t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        ALL_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         times.append(round(time.time() - t0, 3))
     print({"query": name, "runs": times, "min": min(times)})
 

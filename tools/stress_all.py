@@ -14,7 +14,9 @@ import time
 
 sys.path.insert(0, "/root/repo")
 
-from firmable_aus_etl_spark.queries import QUERIES  # noqa: E402
+from firmable_aus_etl_spark.queries import PIPELINE_QUERIES, QUERIES  # noqa: E402
+
+ALL_QUERIES = {**QUERIES, **PIPELINE_QUERIES}
 from firmable_aus_etl_spark.session import get_session  # noqa: E402
 
 
@@ -23,7 +25,7 @@ def main() -> None:
     spark = get_session("stress_all")
     spark.sparkContext.setLogLevel("ERROR")
     times: dict[str, float | str] = {}
-    for name, fn in sorted(QUERIES.items()):
+    for name, fn in sorted(ALL_QUERIES.items()):
         t0 = time.time()
         try:
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
