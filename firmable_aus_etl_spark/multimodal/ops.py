@@ -168,6 +168,10 @@ def with_media_metadata(df: DataFrame) -> DataFrame:
         head.startswith("52494646")
         & (F.substring(F.col("content"), 13, 4) == F.lit(b"fmt "))
         & (_le32(17) == 16)
+        # the 'data' tag must actually sit at offset 37 — a WAV with an
+        # extra chunk between fmt and data (fact/LIST) would otherwise
+        # read that chunk's header as the data size (wrong duration)
+        & (F.substring(F.col("content"), 37, 4) == F.lit(b"data"))
     )
     wav_meta = F.struct(
         F.lit(None).cast("long").alias("width"),

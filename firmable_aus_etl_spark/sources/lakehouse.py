@@ -177,25 +177,59 @@ def merge_into_partitioned_snapshot(
     shape as every other driver collect in this engine. New partition
     values in the updates simply merge against an empty existing side.
     The MERGE semantics per key are identical to merge_into_snapshot
-    (equivalence-tested against a whole-table merge)."""
+    (equivalence-tested against a whole-table merge).
+
+    Partition mobility: when ``partition_col`` is NOT one of ``keys``,
+    an update row may carry a different partition value than the key's
+    current home, and linking that home forward untouched would leave
+    TWO rows for one key. To keep the whole-table-merge equivalence,
+    the affected set is widened with every partition currently holding
+    an update key — found by one broadcast semi-join over a
+    column-pruned (keys + partition) scan of the current snapshot.
+    That probe pass is skipped entirely when ``partition_col`` is one
+    of ``keys`` (the partition value is then part of the key's
+    identity and cannot move), which keeps the merge cost strictly
+    proportional to the affected partitions — declare the partition
+    column as a key column whenever the model allows.
+
+    ``delete_where`` scope: the predicate is applied to rows of
+    AFFECTED partitions only — matching rows in carried-forward
+    partitions survive, by design (evaluating an arbitrary predicate
+    over untouched partitions would reintroduce the full-table scan
+    this path exists to avoid). For a table-wide delete use
+    merge_into_snapshot, or include the predicate's partition values
+    in the updates."""
     import shutil
 
     cur = latest_version(root)
     if cur is None:
         return write_snapshot(updates, root, partition_by=[partition_col])
-    affected = sorted(
-        str(r[0])
-        for r in updates.select(partition_col).distinct().collect()
-        if r[0] is not None
-    )
-    for v in affected:
-        _partition_dirname(partition_col, v)  # validate early
+    affected_frames = [updates.select(partition_col)]
     src_dir = _snapshot_dir(root, cur)
     # via read_snapshot, NOT a raw parquet read: the persisted schema
     # keeps partition-value types stable (discovery would re-infer)
     existing = read_snapshot(spark, root, version=cur)
+    if partition_col not in keys:
+        # key rows may have moved partitions: partitions holding an
+        # update key are affected too (their old copy must not be
+        # carried forward). Column-pruned probe, bounded collect.
+        affected_frames.append(
+            existing.join(
+                F.broadcast(updates.select(*keys).distinct()),
+                list(keys),
+                "left_semi",
+            ).select(partition_col)
+        )
+    aff_union = affected_frames[0]
+    for fr in affected_frames[1:]:
+        aff_union = aff_union.unionByName(fr)
+    affected = sorted(
+        str(r[0]) for r in aff_union.distinct().collect() if r[0] is not None
+    )
+    for v in affected:
+        _partition_dirname(partition_col, v)  # validate early
     ex_aff = existing.join(
-        F.broadcast(updates.select(partition_col).distinct()),
+        F.broadcast(aff_union.distinct()),
         partition_col,
         "left_semi",
     )
@@ -288,8 +322,12 @@ def merge_into_snapshot(
 
 def vacuum_snapshots(root: str, *, keep: int = 2) -> list[int]:
     """Drop all but the newest ``keep`` committed snapshots (never the
-    latest). Returns removed versions. Readers of removed versions
-    lose time travel — the standard lakehouse retention trade."""
+    latest), plus any snapshot dir with version > the committed
+    pointer — those are by definition uncommitted orphans left by a
+    crashed writer (the pointer commit is the atomic last step, so a
+    dir past it was never visible to any reader). Returns removed
+    versions. Readers of removed committed versions lose time travel —
+    the standard lakehouse retention trade."""
     import shutil
 
     cur = latest_version(root)
@@ -301,6 +339,7 @@ def vacuum_snapshots(root: str, *, keep: int = 2) -> list[int]:
         if d.startswith("snapshot=")
     )
     doomed = [v for v in versions if v <= cur][:-keep] if keep > 0 else []
+    doomed += [v for v in versions if v > cur]
     for v in doomed:
         shutil.rmtree(_snapshot_dir(root, v))
         sp = _schema_path(root, v)

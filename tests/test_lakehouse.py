@@ -212,6 +212,76 @@ def test_partitioned_merge_delete_and_idempotence(spark, root):
     assert rows(LH.read_snapshot(spark, root).select("id", "part", "status")) == first
 
 
+def test_partitioned_merge_key_moving_partitions(spark, root):
+    """ADVICE r4 (medium): when partition_col is NOT a key column, an
+    update may move a key to a different partition; the old home must
+    not be carried forward with the stale copy — the merge must still
+    equal a whole-table merge, with exactly one row per key."""
+    from firmable_aus_etl_spark.operators.joins import merge_upsert
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "a", 20.0), (3, "b", 30.0), (4, "c", 40.0)],
+        "id long, part string, v double",
+    )
+    LH.write_snapshot(base, root, partition_by=["part"])
+    # key 3 moves from part=b to part=c; part=b is NOT otherwise in
+    # the updates, so pre-fix it was carried forward with stale row 3
+    updates = spark.createDataFrame(
+        [(3, "c", 35.0)], "id long, part string, v double"
+    )
+    LH.merge_into_partitioned_snapshot(spark, root, updates, ["id"], "part")
+    got = LH.read_snapshot(spark, root).select("id", "part", "v")
+    expect = merge_upsert(base, updates, ["id"])
+    assert rows(got) == rows(expect)
+    # exactly one row per key — no duplicate left in the old partition
+    assert got.groupBy("id").count().filter(F.col("count") > 1).count() == 0
+    # the vacated old home no longer holds key 3
+    assert rows(got.filter(F.col("part") == "b")) == []
+
+
+def test_partitioned_merge_key_in_keys_skips_probe(spark, root):
+    """When partition_col IS one of keys, a partition value is part of
+    the key identity, no probe pass runs, and untouched partitions are
+    still carried forward by hard link (the proportional-cost path)."""
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0)], "id long, part string, v double"
+    )
+    LH.write_snapshot(base, root, partition_by=["part"])
+    updates = spark.createDataFrame([(1, "a", 9.0)], "id long, part string, v double")
+
+    def inodes(version, part):
+        d = os.path.join(root, f"snapshot={version}", f"part={part}")
+        return {
+            f: os.stat(os.path.join(d, f)).st_ino
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        }
+
+    before_b = inodes(0, "b")
+    LH.merge_into_partitioned_snapshot(spark, root, updates, ["id", "part"], "part")
+    assert inodes(1, "b") == before_b
+    assert rows(LH.read_snapshot(spark, root).select("id", "part", "v")) == [
+        (1, "a", 9.0), (2, "b", 2.0)
+    ]
+
+
+def test_vacuum_reclaims_crashed_writer_orphans(spark, root):
+    """ADVICE r4 (low): snapshot dirs with version > the committed
+    pointer are uncommitted orphans of a crashed writer; vacuum must
+    reclaim them (they were never reader-visible)."""
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    LH.write_snapshot(df, root)  # version 0 committed
+    orphan = os.path.join(root, "snapshot=5")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "junk.parquet"), "w") as fh:
+        fh.write("partial write")
+    removed = LH.vacuum_snapshots(root, keep=2)
+    assert 5 in removed
+    assert not os.path.exists(orphan)
+    # committed data untouched
+    assert rows(LH.read_snapshot(spark, root)) == [(1, 1.0)]
+
+
 def test_partitioned_merge_rejects_unsafe_partition_values(spark, root):
     base = spark.createDataFrame([(1, "ok", 1.0)], "id long, p string, v double")
     LH.write_snapshot(base, root, partition_by=["p"])

@@ -123,6 +123,35 @@ def test_audio_features_gated_for_non_wav(spark):
     assert "DecodeUnavailable" in str(ei.value) or "decode" in str(ei.value)
 
 
+def test_media_metadata_wav_extra_chunk_keeps_null_meta(spark):
+    """ADVICE r4 (low): a RIFF/WAVE file with an extra chunk between
+    fmt and data (e.g. 'fact') is NOT canonical 44-byte layout; the
+    expression-level sniffer must keep null meta rather than read the
+    extra chunk's header as the data size (wrong duration_ms)."""
+    import struct
+
+    from firmable_aus_etl_spark.multimodal import MEDIA_SCHEMA, with_media_metadata
+
+    canon = W.encode_wav([0] * 16000, sample_rate=16000)
+    # splice a 4-byte 'fact' chunk between fmt (ends at byte 36) and data
+    fact = b"fact" + struct.pack("<I", 4) + struct.pack("<I", 16000)
+    patched = canon[:36] + fact + canon[36:]
+    # fix the RIFF size field (bytes 4..8) for the inserted 12 bytes
+    patched = (
+        patched[:4]
+        + struct.pack("<I", struct.unpack("<I", canon[4:8])[0] + len(fact))
+        + patched[8:]
+    )
+    rows = [(1, "a://t.wav", None, None, bytearray(patched), None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA)
+    out = with_media_metadata(df).collect()[0]
+    assert out.mime == "audio/wav"  # still recognizably WAV...
+    assert out.meta is None or out.meta.duration_ms is None  # ...but no fake duration
+    # the chunk-walking real parser still decodes it correctly
+    sr, _ch, _w, samples = W.decode_wav(bytes(patched))
+    assert sr == 16000 and len(samples) == 16000
+
+
 def test_media_metadata_wav_fields(spark):
     from firmable_aus_etl_spark.multimodal import MEDIA_SCHEMA, with_media_metadata
 
