@@ -4634,6 +4634,11 @@ def q_orderkey_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("__hi") - F.col("__lo") + 1).cast("double")
         ).cast("long").alias("__bkt"),
     )
+    # consumed by BOTH the bounds collect (a separate job) and the
+    # main window job — checkpoint so the scan + min/max + bucket
+    # lineage computes once (PERF.md decision: shared self-join /
+    # two-job frames; r4 verdict item "What's wrong #2")
+    bucketed = bucketed.localCheckpoint()
     w = Window.partitionBy("__bkt").orderBy("o_orderkey")
     intra = (
         bucketed.withColumn("nxt", F.lead("o_orderkey").over(w))
@@ -7198,6 +7203,10 @@ def q_customer_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.col("__hi") - F.col("__lo") + 1).cast("double")
         ).cast("long").alias("__bkt"),
     )
+    # consumed by BOTH the counts collect and the main ranking job —
+    # checkpoint so the scan + per-customer groupBy + bucket lineage
+    # computes once (r4 verdict item "What's wrong #2")
+    bucketed = bucketed.localCheckpoint()
     # bounded planner state: <= n_buckets count rows -> rank offsets
     counts = sorted(
         bucketed.groupBy("__bkt").agg(F.count("*").alias("cnt")).collect(),
