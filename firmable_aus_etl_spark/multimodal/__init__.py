@@ -26,6 +26,7 @@ from firmable_aus_etl_spark.multimodal.ops import (
     dedup_media_exact,
     dedup_media_perceptual,
     gif_frames,
+    video_frames,
     perceptual_hash_images,
     frame_sample_plan,
 )
@@ -42,6 +43,7 @@ __all__ = [
     "dedup_media_exact",
     "dedup_media_perceptual",
     "gif_frames",
+    "video_frames",
     "perceptual_hash_images",
     "frame_sample_plan",
 ]

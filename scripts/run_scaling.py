@@ -1,0 +1,100 @@
+"""Empirical scale-curve measurement (round-5 verdict item #2).
+
+Runs the heaviest headline queries at synthetic sf0.1 / sf0.3 / sf1
+(scripts/gen_scaledata.py) plus the REAL driver sf0.1 fixture as a
+generator-validity anchor, min-of-N in one JVM with the bench noop
+sink, and prints a JSON record with per-query wall times and the
+fitted scaling exponent alpha where t ~ sf^alpha (least-squares slope
+of log t vs log sf over the synthetic points).
+
+alpha <= ~1.0 = linear scaling; the verdict's acceptance bar is
+alpha <= ~1.3 across the decade. Sub-linear alphas at the small end
+mean fixed stage/JIT overhead still dominates — disclosed, not hidden.
+
+Usage: python scripts/run_scaling.py [runs]
+Expects /tmp/scaledata/sf{0.1,0.3,1} to exist (gen_scaledata.py).
+"""
+
+from __future__ import annotations
+
+import json
+import math
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from firmable_aus_etl_spark.queries import PIPELINE_QUERIES, QUERIES  # noqa: E402
+from firmable_aus_etl_spark.session import get_session  # noqa: E402
+
+ALL = {**QUERIES, **PIPELINE_QUERIES}
+
+SCALES = [
+    ("real0.1", "/root/testdata/sf0.1", 0.1),
+    ("syn0.1", "/tmp/scaledata/sf0.1", 0.1),
+    ("syn0.3", "/tmp/scaledata/sf0.3", 0.3),
+    ("syn1", "/tmp/scaledata/sf1", 1.0),
+]
+
+QUERY_SET = [
+    # scan/join/window/merge core
+    "pricing_summary",
+    "revenue_by_nation",
+    "topk_lineitems_per_order",
+    "merge_upsert_orders",
+    "suppliers_kept_waiting",
+    # text dedup / quality family
+    "near_dup_clusters",
+    "ngram_jaccard_prefix_near_dups",
+    "minhash_verified_near_dups",
+    "remove_repeated_spans",
+    "remove_repeated_segments",
+    "decontaminate_documents",
+    "doc_bigram_perplexity",
+    "tfidf_cosine_top1",
+    # vector family
+    "lsh_multiprobe_ann_top3",
+    "embedding_cosine_near_dups",
+    "semantic_dedup_cell_blocked",
+    # graph
+    "copurchase_graph_summary",
+]
+
+
+def main() -> None:
+    runs_n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    spark = get_session("scaling")
+    spark.sparkContext.setLogLevel("ERROR")
+    results: dict[str, dict[str, float]] = {}
+    for label, sf_dir, _sf in SCALES:
+        if not os.path.isdir(sf_dir):
+            print(f"SKIP {label}: {sf_dir} missing", file=sys.stderr)
+            continue
+        for name in QUERY_SET:
+            best = math.inf
+            for _ in range(runs_n):
+                t0 = time.time()
+                ALL[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            results.setdefault(name, {})[label] = round(best, 3)
+            print(f"  {label:8s} {name:32s} {best:7.3f}s", file=sys.stderr)
+
+    # least-squares slope of log(t) on log(sf) over the synthetic points
+    pts = [(lbl, sf) for lbl, _d, sf in SCALES if lbl.startswith("syn")]
+    out = {}
+    for name, r in results.items():
+        xs = [math.log(sf) for lbl, sf in pts if lbl in r]
+        ys = [math.log(max(r[lbl], 1e-3)) for lbl, _sf in pts if lbl in r]
+        n = len(xs)
+        alpha = None
+        if n >= 2:
+            mx, my = sum(xs) / n, sum(ys) / n
+            denom = sum((x - mx) ** 2 for x in xs)
+            alpha = round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
+        out[name] = {**r, "alpha": alpha}
+    print(json.dumps({"runs": runs_n, "results": out}))
+
+
+if __name__ == "__main__":
+    main()

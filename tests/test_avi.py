@@ -1,0 +1,155 @@
+"""MJPEG-in-AVI container codec (round-4 verdict "Next round #3"):
+RIFF walk round-trip, true video-frame extraction through the stdlib
+JPEG decoder, per-frame perceptual dedup on a planted duplicate frame,
+cross-container GIF-vs-AVI dedup, and the non-MJPEG codec gate."""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.multimodal import avi as A
+from firmable_aus_etl_spark.multimodal import jpeg as J
+from firmable_aus_etl_spark.multimodal import png as P
+
+W, H = 16, 16
+
+
+def rgb_frame(fn) -> bytes:
+    return bytes(
+        c for y in range(H) for x in range(W) for c in fn(x, y)
+    )
+
+
+def grad_x(x, y):
+    v = min(255, x * 16)
+    return (v, v, v)
+
+
+def grad_y(x, y):
+    v = min(255, y * 16)
+    return (v, v, v)
+
+
+def jpeg_of(fn) -> bytes:
+    return J.encode_jpeg(rgb_frame(fn), W, H, channels=3)
+
+
+def test_avi_roundtrip_container():
+    f1, f2 = jpeg_of(grad_x), jpeg_of(grad_y)
+    data = A.encode_mjpeg_avi([f1, f2, f1], W, H, fps=5)
+    w, h, fps, frames = A.decode_mjpeg_avi(data)
+    assert (w, h, fps) == (W, H, 5.0)
+    # container round-trip is byte-exact per frame (no re-encode)
+    assert frames == [f1, f2, f1]
+    # every frame decodes through the stdlib JPEG codec
+    for fr in frames:
+        dw, dh, ch, px = J.decode_jpeg(fr)
+        assert (dw, dh, ch) == (W, H, 3) and len(px) == W * H * 3
+
+
+def test_avi_rejects_non_mjpeg_codec():
+    data = bytearray(A.encode_mjpeg_avi([jpeg_of(grad_x)], W, H))
+    i = data.find(b"vids") + 4
+    data[i : i + 4] = b"H264"
+    with pytest.raises(A.AviUnsupported, match="not MJPEG"):
+        A.decode_mjpeg_avi(bytes(data))
+
+
+def test_avi_rejects_non_avi_riff():
+    with pytest.raises(A.AviUnsupported):
+        A.decode_mjpeg_avi(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+
+
+def test_avi_decoder_skips_unknown_chunks():
+    """A JUNK chunk in hdrl and a non-video stream chunk in movi must
+    be walked over, not break frame collection."""
+    f1 = jpeg_of(grad_x)
+    data = A.encode_mjpeg_avi([f1], W, H)
+    # splice a JUNK chunk right before the movi LIST
+    movi_at = data.find(b"LIST", 12 + 8)  # first LIST is hdrl
+    movi_at = data.find(b"movi") - 8
+    junk = b"JUNK" + struct.pack("<I", 4) + b"\x00" * 4
+    patched = data[:movi_at] + junk + data[movi_at:]
+    patched = (
+        patched[:4]
+        + struct.pack("<I", struct.unpack("<I", data[4:8])[0] + len(junk))
+        + patched[8:]
+    )
+    w, h, _fps, frames = A.decode_mjpeg_avi(patched)
+    assert (w, h) == (W, H) and frames == [f1]
+
+
+def test_video_frames_avi_and_planted_dup_found(spark):
+    from firmable_aus_etl_spark.multimodal import dedup_media_perceptual
+    from firmable_aus_etl_spark.multimodal.ops import video_frames
+
+    f1, f2 = jpeg_of(grad_x), jpeg_of(grad_y)
+    # video with a repeated frame: f1, f2, f1 at 10 fps
+    data = A.encode_mjpeg_avi([f1, f2, f1], W, H, fps=10)
+    df = spark.createDataFrame([(9, data)], "media_id long, content binary")
+    frames_df = video_frames(df)
+    rows = sorted(frames_df.collect(), key=lambda r: r.frame_idx)
+    assert [r.ts_ms for r in rows] == [0, 100, 200]
+    assert [r.delay_ms for r in rows] == [100, 100, 100]
+    for r in rows:
+        pw, ph, ch, _px = P.decode_png(bytes(r.content))
+        assert (pw, ph, ch) == (W, H, 3)
+    # per-frame perceptual dedup finds the planted duplicate frame
+    per_frame = frames_df.select(
+        (frames_df.media_id * 1000 + frames_df.frame_idx).alias("media_id"),
+        "content",
+    )
+    pairs = {(r.a_id, r.b_id) for r in dedup_media_perceptual(per_frame).collect()}
+    assert pairs == {(9000, 9002)}
+
+
+def test_video_frames_cross_container_gif_avi_dedup(spark):
+    """The same pixels as a GIF frame and as an MJPEG AVI frame dedup
+    against each other through the shared PNG frame surface."""
+    from firmable_aus_etl_spark.multimodal import dedup_media_perceptual
+    from firmable_aus_etl_spark.multimodal import gif as G
+    from firmable_aus_etl_spark.multimodal.ops import video_frames
+
+    # 4-level grayscale palette GIF of the x-gradient
+    pal = [(0, 0, 0), (64, 64, 64), (128, 128, 128), (192, 192, 192)]
+    idx = bytes(min(3, x // 4) for y in range(H) for x in range(W))
+    gif_data = G.encode_gif([idx], W, H, pal)
+    # the SAME image as an MJPEG AVI frame (from the palette pixels)
+    rgb = b"".join(bytes(pal[i]) for i in idx)
+    avi_data = A.encode_mjpeg_avi(
+        [J.encode_jpeg(rgb, W, H, channels=3)], W, H
+    )
+    df = spark.createDataFrame(
+        [(1, gif_data), (2, avi_data)], "media_id long, content binary"
+    )
+    frames_df = video_frames(df).select(
+        (F.col("media_id") * 10 + F.col("frame_idx")).alias("media_id"), "content"
+    )
+    pairs = {(r.a_id, r.b_id) for r in dedup_media_perceptual(frames_df).collect()}
+    assert (10, 20) in pairs
+
+
+def test_video_frames_gates_other_containers(spark):
+    from firmable_aus_etl_spark.multimodal.ops import video_frames
+
+    df = spark.createDataFrame(
+        [(1, b"\x1a\x45\xdf\xa3webmdata")], "media_id long, content binary"
+    )
+    with pytest.raises(Exception) as ei:
+        video_frames(df).collect()
+    assert "DecodeUnavailable" in str(ei.value) or "MJPEG" in str(ei.value)
+
+
+def test_avi_metadata_mime(spark):
+    from firmable_aus_etl_spark.multimodal import MEDIA_SCHEMA, with_media_metadata
+
+    data = A.encode_mjpeg_avi([jpeg_of(grad_x)], W, H)
+    df = spark.createDataFrame(
+        [(1, "a://x.avi", None, None, bytearray(data), None)], MEDIA_SCHEMA
+    )
+    out = with_media_metadata(df).collect()[0]
+    assert out.mime == "video/avi" and out.media_type == "video"
+

@@ -18,7 +18,7 @@ from firmable_aus_etl_spark.multimodal import (
 
 PNG = b"\x89PNG\r\n\x1a\n" + b"fakepixels" * 10
 JPG = b"\xff\xd8\xff\xe0" + b"jj" * 20
-WAV = b"RIFF" + b"\x00" * 8 + b"WAVE"
+WAV = b"RIFF" + b"\x04\x00\x00\x00" + b"WAVE"  # real layout: WAVE at byte 8
 
 
 @pytest.fixture(scope="module")
