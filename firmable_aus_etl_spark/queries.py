@@ -858,8 +858,36 @@ def q_lsh_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_EXACT_TOP3_CTE = """
-  WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+# default corpus CTE: the raw embeddings table as doubles. The
+# clustered-fixture queries swap this for a deterministic clustered
+# transform (see _CLUSTERED_E_CTES) — everything downstream (planes,
+# signatures, probes, exact top-3) is corpus-agnostic.
+_DEFAULT_E_CTES = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+# Deterministic PLANTED-CLUSTER corpus derived from the embeddings
+# table (round-4 verdict "Next round #5"): the first 50 vectors with
+# vec_id % 10 = 1 act as cluster centroids (ck = (vec_id-1)/10 in
+# 0..49); every vector blends 0.85*centroid((vec_id mod 50)) +
+# 0.15*self elementwise — 50 tight Gaussian-ish clusters with the
+# same cardinality as the input. Per-element double arithmetic in
+# identical order on both engines -> bit-identical vectors; no
+# normalization needed (signatures are scale-invariant, probe-cost
+# ranking is per-query uniformly scaled, and cosine normalizes
+# internally).
+_CLUSTERED_E_CTES = """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+cent AS (SELECT CAST((vec_id - 1) // 10 AS BIGINT) AS ck, v AS cv
+         FROM base WHERE vec_id % 10 = 1 AND vec_id < 500),
+e AS (
+  SELECT b.vec_id,
+         list_transform(range(1, 65), i -> 0.85 * c.cv[i] + 0.15 * b.v[i]) AS v
+  FROM base b JOIN cent c ON (b.vec_id % 50) = c.ck
+)"""
+
+
+def _exact_top3_cte(e_ctes: str = _DEFAULT_E_CTES) -> str:
+    return f"""
+  WITH {e_ctes},
   s AS (
     SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
            list_cosine_similarity(q.v, c.v) AS cosine
@@ -872,8 +900,12 @@ _EXACT_TOP3_CTE = """
 """
 
 
+_EXACT_TOP3_CTE = _exact_top3_cte()
+
+
 def _multiprobe_ctes(
-    dim: int, n_planes: int, n_tables: int, probes: int, seed: int
+    dim: int, n_planes: int, n_tables: int, probes: int, seed: int,
+    e_ctes: str = _DEFAULT_E_CTES,
 ) -> str:
     """Shared CTE chain replaying query-directed multi-probe sign-LSH
     (functions.vectors.lsh_multiprobe_topk) bit-for-bit: dot products,
@@ -895,7 +927,7 @@ def _multiprobe_ctes(
         fs_rows.append(f"(CAST({mask} AS BIGINT), {b1}, {b2})")
     return f"""p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
 fs(mask, b1, b2) AS (VALUES {", ".join(fs_rows)}),
-e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+{e_ctes},
 d AS (SELECT e.vec_id, p.tbl, p.plane, list_dot_product(e.v, p.pvec) AS dot
       FROM e CROSS JOIN p),
 sig AS (
@@ -953,6 +985,7 @@ def _ann_recall_oracle(
     n_tables: int = 6,
     probes: int = 10,
     seed: int = 42,
+    e_ctes: str = _DEFAULT_E_CTES,
 ) -> str:
     """Recall@3 of the multi-probe sign-LSH path vs exact brute force,
     WITH candidate telemetry — both sides deterministic, so the QUALITY
@@ -962,8 +995,8 @@ def _ann_recall_oracle(
     subset), so hits are counted against the candidate set directly —
     one evaluation instead of two."""
     return f"""
-WITH {_multiprobe_ctes(dim, n_planes, n_tables, probes, seed)},
-exact AS ({_EXACT_TOP3_CTE})
+WITH {_multiprobe_ctes(dim, n_planes, n_tables, probes, seed, e_ctes)},
+exact AS ({_exact_top3_cte(e_ctes)})
 SELECT CAST(count(DISTINCT x.query_id) AS BIGINT) AS n_queries,
        CAST(count(*) AS BIGINT) AS n_exact,
        CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
@@ -999,6 +1032,74 @@ def q_lsh_multiprobe_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
     )
+
+
+def _clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _CLUSTERED_E_CTES: deterministic planted-cluster
+    corpus from the embeddings table — 50 centroids (vec_id % 10 = 1,
+    vec_id < 500), every vector pulled 85% toward centroid
+    (vec_id mod 50). zip_with evaluates per element in array order,
+    matching DuckDB's list_transform over range(1,65) bit for bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = base.filter((F.col("vec_id") % 10 == 1) & (F.col("vec_id") < 500)).select(
+        ((F.col("vec_id") - 1) / F.lit(10)).cast("long").alias("ck"),
+        F.col("v").alias("cv"),
+    )
+    return base.join(F.broadcast(cent), (F.col("vec_id") % 50) == F.col("ck")).select(
+        "vec_id",
+        F.zip_with(
+            "cv", "v", lambda c, x: c * F.lit(0.85) + x * F.lit(0.15)
+        ).alias("embedding"),
+    )
+
+
+@register(
+    "ann_recall_clustered",
+    _ann_recall_oracle(probes=2, e_ctes=_CLUSTERED_E_CTES),
+)
+def q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit on a PLANTED-CLUSTER corpus (round-4 verdict
+    "Next round #5"): real embedding corpora are clustered, and the
+    near-uniform driver fixture is LSH's worst case — this query
+    measures the same multi-probe sign-LSH path on a deterministic
+    50-cluster transform of the same table, with the recall metric
+    itself oracle-checked like ann_recall_report.
+
+    Measured frontier at sf0.01 (see PERF.md): probes=2 -> recall
+    1.000 at 3,142 candidates, vs the uniform fixture's 0.833 at
+    9,987 candidates with probes=10 — on cluster-structured data the
+    same index family needs ~1/5 the probe budget and ~1/3 the
+    candidate volume for perfect recall@3, which is the behavior a
+    production corpus actually sees. Even single-probe (plain LSH)
+    measures 1.000 here (1,661 candidates) vs 0.347 on uniform."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    clustered = _clustered_corpus(spark, sf_dir).localCheckpoint()
+    queries = clustered.filter(F.col("vec_id") % 10 == 0)
+    exact = V.brute_force_topk(queries, clustered, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    cand = V.lsh_multiprobe_topk(
+        queries, clustered, dim=64, k=None, n_planes=7, n_tables=6, probes=2,
+        seed=42,
+    )
+    ncand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    joined = exact.join(
+        cand.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    report = joined.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        F.floor(
+            1000000.0
+            * F.sum(F.coalesce("__hit", F.lit(0)))
+            / F.count("*")
+        ).cast("long").alias("recall_e6"),
+    )
+    # 1-row scalar attachment (benign IdentityBroadcastMode pattern)
+    return report.crossJoin(F.broadcast(ncand))
 
 
 @register("ann_recall_report", _ann_recall_oracle())
