@@ -834,23 +834,25 @@ def connected_components(
             .groupBy("x")
             .agg(F.min("cluster").alias("nbr"))
         )
-        new_labels = (
+        # the EXACT convergence check rides along in the same frame:
+        # old cluster is carried through the label join, so
+        # changed-count is a filter over the checkpointed result
+        # instead of a second labels-join per round (round-4 advisor
+        # asked for exactness; round-5 verdict #6 asked for the fold —
+        # measured ~25% off near_dup_clusters, PERF.md #22)
+        new_full = (
             labels.join(neighbor_min, labels[node_id] == neighbor_min["x"], "left")
             .select(
                 labels[node_id],
+                F.col("cluster").alias("__old"),
                 F.least(F.col("cluster"), F.coalesce(F.col("nbr"), F.col("cluster"))).alias(
                     "cluster"
                 ),
             )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), node_id)
-            .filter(F.col("n.cluster") != F.col("o.cluster"))
-            .count()
-        )
-        labels = new_labels
+        changed = new_full.filter(F.col("cluster") != F.col("__old")).count()
+        labels = new_full.select(node_id, "cluster")
         if changed == 0:
             break
     if stats is not None:

@@ -131,18 +131,26 @@ def graph_summary(pairs: DataFrame, src: str = "a", dst: str = "b") -> DataFrame
     re-execute the full upstream pair generation (e.g. the co-purchase
     self-join) from scratch."""
     edges = undirected_simple_edges(pairs, src, dst).localCheckpoint(eager=False)
-    nodes = (
+    # nodes, edges, and wedges all derive from ONE degree aggregation
+    # (n_edges = sum(deg)/2, n_wedges = sum C(deg,2)) — one pass over
+    # the checkpointed edge frame and a single scalar attachment
+    # instead of three separate jobs + BNLJ nodes (round-5 verdict #6)
+    deg = (
         edges.select(F.col("a").alias("node"))
         .unionAll(edges.select(F.col("b").alias("node")))
-        .agg(F.count_distinct("node").alias("n_nodes"))
+        .groupBy("node")
+        .agg(F.count("*").alias("deg"))
     )
-    n_edges = edges.agg(F.count("*").cast("long").alias("n_edges"))
+    base = deg.agg(
+        F.count("*").cast("long").alias("n_nodes"),
+        F.coalesce((F.sum("deg") / 2).cast("long"), F.lit(0)).alias("n_edges"),
+        F.coalesce(
+            (F.sum(F.col("deg") * (F.col("deg") - 1)) / 2).cast("long"), F.lit(0)
+        ).alias("n_wedges"),
+    )
     tri = triangle_count(edges)
-    wed = wedge_count(edges)
     return (
-        nodes.crossJoin(n_edges)
-        .crossJoin(wed)
-        .crossJoin(tri)
+        base.crossJoin(tri)
         .select(
             "n_nodes",
             "n_edges",
