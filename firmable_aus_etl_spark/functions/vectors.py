@@ -265,6 +265,7 @@ def ivf_topk(
     nprobe: int = 4,
     seed: int = 7,
     centroids: list[list[float]] | None = None,
+    cell_cap: int | None = None,
 ) -> DataFrame:
     """IVF-style ANN: corpus vectors live in their single nearest cell;
     queries probe their ``nprobe`` nearest cells; exact cosine re-ranks
@@ -276,6 +277,19 @@ def ivf_topk(
     deterministic pseudo-random directions; pass
     ``kmeans_centroids(...)`` output for data-trained cells (better
     recall at the same nprobe — cells follow the data's density).
+
+    ``cell_cap`` bounds HOT-CENTROID skew (SKEW.md): a cell holding a
+    large fraction of the corpus would put its entire population
+    through one join key — one reducer task owns half the data (the
+    IVF analog of a hot join key; whole-vector k-means retraining
+    does NOT disperse a tight blob, measured in
+    tests/test_vectors.py). With a cap, each over-cap cell is salted
+    into ceil(size/cap) deterministic shards (xxhash64 of the corpus
+    id); queries probing that cell fan out to every shard. Candidate
+    SET and results are identical — only the join-key population is
+    re-sharded, so per-task fan-in is bounded by ~cap regardless of
+    the data's density profile. Costs one bounded size collect
+    (<= n_cells rows) + a checkpoint of the assigned corpus.
     """
     if centroids is None:
         # unit-normalize: raw LCG directions have varying norms, which
@@ -298,8 +312,33 @@ def ivf_topk(
         F.col(vec_col).alias("__cv"),
         ivf_assign(F.col(vec_col), centroids, nprobe=1)[0].alias("cell"),
     )
+    join_keys = ["cell"]
+    if cell_cap is not None:
+        import math
+
+        # the assigned corpus feeds both the size pass and the join —
+        # materialize so the n_cells-dot assignment map runs once
+        c = c.localCheckpoint()
+        sizes = {
+            r["cell"]: r["cnt"]
+            for r in c.groupBy("cell").agg(F.count("*").alias("cnt")).collect()
+        }
+        salts = [
+            max(1, math.ceil(sizes.get(i, 0) / cell_cap))
+            for i in range(len(centroids))
+        ]
+        salt_arr = F.expr("array(" + ", ".join(str(x) for x in salts) + ")")
+        n_salt = F.element_at(salt_arr, F.col("cell") + 1)
+        c = c.withColumn(
+            "__salt", F.pmod(F.xxhash64("neighbor_id"), n_salt).cast("int")
+        )
+        q = q.withColumn(
+            "__salt",
+            F.explode(F.sequence(F.lit(0), (n_salt - 1).cast("int"))),
+        )
+        join_keys = ["cell", "__salt"]
     scored = (
-        q.join(c, on=["cell"])
+        q.join(c, on=join_keys)
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id", "__qv", "__cv")
         .distinct()

@@ -102,6 +102,68 @@ def test_degree_orientation_bounds_hub_wedges(spark):
     assert triangle_count(star, orient="id").collect()[0].n_triangles == 0
 
 
+def test_zipf_graph_degree_orientation_bounds_wedges(spark):
+    """Round-5 verdict #7: power-law (Zipf-degree) co-purchase-shaped
+    graph — hubs draw LOW ids (the adversarial alignment for id-ranked
+    orientation, and the natural one: popular parts get created
+    early/often). Degree orientation must shrink BOTH the total wedge
+    rows and the worst per-root fan-out by a large factor while
+    counting identical triangles. Measured numbers recorded in
+    SKEW.md."""
+    from pyspark.sql import functions as F
+
+    from firmable_aus_etl_spark.operators.graph import _degree_directed
+
+    # deterministic Zipf-ish multigraph: node i targets j < i with
+    # preferential attachment via an LCG — low ids accumulate high
+    # degree (deg ~ 1/rank), like co-purchase part popularity
+    state, pairs = 99, set()
+    n = 400
+    for i in range(1, n):
+        state = (state * 1103515245 + 12345) % (1 << 31)
+        for _ in range(1 + (state >> 9) % 3):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            # preferential: square the unit draw so low ids dominate
+            frac = ((state >> 7) % 10_000) / 10_000.0
+            j = int(i * frac * frac)
+            if j != i:
+                pairs.add((min(i, j), max(i, j)))
+    e = _edges(spark, sorted(pairs))
+
+    def wedge_stats(d):
+        e1 = d.select("u", F.col("v").alias("y"), F.col("__r").alias("__ry"))
+        e2 = d.select("u", F.col("v").alias("z"), F.col("__r").alias("__rz"))
+        w = e1.join(e2, "u").filter(F.col("__ry") < F.col("__rz"))
+        per_root = w.groupBy("u").count()
+        row = per_root.agg(
+            F.coalesce(F.sum("count"), F.lit(0)).alias("total"),
+            F.coalesce(F.max("count"), F.lit(0)).alias("max_root"),
+        ).collect()[0]
+        return int(row.total), int(row.max_root)
+
+    d_id = e.select(
+        F.col("a").alias("u"), F.col("b").alias("v"), F.col("b").alias("__r")
+    )
+    dd = _degree_directed(e)
+    d_deg = dd.select("u", "v", F.struct("dv", "v").alias("__r"))
+    tot_id, max_id = wedge_stats(d_id)
+    tot_deg, max_deg = wedge_stats(d_deg)
+    m = e.count()
+    # degree orientation: a large reduction in total wedge rows and
+    # the hot-root bound every task-time argument rests on
+    assert tot_deg * 3 < tot_id, (tot_deg, tot_id)
+    assert max_deg * 10 < max_id, (max_deg, max_id)
+    # sqrt(2m) out-degree bound => per-root wedges <= C(sqrt(2m), 2)
+    bound = 2 * m
+    assert max_deg <= bound, (max_deg, bound)
+    # identical triangle counts
+    t_deg = triangle_count(e, orient="degree").collect()[0].n_triangles
+    t_id = triangle_count(e, orient="id").collect()[0].n_triangles
+    assert t_deg == t_id > 0
+    print(f"ZIPF-WEDGES m={m} id=(total {tot_id}, max {max_id}) "
+          f"degree=(total {tot_deg}, max {max_deg}) triangles={t_deg}")
+
+
 def test_pagerank_hub_dominates_and_mass_bounded(spark):
     from firmable_aus_etl_spark.operators.graph import pagerank
 

@@ -374,6 +374,88 @@ def test_multiprobe_beats_single_probe_recall(spark):
     assert r2 >= 0.8, f"multi-probe recall too low: {r2}"
 
 
+def test_ivf_hot_centroid_salting_bounds_join_keys(spark):
+    """Round-5 verdict #7: hot-centroid IVF skew. A corpus where ~50%
+    of vectors pile into ONE cell makes that cell a hot join key — one
+    reducer task owns half the data (the curse-of-the-last-reducer
+    shape, like a graph hub). Two findings, both pinned:
+
+    1. HONEST NEGATIVE: whole-vector k-means retraining does NOT
+       disperse a tight blob — the dot-product argmax keeps funneling
+       near-identical vectors to one nearest centroid, so the hot
+       cell survives Lloyd's iterations at ~the same size.
+    2. The bounded variant is ivf_topk(cell_cap=...): over-cap cells
+       are salted into ceil(size/cap) deterministic shards — the
+       candidate set and top-k results are IDENTICAL, but the max
+       join-key population drops from ~n/2 to ~cap, restoring
+       per-task boundedness regardless of the density profile.
+
+    Numbers recorded in SKEW.md."""
+    dim, n, n_cells = 16, 1000, 8
+    state, rows = 11, []
+    st = 5
+    hub = []
+    for _ in range(dim):
+        st = (st * 1103515245 + 12345) % (1 << 31)
+        hub.append(st / float(1 << 31) - 0.5)
+    for i in range(n):
+        vec = []
+        for _ in range(dim):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            vec.append(state / float(1 << 31) - 0.5)
+        if i % 2 == 0:  # 50% of the corpus hugs the hub direction
+            vec = [h + 0.05 * x for h, x in zip(hub, vec)]
+        rows.append((i, vec))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") % 25 == 0)
+
+    fixed_raw = V.make_planes(dim, n_cells, seed=7)
+    fixed = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in fixed_raw]
+    trained = V.kmeans_centroids(df, dim=dim, k=n_cells, iters=3, seed=7)
+    cap = n // 5
+
+    def key_sizes(cents, cell_cap):
+        c = df.select(
+            F.col("vec_id"),
+            V.ivf_assign(F.col("embedding"), cents, nprobe=1)[0].alias("cell"),
+        )
+        if cell_cap is None:
+            grp = c.groupBy("cell").count()
+        else:
+            import math
+
+            sizes = {r.cell: r["count"] for r in c.groupBy("cell").count().collect()}
+            salts = [max(1, math.ceil(sizes.get(i, 0) / cell_cap))
+                     for i in range(len(cents))]
+            arr = F.expr("array(" + ", ".join(str(x) for x in salts) + ")")
+            grp = c.withColumn(
+                "salt",
+                F.pmod(F.xxhash64("vec_id"), F.element_at(arr, F.col("cell") + 1)),
+            ).groupBy("cell", "salt").count()
+        return max(r["count"] for r in grp.collect())
+
+    max_fixed = key_sizes(fixed, None)
+    max_trained = key_sizes(trained, None)
+    max_salted = key_sizes(fixed, cap)
+    # the hot cell holds ~half the corpus under fixed centroids
+    assert max_fixed >= 0.4 * n, max_fixed
+    # honest negative: retraining leaves the blob in one cell
+    assert max_trained >= 0.4 * n, max_trained
+    # salting bounds every join key near the cap (hash imbalance slack)
+    assert max_salted <= 1.5 * cap, (max_salted, cap)
+
+    # results are IDENTICAL with and without the cap
+    plain = V.ivf_topk(qs, df, dim=dim, k=3, n_cells=n_cells, nprobe=2,
+                       centroids=fixed)
+    capped = V.ivf_topk(qs, df, dim=dim, k=3, n_cells=n_cells, nprobe=2,
+                        centroids=fixed, cell_cap=cap)
+    a = sorted((r.query_id, r.neighbor_id, r.rank) for r in plain.collect())
+    b = sorted((r.query_id, r.neighbor_id, r.rank) for r in capped.collect())
+    assert a == b and len(a) > 0
+    print(f"IVF-HOT n={n} max_key fixed={max_fixed} trained={max_trained} "
+          f"salted(cap={cap})={max_salted} topk_rows={len(a)}")
+
+
 def test_clustered_fixture_recall_at_low_probe_budget(spark):
     """Round-4 verdict "Next round #5": on a planted-cluster corpus the
     multi-probe LSH path must reach >= 0.9 recall@3 at a FAR lower
