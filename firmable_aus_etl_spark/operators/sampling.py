@@ -79,3 +79,55 @@ def weighted_sample_ares(
     else:
         picked = scored.orderBy(F.col("__pri").desc(), F.col(key_col).asc()).limit(k)
     return picked.withColumn("__priority", F.round("__pri", 9)).drop("__pri")
+
+
+def temperature_mixture_rates(
+    df: DataFrame,
+    group_col: str,
+    size_col: str,
+    *,
+    budget: int,
+) -> DataFrame:
+    """Temperature-scaled (alpha = 0.5) mixture-sampling rates per
+    group — the multilingual/domain-mixing recipe (sample group g at
+    weight n_g^alpha / sum n^alpha, so small domains are up-weighted
+    relative to proportional sampling but large ones still dominate;
+    alpha=0.5 is the sqrt temperature used by multilingual LM data
+    mixes). Returns one row per group: (group, n_rows, n_units,
+    weight, rate) where rate = min(1, budget * weight / n_units) is
+    the per-row keep probability that hits the unit budget in
+    expectation.
+
+    alpha is fixed at 0.5 because sqrt is a correctly-rounded IEEE
+    primitive on every engine — pow(x, a) for general a is libm- and
+    engine-specific, which would break oracle bit-equality. weight
+    and rate round at 6 dp on both engines (the weight sum crosses an
+    engine-specific aggregation order).
+
+    Scale shape: one partial-aggregated groupBy + a 1-row scalar
+    attachment; downstream application is a map-side hash filter
+    (bernoulli_sample per group rate) — no shuffle of the corpus.
+    """
+    g = df.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.sum(size_col).cast("long").alias("n_units"),
+    )
+    w = g.withColumn("__w", F.sqrt(F.col("n_units").cast("double")))
+    tot = w.agg(F.sum("__w").alias("__tw"))
+    return (
+        w.crossJoin(F.broadcast(tot))
+        .select(
+            group_col,
+            "n_rows",
+            "n_units",
+            F.round(F.col("__w") / F.col("__tw"), 6).alias("weight"),
+            F.round(
+                F.least(
+                    F.lit(1.0),
+                    F.lit(float(budget)) * F.col("__w") / F.col("__tw")
+                    / F.col("n_units").cast("double"),
+                ),
+                6,
+            ).alias("rate"),
+        )
+    )

@@ -8012,3 +8012,182 @@ def q_customer_ltv_by_first_order_year(spark: SparkSession, sf_dir: str) -> Data
         "avg_ltv_cents",
         F.expr("total_cents div n_customers").cast("long"),
     )
+
+
+# =========================================================================
+# Round-5 widening: training-corpus curation family — domain mixing,
+# budgeted selection, dedup-rate audit. All oracle-bearing.
+# =========================================================================
+
+_MIXTURE_RATES_SQL = f"""
+WITH d AS (SELECT lang, len({_TOKENS_SQL}) AS n_tok FROM documents),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_tok) AS BIGINT) AS n_units
+      FROM d GROUP BY lang),
+w AS (SELECT *, sqrt(CAST(n_units AS DOUBLE)) AS ww FROM g),
+t AS (SELECT sum(ww) AS tw FROM w)
+SELECT lang, n_rows, n_units,
+       round(ww / tw, 6) AS weight,
+       round(least(1.0, 50000.0 * ww / tw / CAST(n_units AS DOUBLE)), 6) AS rate
+FROM w CROSS JOIN t
+"""
+
+
+@register("mixture_sampling_rates", _MIXTURE_RATES_SQL)
+def q_mixture_sampling_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-mixing plan for a training corpus: temperature-scaled
+    (sqrt, alpha=0.5) per-language sampling rates hitting a 50k-token
+    budget in expectation (operators/sampling.py:
+    temperature_mixture_rates) — the multilingual-mix recipe where
+    small languages are up-weighted vs proportional sampling. One
+    groupBy + a 1-row scalar attachment; the corpus never shuffles."""
+    from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.sampling import temperature_mixture_rates
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "lang", "doc_id", T.token_count("text").alias("n_tok")
+    )
+    return temperature_mixture_rates(docs, "lang", "n_tok", budget=50_000)
+
+
+_MIXTURE_SAMPLED_SQL = f"""
+WITH d AS (SELECT doc_id, lang, len({_TOKENS_SQL}) AS n_tok FROM documents),
+g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_rows,
+             CAST(sum(n_tok) AS BIGINT) AS n_units
+      FROM d GROUP BY lang),
+w AS (SELECT *, sqrt(CAST(n_units AS DOUBLE)) AS ww FROM g),
+t AS (SELECT sum(ww) AS tw FROM w),
+r AS (SELECT lang,
+             round(least(1.0, 50000.0 * ww / tw / CAST(n_units AS DOUBLE)), 6)
+               AS rate
+      FROM w CROSS JOIN t),
+kept AS (
+  SELECT d.lang, d.n_tok
+  FROM d JOIN r ON d.lang = r.lang
+  WHERE (CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 12)) AS BIGINT) + 1)
+        / 281474976710656.0 <= r.rate
+)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_sampled,
+       CAST(sum(n_tok) AS BIGINT) AS sampled_tokens
+FROM kept GROUP BY lang
+"""
+
+
+@register("mixture_sampled_corpus", _MIXTURE_SAMPLED_SQL)
+def q_mixture_sampled_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixture plan APPLIED: deterministic per-language Bernoulli
+    keep via the portable 48-bit md5 unit hash (same rows on any
+    layout; appends never resample survivors), reporting realized
+    per-language token volume. The rate join is a broadcast of the
+    |langs|-row plan; the keep filter is map-side — the full corpus
+    crosses no shuffle until the audit aggregation."""
+    from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.sampling import (
+        _uniform_from_key,
+        temperature_mixture_rates,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "lang", T.token_count("text").alias("n_tok")
+    )
+    rates = temperature_mixture_rates(docs, "lang", "n_tok", budget=50_000).select(
+        "lang", "rate"
+    )
+    kept = docs.join(F.broadcast(rates), "lang").filter(
+        _uniform_from_key(F.col("doc_id")) <= F.col("rate")
+    )
+    return kept.groupBy("lang").agg(
+        F.count("*").cast("long").alias("n_sampled"),
+        F.sum("n_tok").cast("long").alias("sampled_tokens"),
+    )
+
+
+@register(
+    "dedup_rate_by_source",
+    f"""
+    WITH d AS (SELECT source, md5({_NORM_SQL}) AS fp FROM documents)
+    SELECT source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(DISTINCT fp) AS BIGINT) AS n_unique,
+           round(1.0 - CAST(count(DISTINCT fp) AS DOUBLE) / count(*), 6)
+             AS dup_rate
+    FROM d GROUP BY source
+    """,
+)
+def q_dedup_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-health audit: per-source exact-duplicate rate over the
+    normalized-text md5 fingerprint — the quantity a crawl pipeline
+    tracks per snapshot to catch source regressions. distinct-count
+    shuffles only (source, fp) pairs; partial aggregation keeps the
+    map side combining."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select("source", F.md5(T.normalize_name("text")).alias("fp"))
+    return d.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.count_distinct("fp").cast("long").alias("n_unique"),
+        F.round(
+            1.0 - F.count_distinct("fp").cast("double") / F.count("*"), 6
+        ).alias("dup_rate"),
+    )
+
+
+_QUALITY_BUDGET_SQL = f"""
+WITH q AS ({_QUALITY_ORACLE.strip()}),
+d AS (
+  SELECT doc_id, lang, len({_TOKENS_SQL}) AS n_tok FROM documents
+),
+ranked AS (
+  SELECT d.lang, d.n_tok, q.quality,
+         sum(d.n_tok) OVER (PARTITION BY d.lang
+                            ORDER BY q.quality DESC, d.doc_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS cum_tok
+  FROM d JOIN q ON d.doc_id = q.doc_id
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_selected,
+       CAST(sum(n_tok) AS BIGINT) AS tokens_selected,
+       CAST(floor(1000000.0 * min(quality)) AS BIGINT) AS min_quality_e6
+FROM ranked WHERE cum_tok <= 10000
+GROUP BY lang
+"""
+
+
+@register("quality_budget_selection", _QUALITY_BUDGET_SQL)
+def q_quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Budgeted corpus curation: per language, keep the highest-
+    quality documents until a 10k-token budget — greedy quality-first
+    selection (the curation step after scoring/dedup, before
+    packing). The running token total is an INTEGER cumulative sum
+    over a lang-PARTITIONED window ordered by (quality desc, doc_id)
+    — quality is the bit-identical pure-expression score, doc_id
+    breaks ties, so the selection boundary cannot flip between
+    engines; the window never sees more than one language's rows per
+    task (no unbounded global window)."""
+    from pyspark.sql import Window
+
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    d = docs.select(
+        "doc_id", "lang",
+        T.token_count("text").cast("long").alias("n_tok"),
+        T.quality_score("text").alias("quality"),
+    )
+    w = (
+        Window.partitionBy("lang")
+        .orderBy(F.col("quality").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    ranked = d.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return (
+        ranked.filter(F.col("cum_tok") <= 10_000)
+        .groupBy("lang")
+        .agg(
+            F.count("*").cast("long").alias("n_selected"),
+            F.sum("n_tok").cast("long").alias("tokens_selected"),
+            F.floor(1000000.0 * F.min("quality")).cast("long").alias("min_quality_e6"),
+        )
+    )

@@ -65,3 +65,35 @@ def test_k_anonymity_flags_small_groups_only(spark):
         for r in k_anonymity_violations(df, ["state", "seg"], k=5).collect()
     }
     assert out == {("VIC", "B"): 2, ("QLD", "B"): 1}
+
+
+def test_temperature_mixture_rates_properties(spark):
+    """sqrt-temperature mixing: weights sum to ~1, small groups get
+    MORE than proportional share, big groups less; expected kept
+    units land near the budget when no group saturates rate=1."""
+    from firmable_aus_etl_spark.operators.sampling import temperature_mixture_rates
+
+    rows = [("big", i, 100) for i in range(900)] + [
+        ("small", 10_000 + i, 100) for i in range(100)
+    ]
+    df = spark.createDataFrame(rows, "grp string, doc_id long, n_tok int")
+    out = {r.grp: r for r in
+           temperature_mixture_rates(df, "grp", "n_tok", budget=20_000).collect()}
+    assert abs(out["big"].weight + out["small"].weight - 1.0) < 1e-5
+    # proportional share of 'small' is 10%; sqrt temperature gives 25%
+    assert out["small"].weight > 0.2
+    assert out["big"].weight < 0.8
+    expected = sum(out[g].rate * out[g].n_units for g in out)
+    assert abs(expected - 20_000) < 200
+    # rates are keep-probabilities
+    assert all(0.0 < out[g].rate <= 1.0 for g in out)
+
+
+def test_temperature_mixture_saturates_at_one(spark):
+    from firmable_aus_etl_spark.operators.sampling import temperature_mixture_rates
+
+    df = spark.createDataFrame(
+        [("only", i, 10) for i in range(50)], "grp string, doc_id long, n_tok int"
+    )
+    out = temperature_mixture_rates(df, "grp", "n_tok", budget=10**9).collect()[0]
+    assert out.rate == 1.0 and out.weight == 1.0
