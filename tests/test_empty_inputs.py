@@ -91,3 +91,34 @@ def test_sampling_empty_frame(spark):
     df = spark.createDataFrame([], "k long, w long")
     assert bernoulli_sample(df, "k", 0.5).count() == 0
     assert weighted_sample_ares(df, "k", "w", k=5).count() == 0
+
+
+def test_mixture_rates_empty_frame(spark):
+    from firmable_aus_etl_spark.operators.sampling import temperature_mixture_rates
+
+    df = spark.createDataFrame([], "grp string, doc_id long, n_tok int")
+    assert temperature_mixture_rates(df, "grp", "n_tok", budget=1000).count() == 0
+
+
+def test_video_frames_empty_frame(spark):
+    from firmable_aus_etl_spark.multimodal.ops import video_frames
+
+    df = spark.createDataFrame([], "media_id long, content binary")
+    assert video_frames(df).count() == 0
+
+
+def test_graph_summary_empty_pairs(spark):
+    from firmable_aus_etl_spark.operators.graph import graph_summary
+
+    e = spark.createDataFrame([], "a long, b long")
+    row = graph_summary(e).collect()[0]
+    assert (row.n_nodes, row.n_edges, row.n_wedges, row.n_triangles) == (0, 0, 0, 0)
+    assert row.clustering_coeff == 0.0
+
+
+def test_ivf_cell_cap_empty_corpus(spark):
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    q = spark.createDataFrame([(1, [1.0] * 4)], "vec_id long, embedding array<double>")
+    assert V.ivf_topk(q, empty, dim=4, k=3, n_cells=2, nprobe=1, cell_cap=10).count() == 0
