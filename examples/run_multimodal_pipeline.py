@@ -33,10 +33,12 @@ from firmable_aus_etl_spark.multimodal import (
     dedup_media_perceptual,
     decode_image_features,
     gif_frames,
+    video_frames,
     read_binary_dir,
     resize_images,
     with_media_metadata,
 )
+from firmable_aus_etl_spark.multimodal import avi as A
 from firmable_aus_etl_spark.multimodal import gif as G
 from firmable_aus_etl_spark.multimodal import jpeg as J
 from firmable_aus_etl_spark.multimodal import png as P
@@ -85,6 +87,16 @@ def build_fixture(d: str) -> None:
     open(os.path.join(d, "anim.gif"), "wb").write(
         G.encode_gif([fa, fb, fa], 32, 32, pal, delays_ms=[40, 40, 40])
     )
+    # MJPEG-in-AVI with a repeated frame — TRUE video-container dedup
+    # (frames are baseline JPEGs from the round-4 encoder; round-5
+    # avi.py wraps/unwraps the RIFF container)
+    rgb_a = b"".join(bytes(pal[i]) for i in fa)
+    rgb_b = b"".join(bytes(pal[i]) for i in fb)
+    ja = J.encode_jpeg(rgb_a, 32, 32, channels=3)
+    jb = J.encode_jpeg(rgb_b, 32, 32, channels=3)
+    open(os.path.join(d, "clip.avi"), "wb").write(
+        A.encode_mjpeg_avi([ja, jb, ja], 32, 32, fps=25)
+    )
 
 
 def main() -> None:
@@ -117,11 +129,13 @@ def main() -> None:
     # 4. real image features: normalized grayscale histogram
     decode_image_features(images).select("media_id", "features").show(truncate=60)
 
-    # 5. real animated-frame extraction + per-frame dedup: the
-    #    repeated frame (idx 0 vs 2) pairs up on decoded pixels
-    anim = uniq.filter(F.col("mime") == "image/gif")
-    frames = gif_frames(anim)
-    print("gif frames:", frames.select("media_id", "frame_idx", "ts_ms").count())
+    # 5. real frame extraction + per-frame dedup across BOTH
+    #    video-shaped containers (animated GIF and MJPEG AVI): each
+    #    clip's repeated frame (idx 0 vs 2) pairs up on decoded pixels,
+    #    and the GIF's frames dedup against the AVI's (same palette art)
+    anim = uniq.filter(F.col("mime").isin("image/gif", "video/avi"))
+    frames = video_frames(anim)
+    print("video frames:", frames.select("media_id", "frame_idx", "ts_ms").count())
     # media_id is an xxhash64 (full long range) — combine with the
     # frame index by hashing, not arithmetic (ANSI overflow)
     per_frame = frames.select(

@@ -8191,3 +8191,85 @@ def q_quality_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.floor(1000000.0 * F.min("quality")).cast("long").alias("min_quality_e6"),
         )
     )
+
+
+@register("ivf_ann_top3_salted", _ivf_fixed_oracle(64, 16, 4, 7))
+def q_ivf_ann_top3_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hot-centroid-bounded IVF plan (round-5 SKEW.md): same
+    probe as ivf_ann_top3 but with cell_cap=20, so every cell above
+    20 corpus vectors is salted into deterministic xxhash shards and
+    the probing queries fan out per shard. Registered against the
+    SAME oracle as the unsalted default — the hash-checked proof that
+    salting changes the join-key layout and nothing else (at sf0.01
+    the 500-vector corpus averages ~31 vectors/cell, so the cap
+    genuinely triggers on most cells)."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    out = V.ivf_topk(
+        queries, corpus, dim=64, k=3, n_cells=16, nprobe=4, seed=7, cell_cap=20
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+_CLUSTER_SPLIT_SQL = f"""
+WITH clusters AS ({_CLUSTER_ORACLE.strip()}),
+b AS (
+  SELECT c.cluster, d.doc_id, len({_TOKENS_SQL}) AS n_tok,
+         CAST(('0x' || substr(md5(CAST(c.cluster AS VARCHAR)), 1, 2)) AS INTEGER)
+           AS bucket
+  FROM clusters c JOIN documents d USING (doc_id)
+)
+SELECT CASE WHEN bucket < 204 THEN 'train'
+            WHEN bucket < 230 THEN 'val'
+            ELSE 'test' END AS split,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(count(DISTINCT cluster) AS BIGINT) AS n_clusters,
+       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+FROM b GROUP BY 1
+"""
+
+
+@register("cluster_aware_split", _CLUSTER_SPLIT_SQL)
+def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-proof train/val/test split for a near-dup corpus: the
+    split key is the document's near-dup CLUSTER id, not the doc id —
+    a plain per-doc hash split scatters near-duplicates across
+    train and test, leaking training text into evaluation (the
+    classic contamination vector a doc-level split cannot prevent).
+    Hash = first byte of md5(cluster): <204 train (~80%), <230 val
+    (~10%), else test. Every member of a cluster lands in one split
+    by construction (tests/test_feature_queries.py asserts zero
+    straddling clusters). Scale shape: the cluster frame comes from
+    the connected-components dedup pipeline; the split itself is a
+    map over (doc -> cluster) + one aggregation."""
+    docs = load_table(spark, sf_dir, "documents")
+    clusters = QUERIES["near_dup_clusters"](spark, sf_dir)
+    from firmable_aus_etl_spark.functions import text as T
+
+    joined = clusters.join(
+        docs.select("doc_id", T.token_count("text").alias("n_tok")), "doc_id"
+    )
+    bucket = F.conv(
+        F.substring(F.md5(F.col("cluster").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    return (
+        joined.select(
+            F.when(bucket < 204, "train")
+            .when(bucket < 230, "val")
+            .otherwise("test")
+            .alias("split"),
+            "cluster",
+            "n_tok",
+        )
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.count_distinct("cluster").cast("long").alias("n_clusters"),
+            F.sum("n_tok").cast("long").alias("total_tokens"),
+        )
+    )

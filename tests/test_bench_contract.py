@@ -36,9 +36,7 @@ def test_compact_line_fits_driver_tail_buffer():
 
 
 def test_headline_names_resolve():
-    from firmable_aus_etl_spark.queries import QUERIES
-
-    missing = [n for n in bench.HEADLINE if n not in QUERIES]
+    missing = [n for n in bench.HEADLINE if n not in bench.ALL_QUERIES]
     assert missing == [], f"HEADLINE references unregistered queries: {missing}"
 
 

@@ -95,10 +95,11 @@ def test_multimodal_pipeline_demo(spark, tmp_path):
         mod.main()
     finally:
         sys.argv = old
-    # fixture left on disk: 9 files — 5 png, 1 real jpeg, 1 gif, 2 wav
+    # fixture on disk: 5 png, 1 real jpeg, 1 gif, 1 mjpeg avi, 2 wav
     import os
 
     files = os.listdir(tmp_path / "mm" / "media")
     assert len([f for f in files if f.endswith(".png")]) == 5
     assert len([f for f in files if f.endswith(".jpg")]) == 1
     assert len([f for f in files if f.endswith(".gif")]) == 1
+    assert len([f for f in files if f.endswith(".avi")]) == 1

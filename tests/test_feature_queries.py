@@ -150,3 +150,27 @@ def test_mode_tie_break_is_alphabetical(spark):
             t for (u, t), n in counts.items() if u == r.user_id and n == best
         )
         assert r.mode_event_type == tied[0]
+
+
+def test_cluster_aware_split_no_straddling(spark):
+    """Leakage proof: no near-dup cluster may have members in more
+    than one split — the property the cluster-keyed hash guarantees
+    by construction and a doc-keyed split cannot."""
+    from pyspark.sql import functions as F
+
+    from firmable_aus_etl_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    clusters = QUERIES["near_dup_clusters"](spark, sf)
+    bucket = F.conv(
+        F.substring(F.md5(F.col("cluster").cast("string")), 1, 2), 16, 10
+    ).cast("int")
+    split = F.when(bucket < 204, "train").when(bucket < 230, "val").otherwise("test")
+    straddling = (
+        clusters.select("cluster", split.alias("split"))
+        .groupBy("cluster")
+        .agg(F.count_distinct("split").alias("n_splits"))
+        .filter(F.col("n_splits") > 1)
+        .count()
+    )
+    assert straddling == 0
