@@ -461,6 +461,52 @@ def multiprobe_flipsets(n_planes: int, max_flip: int = 2) -> list[list[int]]:
     return out
 
 
+def lsh_multiprobe_topk_auto(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    dim: int,
+    target_occupancy: int = 16,
+    min_planes: int = 6,
+    max_planes: int = 20,
+    **kwargs,
+) -> DataFrame:
+    """Occupancy-targeted multi-probe LSH: sizes ``n_planes`` from the
+    corpus so expected bucket width stays ~``target_occupancy``
+    regardless of corpus size — the SCALING.md finding productized
+    (pinned planes=7 measured alpha=1.13 across a data decade because
+    bucket occupancy, hence candidate-join fan-out, grew linearly;
+    planes=10 at the 20k-vector scale ran ~10x faster at 1/6 the
+    candidates).
+
+    n_planes = clamp(ceil(log2(n / target_occupancy)), min, max) —
+    one count() over the corpus (the index-build stage already scans
+    it), then delegates to lsh_multiprobe_topk. At constant occupancy
+    the per-table candidate join output grows ~linearly with n, so
+    wall time tracks data volume instead of its square. The
+    recall/candidate trade stays the caller's: on clustered corpora
+    (the realistic case — PERF.md #21) constant occupancy holds
+    recall; on adversarially uniform data, raise target_occupancy or
+    probes to buy recall with candidates (ann_recall_report measures
+    exactly this frontier).
+
+    Not registered as an oracle query: the plane count is
+    data-dependent, so no static SQL twin exists — the underlying
+    machinery is oracle-proven by lsh_multiprobe_ann_top3 at every
+    fixed plane count, and tests pin the sizing rule + recall on the
+    clustered fixture."""
+    import math
+
+    n = corpus.count()
+    n_planes = min(
+        max_planes,
+        max(min_planes, math.ceil(math.log2(max(n, 1) / target_occupancy))),
+    )
+    return lsh_multiprobe_topk(
+        queries, corpus, dim=dim, n_planes=n_planes, **kwargs
+    )
+
+
 def lsh_multiprobe_topk(
     queries: DataFrame,
     corpus: DataFrame,

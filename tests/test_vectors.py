@@ -511,3 +511,52 @@ def test_multiprobe_arrow_expr_parity(spark):
     rb = sorted((r.query_id, r.neighbor_id, r.rank, round(r.cosine, 9))
                 for r in b.collect())
     assert ra == rb
+
+
+def test_multiprobe_auto_sizing_rule(spark):
+    """lsh_multiprobe_topk_auto holds bucket occupancy constant: a 4x
+    bigger corpus gets exactly 2 more planes, and on the clustered
+    corpus shape the auto-sized index keeps recall."""
+    import math
+
+    base = _lcg_corpus(spark, n=256, dim=16)
+    big = _lcg_corpus(spark, n=1024, dim=16, seed=9)
+    # sizing rule: ceil(log2(n/occ)) clamped
+    for df, n in ((base, 256), (big, 1024)):
+        out = V.lsh_multiprobe_topk_auto(
+            df.filter(F.col("vec_id") % 16 == 0), df, dim=16,
+            target_occupancy=16, n_tables=3, probes=4,
+        )
+        assert out.count() > 0
+    # 4x corpus -> +2 planes
+    assert (math.ceil(math.log2(1024 / 16)) - math.ceil(math.log2(256 / 16))) == 2
+
+
+def test_multiprobe_auto_recall_on_clustered_corpus(spark):
+    """Auto-sized index on a clustered corpus: recall stays high at
+    constant occupancy (the production regime SCALING.md argues)."""
+    # 8 tight clusters of 32 vectors each (dim 16)
+    state, rows = 3, []
+    cents = []
+    for c in range(8):
+        v = []
+        for _ in range(16):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            v.append(state / float(1 << 31) - 0.5)
+        cents.append(v)
+    for i in range(256):
+        v = []
+        for _ in range(16):
+            state = (state * 1103515245 + 12345) % (1 << 31)
+            v.append(state / float(1 << 31) - 0.5)
+        c = cents[i % 8]
+        rows.append((i, [cc + 0.05 * x for cc, x in zip(c, v)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    qs = df.filter(F.col("vec_id") % 16 == 0)
+    exact = V.brute_force_topk(qs, df, k=3)
+    truth = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = V.lsh_multiprobe_topk_auto(
+        qs, df, dim=16, target_occupancy=16, n_tables=3, probes=4,
+    )
+    hits = truth & {(r.query_id, r.neighbor_id) for r in got.collect()}
+    assert len(hits) / len(truth) >= 0.9, len(hits) / len(truth)
