@@ -565,61 +565,16 @@ GIF_FRAMES_SCHEMA = StructType(
 
 
 def gif_frames(df: DataFrame) -> DataFrame:
-    """REAL frame extraction for animated GIFs: one output row per
-    composed frame as PNG bytes with its timeline position — the
-    executable counterpart of frame_sample_plan (which only PLANS
-    (media_id, ts) rows for a codec-gated decoder). Downstream
-    per-frame work (perceptual_hash_images, dedup_media_perceptual,
-    resize_images, decode_image_features) consumes the PNG output
-    directly, so video-shaped dedup — repeated frames across or within
-    animations — runs end-to-end on real pixels.
-
-    Same scale shape as every decode stage: Arrow-batched mapInPandas,
-    memory bounded by maxRecordsPerBatch, frame fan-out is an output
-    property (explode-like) so downstream parallelism follows frames,
-    not clips. Non-GIF content raises DecodeUnavailable inside the
-    task."""
-
-    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        from firmable_aus_etl_spark.multimodal import gif as _gif
-        from firmable_aus_etl_spark.multimodal import png as _png
-
-        for pdf in batches:
-            ids, idxs, tss, delays, outs = [], [], [], [], []
-            for mid, content in zip(pdf["media_id"], pdf["content"]):
-                b = bytes(content) if content is not None else b""
-                if not b.startswith(b"GIF8"):
-                    raise DecodeUnavailable(
-                        "frame extraction requires an animated format with a "
-                        "stdlib codec (GIF decodes for real; video containers "
-                        "need external codecs)"
-                    )
-                try:
-                    w, h, frames = _gif.decode_gif(b)
-                except _gif.GifUnsupported as e:
-                    raise DecodeUnavailable(f"GIF profile outside support: {e}")
-                ts = 0
-                for i, (delay, rgb) in enumerate(frames):
-                    ids.append(mid)
-                    idxs.append(i)
-                    tss.append(ts)
-                    delays.append(delay)
-                    outs.append(_png.encode_png(rgb, w, h, channels=3))
-                    ts += delay
-            yield pd.DataFrame(
-                {
-                    "media_id": ids,
-                    "frame_idx": idxs,
-                    "ts_ms": tss,
-                    "delay_ms": delays,
-                    "content": outs,
-                }
-            )
-
-    return df.select("media_id", "content").mapInPandas(run, schema=GIF_FRAMES_SCHEMA)
+    """REAL frame extraction for animated GIFs — the GIF-only
+    restriction of video_frames (kept as the stable narrow API; same
+    GIF_FRAMES_SCHEMA output, same Arrow-batched scale shape).
+    Non-GIF content raises DecodeUnavailable inside the task."""
+    return video_frames(df, formats=("gif",))
 
 
-def video_frames(df: DataFrame) -> DataFrame:
+def video_frames(
+    df: DataFrame, *, formats: tuple[str, ...] = ("gif", "avi")
+) -> DataFrame:
     """REAL frame extraction for video-shaped media — one output row
     per frame as PNG bytes with timeline position, GIF_FRAMES_SCHEMA
     shape. Dispatches on magic bytes per clip:
@@ -657,7 +612,7 @@ def video_frames(df: DataFrame) -> DataFrame:
 
             for mid, content in zip(pdf["media_id"], pdf["content"]):
                 b = bytes(content) if content is not None else b""
-                if b.startswith(b"GIF8"):
+                if b.startswith(b"GIF8") and "gif" in formats:
                     try:
                         w, h, frames = _gif.decode_gif(b)
                     except _gif.GifUnsupported as e:
@@ -666,7 +621,7 @@ def video_frames(df: DataFrame) -> DataFrame:
                     for i, (delay, rgb) in enumerate(frames):
                         emit(mid, i, ts, delay, _png.encode_png(rgb, w, h, channels=3))
                         ts += delay
-                elif b[:4] == b"RIFF" and b[8:12] == b"AVI ":
+                elif b[:4] == b"RIFF" and b[8:12] == b"AVI " and "avi" in formats:
                     try:
                         _w, _h, fps, jpegs = _avi.decode_mjpeg_avi(b)
                     except _avi.AviUnsupported as e:
@@ -683,7 +638,7 @@ def video_frames(df: DataFrame) -> DataFrame:
                              _png.encode_png(px, fw, fh, channels=ch))
                 else:
                     raise DecodeUnavailable(
-                        "frame extraction covers animated GIF and MJPEG-in-AVI "
+                        f"frame extraction covers {'/'.join(formats)} "
                         "(stdlib codecs); other video containers/codecs need "
                         "external libs"
                     )
