@@ -1,14 +1,16 @@
 """Pure-stdlib baseline JPEG codec — the third real codec in the
 multimodal family (png.py, wav.py): makes the image decode path REAL
-for baseline (SOF0) JFIF inputs, leaving progressive/arithmetic JPEG
-and video as the remaining honest gates.
+for baseline (SOF0) AND progressive (SOF2) JFIF inputs — webp and
+arithmetic-coded JPEG remain the honest image gates.
 
-Decoder scope: baseline sequential DCT (SOF0), 8-bit precision, 1 or
-3 components, per-component sampling factors 1 or 2 (covers 4:4:4,
-4:2:2, 4:2:0), restart intervals (DRI/RSTn), Huffman and quant tables
-READ FROM THE STREAM (so decode correctness never depends on the
-encoder's table choice). Progressive (SOF2), arithmetic coding
-(SOF9+), 12-bit, and >2 sampling factors raise JpegUnsupported.
+Decoder scope: baseline sequential DCT (SOF0/1) and progressive DCT
+(SOF2 — spectral selection, successive approximation, EOB runs; round
+5), 8-bit precision, 1 or 3 components, per-component sampling
+factors 1 or 2 (covers 4:4:4, 4:2:2, 4:2:0), restart intervals
+(DRI/RSTn), Huffman and quant tables READ FROM THE STREAM (so decode
+correctness never depends on the encoder's table choice).
+Arithmetic coding (SOF9+), hierarchical/lossless SOFs, 12-bit, and
+>2 sampling factors raise JpegUnsupported.
 
 Encoder scope: baseline 4:4:4 (or single-component grayscale) with the
 Annex-K-style tables at a quality knob — enough to BUILD real JPEGs
@@ -268,21 +270,18 @@ def _extend(bits: int, size: int) -> int:
 
 # ---------------------------------------------------------------- encode
 
-def encode_jpeg(
-    pixels: bytes, width: int, height: int, *, channels: int = 1, quality: int = 90
-) -> bytes:
-    """Baseline JFIF encode of interleaved 8-bit pixels (1=gray, 3=RGB)
-    at 4:4:4 sampling."""
+def _forward_blocks(pixels, width, height, channels, quality):
+    """Shared forward path (color transform -> 8x8 FDCT -> quantized
+    zigzag blocks) for the baseline and progressive encoders: returns
+    (qt, blocks, mcux, mcuy) with blocks[mcu][c] a 64-entry zigzag
+    list; 4:4:4 sampling, MCUs row-major."""
     if channels not in (1, 3):
         raise ValueError("channels must be 1 (gray) or 3 (RGB)")
     if len(pixels) != width * height * channels:
         raise ValueError("pixel buffer does not match dimensions")
-
     qt = [_scaled_qt(_QT_LUMA, quality)]
     if channels == 3:
         qt.append(_scaled_qt(_QT_CHROMA, quality))
-
-    # color transform to per-component planes (level-shifted later)
     planes: list[list[float]] = [[0.0] * (width * height) for _ in range(channels)]
     if channels == 1:
         for i, p in enumerate(pixels):
@@ -293,18 +292,11 @@ def encode_jpeg(
             planes[0][i] = 0.299 * r + 0.587 * g + 0.114 * b
             planes[1][i] = 128.0 - 0.168736 * r - 0.331264 * g + 0.5 * b
             planes[2][i] = 128.0 + 0.5 * r - 0.418688 * g - 0.081312 * b
-
-    dc_tabs = [_canonical_codes(*_DC_LUMA)]
-    ac_tabs = [_canonical_codes(*_AC_LUMA)]
-    if channels == 3:
-        dc_tabs.append(_canonical_codes(*_DC_CHROMA))
-        ac_tabs.append(_canonical_codes(*_AC_CHROMA))
-
-    bw = _BitWriter()
-    pred = [0] * channels
     mcux, mcuy = (width + 7) // 8, (height + 7) // 8
+    blocks = []
     for my in range(mcuy):
         for mx in range(mcux):
+            per_c = []
             for c in range(channels):
                 tq = 0 if c == 0 else 1
                 plane = planes[c]
@@ -316,7 +308,57 @@ def encode_jpeg(
                         block[y * 8 + x] = plane[sy * width + sx] - 128.0
                 coef = _fdct8(block)
                 q = qt[tq]
-                zz = [int(round(coef[_ZZ[k]] / q[_ZZ[k]])) for k in range(64)]
+                per_c.append(
+                    [int(round(coef[_ZZ[k]] / q[_ZZ[k]])) for k in range(64)]
+                )
+            blocks.append(per_c)
+    return qt, blocks, mcux, mcuy
+
+
+def _jfif_headers(qt, channels, width, height, sof_marker):
+    """SOI + APP0 + DQT + SOFn + DHT segments (shared)."""
+    out = bytearray(b"\xff\xd8")
+    out += (
+        b"\xff\xe0" + struct.pack(">H", 16)
+        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    )
+    for ti, q in enumerate(qt):
+        zz_q = bytes(q[_ZZ[k]] for k in range(64))
+        out += b"\xff\xdb" + struct.pack(">HB", 67, ti) + zz_q
+    ncomp = channels
+    out += bytes([0xFF, sof_marker]) + struct.pack(
+        ">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp
+    )
+    for c in range(ncomp):
+        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
+    specs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
+    if channels == 3:
+        specs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
+    for tc_th, (bits, values) in specs:
+        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc_th)
+        out += bytes(bits) + bytes(values)
+    return out
+
+
+def encode_jpeg(
+    pixels: bytes, width: int, height: int, *, channels: int = 1, quality: int = 90
+) -> bytes:
+    """Baseline JFIF encode of interleaved 8-bit pixels (1=gray, 3=RGB)
+    at 4:4:4 sampling."""
+    qt, blocks, mcux, mcuy = _forward_blocks(pixels, width, height, channels, quality)
+
+    dc_tabs = [_canonical_codes(*_DC_LUMA)]
+    ac_tabs = [_canonical_codes(*_AC_LUMA)]
+    if channels == 3:
+        dc_tabs.append(_canonical_codes(*_DC_CHROMA))
+        ac_tabs.append(_canonical_codes(*_AC_CHROMA))
+
+    bw = _BitWriter()
+    pred = [0] * channels
+    for per_c in blocks:
+            for c in range(channels):
+                tq = 0 if c == 0 else 1
+                zz = per_c[c]
                 # DC
                 diff = zz[0] - pred[c]
                 pred[c] = zz[0]
@@ -350,27 +392,8 @@ def encode_jpeg(
                     bw.write(code, ln)
     bw.flush()
 
-    out = bytearray(b"\xff\xd8")  # SOI
-    out += (
-        b"\xff\xe0" + struct.pack(">H", 16)
-        + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
-    )
-    for ti, q in enumerate(qt):
-        zz_q = bytes(q[_ZZ[k]] for k in range(64))
-        out += b"\xff\xdb" + struct.pack(">HB", 67, ti) + zz_q
-    # SOF0
+    out = _jfif_headers(qt, channels, width, height, 0xC0)
     ncomp = channels
-    out += b"\xff\xc0" + struct.pack(">HBHHB", 8 + 3 * ncomp, 8, height, width, ncomp)
-    for c in range(ncomp):
-        out += bytes([c + 1, 0x11, 0 if c == 0 else 1])
-    # DHT
-    specs = [(0x00, _DC_LUMA), (0x10, _AC_LUMA)]
-    if channels == 3:
-        specs += [(0x01, _DC_CHROMA), (0x11, _AC_CHROMA)]
-    for tc_th, (bits, values) in specs:
-        out += b"\xff\xc4" + struct.pack(">HB", 19 + len(values), tc_th)
-        out += bytes(bits) + bytes(values)
-    # SOS
     out += b"\xff\xda" + struct.pack(">HB", 6 + 2 * ncomp, ncomp)
     for c in range(ncomp):
         out += bytes([c + 1, 0x00 if c == 0 else 0x11])
@@ -417,12 +440,15 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
     ac_tabs: dict[int, _HuffTable] = {}
     frame = None
     restart_interval = 0
+    prog_state = None
     while pos + 4 <= len(data):
         if data[pos] != 0xFF:
             raise ValueError(f"expected marker at {pos}")
         marker = data[pos + 1]
         pos += 2
         if marker == 0xD9:  # EOI
+            if frame is not None and frame.get("prog") and prog_state is not None:
+                return _reconstruct_progressive(frame, qts, prog_state)
             break
         if marker in (0x01,) or 0xD0 <= marker <= 0xD7:
             continue  # standalone
@@ -468,7 +494,16 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
                 cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
                 comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
             frame = {"w": w, "h": h, "comps": comps}
-        elif marker in (0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
+        elif marker == 0xC2:  # SOF2 progressive (round-5: real decode)
+            precision, h, w, ncomp = struct.unpack(">BHHB", body[:6])
+            if precision != 8:
+                raise JpegUnsupported(f"{precision}-bit precision")
+            comps = []
+            for c in range(ncomp):
+                cid, hv, tq = body[6 + 3 * c : 9 + 3 * c]
+                comps.append({"id": cid, "h": hv >> 4, "v": hv & 0xF, "tq": tq})
+            frame = {"w": w, "h": h, "comps": comps, "prog": True}
+        elif marker in (0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB,
                         0xCD, 0xCE, 0xCF):
             raise JpegUnsupported(f"SOF{marker - 0xC0} (non-baseline)")
         elif marker == 0xDD:  # DRI
@@ -480,13 +515,31 @@ def decode_jpeg(data: bytes) -> tuple[int, int, int, bytes]:
             scan = []
             for c in range(ns):
                 cs, tdta = body[1 + 2 * c : 3 + 2 * c]
-                comp = next(x for x in frame["comps"] if x["id"] == cs)
-                scan.append((comp, tdta >> 4, tdta & 0xF))
+                ci = next(
+                    i for i, x in enumerate(frame["comps"]) if x["id"] == cs
+                )
+                scan.append((frame["comps"][ci], tdta >> 4, tdta & 0xF, ci))
+            if frame.get("prog"):
+                ss = body[1 + 2 * ns]
+                se = body[2 + 2 * ns]
+                ahal = body[3 + 2 * ns]
+                if prog_state is None:
+                    prog_state = _init_prog_state(frame)
+                pos = _decode_prog_scan(
+                    data, pos + seglen, frame, scan, ss, se,
+                    ahal >> 4, ahal & 0xF, dc_tabs, ac_tabs,
+                    restart_interval, prog_state,
+                )
+                continue
             pos += seglen
             return _decode_scan(
-                data, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_interval
+                data, pos, frame,
+                [(c, td, ta) for c, td, ta, _ci in scan],
+                qts, dc_tabs, ac_tabs, restart_interval,
             )
         pos += seglen
+    if frame is not None and frame.get("prog") and prog_state is not None:
+        return _reconstruct_progressive(frame, qts, prog_state)
     raise ValueError("no scan found")
 
 
@@ -550,7 +603,12 @@ def _decode_scan(data, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_interval
                             row = (oy + y) * cw + ox
                             for x in range(8):
                                 plane[row + x] = px[y * 8 + x] + 128.0
-    # upsample to full resolution + color transform
+    return _assemble(w, h, comps, planes, mcux, hmax, vmax)
+
+
+def _assemble(w, h, comps, planes, mcux, hmax, vmax):
+    """Upsample component planes to full resolution + color transform
+    — shared by the baseline and progressive reconstruction paths."""
     n = len(comps)
     out = bytearray(w * h * (3 if n == 3 else 1))
     if n == 1:
@@ -581,3 +639,376 @@ def _decode_scan(data, pos, frame, scan, qts, dc_tabs, ac_tabs, restart_interval
 def _clamp8(v: float) -> int:
     iv = int(round(v))
     return 0 if iv < 0 else 255 if iv > 255 else iv
+
+
+# ------------------------------------------------- progressive (SOF2)
+
+def _init_prog_state(frame):
+    """Coefficient accumulators for progressive decoding: one zigzag
+    [0]*64 list per 8x8 block, per component, over the MCU-padded
+    block grid; plus per-scan EOB-run carry."""
+    comps = frame["comps"]
+    hmax = max(c["h"] for c in comps)
+    vmax = max(c["v"] for c in comps)
+    if hmax > 2 or vmax > 2:
+        raise JpegUnsupported("sampling factors > 2")
+    mcux = (frame["w"] + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (frame["h"] + 8 * vmax - 1) // (8 * vmax)
+    coefs = [
+        [[0] * 64 for _ in range(mcux * c["h"] * mcuy * c["v"])] for c in comps
+    ]
+    return {"coefs": coefs, "mcux": mcux, "mcuy": mcuy,
+            "hmax": hmax, "vmax": vmax}
+
+
+def _scan_end(data, pos):
+    """First byte of the next non-RST marker at/after ``pos`` (skips
+    entropy bytes, stuffed 0xFF00, and RSTn)."""
+    p = pos
+    while p + 1 < len(data):
+        if data[p] == 0xFF and data[p + 1] != 0x00:
+            if 0xD0 <= data[p + 1] <= 0xD7:
+                p += 2
+                continue
+            return p
+        p += 1
+    return len(data)
+
+
+def _decode_prog_scan(
+    data, pos, frame, scan, ss, se, ah, al,
+    dc_tabs, ac_tabs, restart_interval, st,
+):
+    """Decode one progressive scan into the coefficient accumulators.
+
+    Spec structure (ITU T.81 §G.2, the same algorithm every libjpeg
+    implements): DC scans (Ss=0) may be interleaved and carry either
+    the first Al-shifted approximation (Ah=0) or one refinement bit
+    per block; AC scans are single-component, cover the spectral band
+    Ss..Se, and use EOB-run coding across blocks — first passes place
+    Al-shifted coefficients, refinement passes emit one correction
+    bit per already-nonzero coefficient and embed newly-nonzero +-1s.
+    Returns the byte offset of the next marker."""
+    coefs, mcux, mcuy = st["coefs"], st["mcux"], st["mcuy"]
+    br = _BitReader(data, pos)
+    eobrun = 0
+    p1, m1 = 1 << al, -1 << al
+
+    def refine_nonzero(zz, k):
+        # one correction bit for a history-nonzero coefficient
+        if br.read_bit():
+            if zz[k] > 0 and not (zz[k] & p1):
+                zz[k] += p1
+            elif zz[k] < 0 and not (zz[k] & p1):
+                zz[k] += m1
+    if ss == 0:
+        if se != 0:
+            raise ValueError("progressive DC scan must have Se=0")
+        # DC scan: interleaved over MCUs when ns>1, else the single
+        # component's own block raster
+        pred = [0] * len(scan)
+        mcu_count = 0
+        if len(scan) > 1:
+            units = [(my, mx) for my in range(mcuy) for mx in range(mcux)]
+            for my, mx in units:
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    br.align_after_marker()
+                    pred = [0] * len(scan)
+                mcu_count += 1
+                for si, (comp, td, _ta, ci) in enumerate(scan):
+                    bw = mcux * comp["h"]
+                    for by in range(comp["v"]):
+                        for bx in range(comp["h"]):
+                            zz = coefs[ci][
+                                (my * comp["v"] + by) * bw + mx * comp["h"] + bx
+                            ]
+                            if ah == 0:
+                                size = dc_tabs[td].decode(br)
+                                diff = (
+                                    _extend(br.read_bits(size), size) if size else 0
+                                )
+                                pred[si] += diff
+                                zz[0] = pred[si] << al
+                            else:
+                                if br.read_bit():
+                                    zz[0] |= p1
+        else:
+            comp, td, _ta, ci = scan[0]
+            cw = (frame["w"] * comp["h"] + st["hmax"] - 1) // st["hmax"]
+            ch = (frame["h"] * comp["v"] + st["vmax"] - 1) // st["vmax"]
+            nbx, nby = (cw + 7) // 8, (ch + 7) // 8
+            bw = mcux * comp["h"]
+            for by in range(nby):
+                for bx in range(nbx):
+                    if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                        br.align_after_marker()
+                        pred = [0]
+                    mcu_count += 1
+                    zz = coefs[ci][by * bw + bx]
+                    if ah == 0:
+                        size = dc_tabs[td].decode(br)
+                        diff = _extend(br.read_bits(size), size) if size else 0
+                        pred[0] += diff
+                        zz[0] = pred[0] << al
+                    else:
+                        if br.read_bit():
+                            zz[0] |= p1
+    else:
+        if len(scan) != 1:
+            raise ValueError("progressive AC scan must be single-component")
+        comp, _td, ta, ci = scan[0]
+        cw = (frame["w"] * comp["h"] + st["hmax"] - 1) // st["hmax"]
+        ch = (frame["h"] * comp["v"] + st["vmax"] - 1) // st["vmax"]
+        nbx, nby = (cw + 7) // 8, (ch + 7) // 8
+        bw = mcux * comp["h"]
+        mcu_count = 0
+        for by in range(nby):
+            for bx in range(nbx):
+                if restart_interval and mcu_count and mcu_count % restart_interval == 0:
+                    br.align_after_marker()
+                    eobrun = 0
+                mcu_count += 1
+                zz = coefs[ci][by * bw + bx]
+                if ah == 0:  # first pass for this band
+                    if eobrun:
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = ac_tabs[ta].decode(br)
+                        r, sz = rs >> 4, rs & 0xF
+                        if sz == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            k += 16  # ZRL
+                        else:
+                            k += r
+                            if k > se:
+                                raise ValueError("AC index out of band")
+                            zz[k] = _extend(br.read_bits(sz), sz) << al
+                            k += 1
+                else:  # refinement pass
+                    if eobrun:
+                        for k in range(ss, se + 1):
+                            if zz[k]:
+                                refine_nonzero(zz, k)
+                        eobrun -= 1
+                        continue
+                    k = ss
+                    while k <= se:
+                        rs = ac_tabs[ta].decode(br)
+                        r, sz = rs >> 4, rs & 0xF
+                        newval = 0
+                        if sz == 0:
+                            if r < 15:
+                                eobrun = (1 << r) - 1
+                                if r:
+                                    eobrun += br.read_bits(r)
+                                break
+                            # ZRL: pass 16 zero-history coefficients
+                        else:
+                            if sz != 1:
+                                raise ValueError("refine size must be 1")
+                            newval = p1 if br.read_bit() else m1
+                        while k <= se:
+                            if zz[k]:
+                                refine_nonzero(zz, k)
+                            else:
+                                if r == 0:
+                                    break
+                                r -= 1
+                            k += 1
+                        if newval and k <= se:
+                            zz[k] = newval
+                        k += 1
+                    else:
+                        continue
+                    # band ended via EOB: correct the rest of the block
+                    for k2 in range(k, se + 1):
+                        if zz[k2]:
+                            refine_nonzero(zz, k2)
+    return _scan_end(data, br.pos)
+
+
+def _reconstruct_progressive(frame, qts, st):
+    """Dequantize + IDCT the accumulated coefficient planes, then the
+    shared upsample/color assembly."""
+    comps = frame["comps"]
+    coefs, mcux, mcuy = st["coefs"], st["mcux"], st["mcuy"]
+    planes = []
+    for ci, comp in enumerate(comps):
+        q = qts[comp["tq"]]
+        bw = mcux * comp["h"]
+        bh = mcuy * comp["v"]
+        cw = bw * 8
+        plane = [0.0] * (cw * bh * 8)
+        for bi, zz in enumerate(coefs[ci]):
+            by, bx = divmod(bi, bw)
+            coef = [0.0] * 64
+            for k in range(64):
+                coef[_ZZ[k]] = zz[k] * q[_ZZ[k]]
+            px = _idct8(coef)
+            ox, oy = bx * 8, by * 8
+            for y in range(8):
+                row = (oy + y) * cw + ox
+                for x in range(8):
+                    plane[row + x] = px[y * 8 + x] + 128.0
+        planes.append(plane)
+    return _assemble(
+        frame["w"], frame["h"], comps, planes, mcux, st["hmax"], st["vmax"]
+    )
+
+
+def encode_jpeg_progressive(
+    pixels: bytes, width: int, height: int, *, channels: int = 1, quality: int = 90
+) -> bytes:
+    """Progressive (SOF2) JFIF encode at 4:4:4 — same forward path and
+    quantized coefficients as encode_jpeg, entropy-coded as a 4-kind
+    scan script that exercises every progressive decode path:
+
+      1. DC, interleaved, successive approximation Al=1
+      2. DC refinement (one bit per block)
+      3. per component: AC band 1..63 first pass, Al=1
+      4. per component: AC band 1..63 refinement, Al=0
+
+    Point transforms per T.81: DC uses an arithmetic right shift; AC
+    magnitudes shift toward zero with the sign reapplied. The AC
+    passes code per-block EOBs (EOB-run length 1) — spec-valid and
+    decodable by any reader; the decoder side additionally handles
+    arbitrary EOB runs. A decode of this output is pixel-identical to
+    decoding encode_jpeg of the same input (identical quantized
+    coefficients; asserted in tests/test_jpeg.py)."""
+    qt, blocks, mcux, mcuy = _forward_blocks(pixels, width, height, channels, quality)
+
+    dc_codes = [_canonical_codes(*_DC_LUMA)]
+    ac_codes = [_canonical_codes(*_AC_LUMA)]
+    if channels == 3:
+        dc_codes.append(_canonical_codes(*_DC_CHROMA))
+        ac_codes.append(_canonical_codes(*_AC_CHROMA))
+
+    ncomp = channels
+    out = _jfif_headers(qt, channels, width, height, 0xC2)
+
+    def sos_header(comp_ids, ss, se, ah, al):
+        seg = bytearray(
+            b"\xff\xda" + struct.pack(">HB", 6 + 2 * len(comp_ids), len(comp_ids))
+        )
+        for c in comp_ids:
+            seg += bytes([c + 1, (0x00 if c == 0 else 0x11)])
+        seg += bytes([ss, se, (ah << 4) | al])
+        return seg
+
+    # --- scan 1: DC first pass (Al=1), interleaved
+    bw = _BitWriter()
+    pred = [0] * channels
+    for per_c in blocks:
+        for c in range(channels):
+            t = 0 if c == 0 else 1
+            v = per_c[c][0] >> 1  # arithmetic shift (T.81 DC point transform)
+            diff = v - pred[c]
+            pred[c] = v
+            size, mag = _magnitude(diff)
+            code, ln = dc_codes[t][size]
+            bw.write(code, ln)
+            if size:
+                bw.write(mag, size)
+    bw.flush()
+    out += sos_header(list(range(ncomp)), 0, 0, 0, 1) + bw.buf
+
+    # --- scan 2: DC refinement (Ah=1, Al=0): bit 0 of each DC
+    bw = _BitWriter()
+    for per_c in blocks:
+        for c in range(channels):
+            bw.write(per_c[c][0] & 1, 1)
+    bw.flush()
+    out += sos_header(list(range(ncomp)), 0, 0, 1, 0) + bw.buf
+
+    # --- per component: AC first pass (Al=1) then refinement (Al=0)
+    for c in range(ncomp):
+        t = 0 if c == 0 else 1
+        # first pass: code sign(v) * (|v| >> 1) like a baseline band
+        bw = _BitWriter()
+        for per_c in blocks:
+            zz = per_c[c]
+            run = 0
+            vals = []
+            for k in range(1, 64):
+                av = abs(zz[k]) >> 1
+                vals.append(av if zz[k] >= 0 else -av)
+            last_nz = 0
+            for k in range(63, 0, -1):
+                if vals[k - 1]:
+                    last_nz = k
+                    break
+            for k in range(1, last_nz + 1):
+                v = vals[k - 1]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    code, ln = ac_codes[t][0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                size, mag = _magnitude(v)
+                code, ln = ac_codes[t][(run << 4) | size]
+                bw.write(code, ln)
+                bw.write(mag, size)
+                run = 0
+            if last_nz < 63:
+                code, ln = ac_codes[t][0x00]  # EOB (run of 1)
+                bw.write(code, ln)
+        bw.flush()
+        out += sos_header([c], 1, 63, 0, 1) + bw.buf
+
+        # refinement pass (Ah=1, Al=0) — T.81 G.1.2.3 emission order
+        # (the jcphuff shape): ZRLs are emitted EAGERLY on reaching ANY
+        # nonzero coefficient while the zero-history run exceeds 15 and
+        # we are not yet past the last newly-nonzero position (later
+        # runs fold into the EOB), so buffered correction bits always
+        # belong to the span their symbol closes — the decoder consumes
+        # them in walk order inside each span.
+        bw = _BitWriter()
+        for per_c in blocks:
+            zz = per_c[c]
+            eob_pos = 0
+            for k in range(1, 64):
+                if abs(zz[k]) == 1:
+                    eob_pos = k
+            run = 0
+            corrections: list[int] = []
+            for k in range(1, 64):
+                av = abs(zz[k])
+                if av == 0:
+                    run += 1
+                    continue
+                while run > 15 and k <= eob_pos:
+                    code, ln = ac_codes[t][0xF0]
+                    bw.write(code, ln)
+                    run -= 16
+                    for bit in corrections:
+                        bw.write(bit, 1)
+                    corrections = []
+                if av > 1:  # history-nonzero: buffered correction bit
+                    corrections.append(av & 1)
+                    continue
+                # newly nonzero (+-1 at this precision)
+                code, ln = ac_codes[t][(run << 4) | 1]
+                bw.write(code, ln)
+                bw.write(1 if zz[k] > 0 else 0, 1)
+                for bit in corrections:
+                    bw.write(bit, 1)
+                corrections = []
+                run = 0
+            if run > 0 or corrections:
+                code, ln = ac_codes[t][0x00]  # EOB closes the block
+                bw.write(code, ln)
+                for bit in corrections:
+                    bw.write(bit, 1)
+        bw.flush()
+        out += sos_header([c], 1, 63, 1, 0) + bw.buf
+
+    out += b"\xff\xd9"
+    return bytes(out)

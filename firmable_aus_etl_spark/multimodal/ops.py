@@ -58,17 +58,18 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 class DecodeUnavailable(NotImplementedError):
     """Raised where a real codec would run and none exists for the
-    format. PNG, baseline JPEG, animated GIF, RIFF/WAVE PCM, and
-    MJPEG-in-AVI video decode for REAL with the stdlib codecs in this
-    package; this gate remains for progressive/arithmetic JPEG, webp,
-    mp3/aac, and non-MJPEG video codecs (h264/vp9/...)."""
+    format. PNG, baseline AND progressive JPEG, animated GIF,
+    RIFF/WAVE PCM, and MJPEG-in-AVI video decode for REAL with the
+    stdlib codecs in this package; this gate remains for
+    arithmetic-coded JPEG, webp, mp3/aac, and non-MJPEG video codecs
+    (h264/vp9/...)."""
 
 
 def _decode_image(b: bytes) -> tuple[int, int, int, bytes]:
     """Magic-byte dispatch to the real stdlib image codecs: returns
     (width, height, channels, pixel bytes) for PNG and baseline JPEG;
-    raises DecodeUnavailable for anything else (including JPEG
-    profiles outside baseline — the gate stays honest)."""
+    raises DecodeUnavailable for anything else (including
+    arithmetic-coded JPEG — the gate stays honest)."""
     from firmable_aus_etl_spark.multimodal import jpeg as _jpeg
     from firmable_aus_etl_spark.multimodal import png as _png
 
@@ -78,7 +79,7 @@ def _decode_image(b: bytes) -> tuple[int, int, int, bytes]:
         try:
             return _jpeg.decode_jpeg(b)
         except _jpeg.JpegUnsupported as e:
-            raise DecodeUnavailable(f"JPEG profile outside baseline: {e}") from e
+            raise DecodeUnavailable(f"JPEG profile unsupported: {e}") from e
     if b.startswith(b"GIF8"):
         from firmable_aus_etl_spark.multimodal import gif as _gif
 
@@ -89,7 +90,7 @@ def _decode_image(b: bytes) -> tuple[int, int, int, bytes]:
         return w, h, 3, frames[0][1]  # first composed frame as the still
     raise DecodeUnavailable(
         "image format requires codec libs absent from this container "
-        "(PNG, baseline JPEG, and GIF decode for real)"
+        "(PNG, baseline/progressive JPEG, and GIF decode for real)"
     )
 
 
@@ -632,7 +633,7 @@ def video_frames(
                             fw, fh, ch, px = _jpeg.decode_jpeg(jb)
                         except _jpeg.JpegUnsupported as e:
                             raise DecodeUnavailable(
-                                f"AVI frame JPEG outside baseline: {e}"
+                                f"AVI frame JPEG unsupported: {e}"
                             )
                         emit(mid, i, i * delay, delay,
                              _png.encode_png(px, fw, fh, channels=ch))

@@ -78,11 +78,18 @@ def test_quality_monotone_in_size_and_error():
 def test_profile_gates():
     px = smooth(8, 8)
     good = bytearray(J.encode_jpeg(px, 8, 8))
-    # flip SOF0 (0xC0) to SOF2 progressive -> unsupported
     i = bytes(good).find(b"\xff\xc0")
+    # flip SOF0 to SOF9 (arithmetic coding) -> still unsupported
+    arith = bytearray(good)
+    arith[i + 1] = 0xC9
+    with pytest.raises(J.JpegUnsupported):
+        J.decode_jpeg(bytes(arith))
+    # flip SOF0 to SOF2: progressive now DECODES for real, so a
+    # baseline scan wearing a progressive frame header is ILL-FORMED
+    # (its SOS says Ss=0, Se=63 — illegal for a progressive DC scan)
     prog = bytearray(good)
     prog[i + 1] = 0xC2
-    with pytest.raises(J.JpegUnsupported):
+    with pytest.raises(ValueError):
         J.decode_jpeg(bytes(prog))
     with pytest.raises(ValueError):
         J.decode_jpeg(b"\x89PNGnota jpeg")
@@ -147,15 +154,99 @@ def test_resize_jpeg_real_path(spark):
     assert (w, h, ch) == (8, 8, 3)
 
 
-def test_progressive_jpeg_gated_in_ops(spark):
+def test_progressive_jpeg_decodes_in_ops(spark):
+    """Round 5: progressive JPEG is REAL — the Spark decode path hashes
+    a progressive encode identically to the baseline encode of the
+    same pixels (identical quantized coefficients)."""
     from firmable_aus_etl_spark.multimodal import perceptual_hash_images
 
-    good = bytearray(J.encode_jpeg(smooth(8, 8), 8, 8))
-    i = bytes(good).find(b"\xff\xc0")
-    good[i + 1] = 0xC2  # progressive
+    px = smooth(16, 16)
     df = spark.createDataFrame(
-        [(1, bytes(good))], "media_id long, content binary"
+        [
+            (1, J.encode_jpeg(px, 16, 16)),
+            (2, J.encode_jpeg_progressive(px, 16, 16)),
+        ],
+        "media_id long, content binary",
     )
-    with pytest.raises(Exception) as ei:
-        perceptual_hash_images(df).collect()
-    assert "DecodeUnavailable" in str(ei.value) or "baseline" in str(ei.value)
+    hashes = {r.media_id: r.ahash for r in perceptual_hash_images(df).collect()}
+    assert hashes[1] == hashes[2]
+
+
+def test_progressive_roundtrip_equals_baseline():
+    """decode(encode_progressive(px)) is PIXEL-IDENTICAL to
+    decode(encode(px)): the scan script re-orders the same quantized
+    coefficients, so reconstruction must agree bit for bit — gray and
+    RGB, block-aligned and ragged sizes."""
+    import random
+
+    rng = random.Random(5)
+    for w, h, ch in [(8, 8, 1), (16, 16, 3), (17, 13, 3), (24, 9, 1)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        base = J.decode_jpeg(J.encode_jpeg(px, w, h, channels=ch))
+        prog = J.decode_jpeg(J.encode_jpeg_progressive(px, w, h, channels=ch))
+        assert base == prog, (w, h, ch)
+
+
+def test_progressive_decoder_handles_eob_runs():
+    """The encoder emits per-block EOBs, but real progressive files
+    use EOB RUNS spanning blocks — hand-craft a two-block stream whose
+    AC scan is a single EOBRUN=2 symbol (custom Huffman table carrying
+    the 0x10 EOBn symbol) and require it to decode like the DC-only
+    image it is."""
+    import struct as _st
+
+    from firmable_aus_etl_spark.multimodal.jpeg import (
+        _BitWriter,
+        _canonical_codes,
+        _jfif_headers,
+        _scaled_qt,
+        _DC_LUMA,
+        _QT_LUMA,
+        _ZZ,
+    )
+
+    w, h = 16, 8  # two 8x8 blocks, grayscale
+    qt = [_scaled_qt(_QT_LUMA, 90)]
+    out = bytearray(_jfif_headers(qt, 1, w, h, 0xC2))
+    # custom AC table (id 1): symbols 0x00 (EOB1) and 0x10 (EOBRUN 2-3)
+    bits = [0] * 16
+    bits[0] = 2  # two 1-bit... not canonical-valid; use 2 codes at len 2
+    bits = [0, 2] + [0] * 14
+    values = [0x00, 0x10]
+    out += b"\xff\xc4" + _st.pack(">HB", 19 + len(values), 0x11)
+    out += bytes(bits) + bytes(values)
+    ac = _canonical_codes(bits, values)
+    dc = _canonical_codes(*_DC_LUMA)
+
+    # scan 1: DC first pass (Al=0), two blocks with DC diffs +4, 0
+    bw = _BitWriter()
+    from firmable_aus_etl_spark.multimodal.jpeg import _magnitude
+
+    for diff in (4, 0):
+        size, mag = _magnitude(diff)
+        code, ln = dc[size]
+        bw.write(code, ln)
+        if size:
+            bw.write(mag, size)
+    bw.flush()
+    out += b"\xff\xda" + _st.pack(">HB", 8, 1) + bytes([1, 0x00, 0, 0, 0x00])
+    out += bw.buf
+    # scan 2: AC band 1..63 first pass — ONE symbol: EOBRUN covering
+    # both blocks (0x10 -> eobrun = (1<<1) + 0 extra bit... r=1 reads
+    # 1 appended bit; bit=0 -> run of 2)
+    bw = _BitWriter()
+    code, ln = ac[0x10]
+    bw.write(code, ln)
+    bw.write(0, 1)  # eobrun = 2
+    bw.flush()
+    out += b"\xff\xda" + _st.pack(">HB", 8, 1) + bytes([1, 0x01, 1, 63, 0x00])
+    out += bw.buf
+    out += b"\xff\xd9"
+
+    dw, dh, ch, px = J.decode_jpeg(bytes(out))
+    assert (dw, dh, ch) == (w, h, 1)
+    # block 1: flat DC 4*q0 -> level 128 + 4*q0/8; block 2: DC 4 again
+    # (diff 0) -> both blocks flat and EQUAL
+    q0 = qt[0][0]
+    expect = max(0, min(255, round(128.0 + 4 * q0 / 8.0)))
+    assert all(p == expect for p in px), (px[:8], expect)
