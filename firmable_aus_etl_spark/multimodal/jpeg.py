@@ -863,7 +863,8 @@ def _reconstruct_progressive(frame, qts, st):
 
 
 def encode_jpeg_progressive(
-    pixels: bytes, width: int, height: int, *, channels: int = 1, quality: int = 90
+    pixels: bytes, width: int, height: int, *, channels: int = 1,
+    quality: int = 90, restart_interval: int = 0,
 ) -> bytes:
     """Progressive (SOF2) JFIF encode at 4:4:4 — same forward path and
     quantized coefficients as encode_jpeg, entropy-coded as a 4-kind
@@ -880,7 +881,12 @@ def encode_jpeg_progressive(
     decodable by any reader; the decoder side additionally handles
     arbitrary EOB runs. A decode of this output is pixel-identical to
     decoding encode_jpeg of the same input (identical quantized
-    coefficients; asserted in tests/test_jpeg.py)."""
+    coefficients; asserted in tests/test_jpeg.py).
+
+    ``restart_interval`` > 0 emits DRI + RSTn markers in the DC scans
+    (predictors reset per interval) and a DRI=0 segment before the AC
+    scans — exercising the decoder's progressive restart path with a
+    spec-legal stream."""
     qt, blocks, mcux, mcuy = _forward_blocks(pixels, width, height, channels, quality)
 
     dc_codes = [_canonical_codes(*_DC_LUMA)]
@@ -891,6 +897,8 @@ def encode_jpeg_progressive(
 
     ncomp = channels
     out = _jfif_headers(qt, channels, width, height, 0xC2)
+    if restart_interval:
+        out += b"\xff\xdd" + struct.pack(">HH", 4, restart_interval)
 
     def sos_header(comp_ids, ss, se, ah, al):
         seg = bytearray(
@@ -904,7 +912,13 @@ def encode_jpeg_progressive(
     # --- scan 1: DC first pass (Al=1), interleaved
     bw = _BitWriter()
     pred = [0] * channels
-    for per_c in blocks:
+    rst = 0
+    for mi, per_c in enumerate(blocks):
+        if restart_interval and mi and mi % restart_interval == 0:
+            bw.flush()
+            bw.buf += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
+            pred = [0] * channels
         for c in range(channels):
             t = 0 if c == 0 else 1
             v = per_c[c][0] >> 1  # arithmetic shift (T.81 DC point transform)
@@ -920,11 +934,19 @@ def encode_jpeg_progressive(
 
     # --- scan 2: DC refinement (Ah=1, Al=0): bit 0 of each DC
     bw = _BitWriter()
-    for per_c in blocks:
+    rst = 0
+    for mi, per_c in enumerate(blocks):
+        if restart_interval and mi and mi % restart_interval == 0:
+            bw.flush()
+            bw.buf += bytes([0xFF, 0xD0 + rst])
+            rst = (rst + 1) % 8
         for c in range(channels):
             bw.write(per_c[c][0] & 1, 1)
     bw.flush()
     out += sos_header(list(range(ncomp)), 0, 0, 1, 0) + bw.buf
+    if restart_interval:
+        # disable restarts for the (per-block-EOB) AC scans
+        out += b"\xff\xdd" + struct.pack(">HH", 4, 0)
 
     # --- per component: AC first pass (Al=1) then refinement (Al=0)
     for c in range(ncomp):

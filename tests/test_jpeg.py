@@ -250,3 +250,26 @@ def test_progressive_decoder_handles_eob_runs():
     q0 = qt[0][0]
     expect = max(0, min(255, round(128.0 + 4 * q0 / 8.0)))
     assert all(p == expect for p in px), (px[:8], expect)
+
+
+def test_progressive_restart_markers_roundtrip():
+    """Progressive DC scans with DRI/RSTn (predictor resets per
+    interval, DRI=0 re-issued before the AC scans) — decode is still
+    pixel-identical to the baseline path and the stream really
+    carries restart markers."""
+    import random
+
+    rng = random.Random(77)
+    for w, h, ch, ri in [(32, 16, 1, 2), (24, 24, 3, 1)]:
+        px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+        base = J.decode_jpeg(J.encode_jpeg(px, w, h, channels=ch))
+        data = J.encode_jpeg_progressive(
+            px, w, h, channels=ch, restart_interval=ri
+        )
+        assert J.decode_jpeg(data) == base
+        nrst = sum(
+            1
+            for i in range(len(data) - 1)
+            if data[i] == 0xFF and 0xD0 <= data[i + 1] <= 0xD7
+        )
+        assert nrst > 0
