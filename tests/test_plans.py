@@ -73,7 +73,7 @@ def test_no_python_udf_on_benchmarked_paths(spark):
     import bench
 
     for name in bench.HEADLINE:
-        plan = plans.physical_plan(QUERIES[name](spark, SF))
+        plan = plans.physical_plan(bench.ALL_QUERIES[name](spark, SF))
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
