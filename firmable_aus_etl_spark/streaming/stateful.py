@@ -197,3 +197,111 @@ def sessionize_stream_eventtime(
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+NEAR_DUP_PAIR_SCHEMA = StructType(
+    [
+        StructField("a_id", LongType(), True),
+        StructField("b_id", LongType(), True),
+    ]
+)
+
+BUCKET_STATE_SCHEMA = StructType(
+    [StructField("ids", ArrayType(LongType()), True)]
+)
+
+
+def streaming_near_dup_candidates(
+    docs: DataFrame,
+    *,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    num_hashes: int = 32,
+    bands: int = 16,
+    shingle_n: int = 3,
+    bucket_cap: int = 4096,
+) -> DataFrame:
+    """TRUE streaming near-dup candidate generation: MinHash-LSH over
+    an unbounded document stream, candidate pairs emitted the moment
+    the colliding document ARRIVES — the streaming twin of the batch
+    scale path (operators/dedup.minhash_lsh_pairs; round-5 §2.10
+    extension).
+
+    Plan shape: the signature and banding stages are the SAME pure
+    expressions as the batch path (stateless maps, valid on a
+    streaming DataFrame — xxhash64 family, identical band keys), so
+    every bucket key matches its batch twin bit for bit. The stateful
+    stage groups by (band, band_hash) and keeps the ids previously
+    seen in that bucket; each arriving doc emits one (a_id, b_id)
+    candidate (a < b) per already-seen member, then joins the bucket.
+
+    Semantics and bounds:
+    - The cumulative emitted SET equals the batch candidate set over
+      the same documents (asserted in tests/test_streaming.py) — a
+      pair may be emitted more than once when it collides in several
+      bands (the batch path's final ``distinct``); dedup downstream
+      (batch distinct on the sink, or dropDuplicatesWithinWatermark).
+    - State per bucket = its member-id list — exactly the LSH bucket
+      occupancy, so the 100 TB levers are the batch ones: band width
+      (num_hashes/bands) controls expected occupancy, and
+      ``bucket_cap`` hard-bounds degenerate buckets (boilerplate
+      shingles): beyond the cap a bucket stops ADMITTING new members
+      (arrivals still pair against the capped membership), trading
+      recall inside a pathological bucket for bounded state — the
+      same accept-bounded-membership call as SKEW.md's hot-cell
+      salting, and capped buckets are near-useless for
+      discrimination anyway.
+    - Replay from a fresh checkpoint re-emits the identical set
+      (deterministic hashing, no wall-clock anywhere).
+    """
+    from firmable_aus_etl_spark.operators.dedup import minhash_signature
+
+    sig = docs.select(
+        F.col(id_col).cast("long").alias("__id"),
+        minhash_signature(
+            text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        ).alias("__sig"),
+    )
+    rows_per_band = num_hashes // bands
+
+    def band_key(b: int):
+        elems = [
+            F.col("__sig")[i]
+            for i in range(b * rows_per_band, (b + 1) * rows_per_band)
+        ]
+        return F.xxhash64(*elems).cast("string")
+
+    banded = sig.select(
+        "__id",
+        F.posexplode(
+            F.array(*[band_key(b) for b in range(bands)])
+        ).alias("band", "band_hash"),
+    )
+
+    def fn(
+        key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        seen: list[int] = list(state.get[0]) if state.exists else []
+        out_a: list[int] = []
+        out_b: list[int] = []
+        for pdf in pdfs:
+            for raw in pdf["__id"]:
+                did = int(raw)
+                if did in seen:
+                    continue  # at-least-once redelivery of a member
+                for s in seen:
+                    a, b = (s, did) if s < did else (did, s)
+                    out_a.append(a)
+                    out_b.append(b)
+                if len(seen) < bucket_cap:
+                    seen.append(did)
+        state.update((seen,))
+        yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
+
+    return banded.groupBy("band", "band_hash").applyInPandasWithState(
+        fn,
+        outputStructType=NEAR_DUP_PAIR_SCHEMA,
+        stateStructType=BUCKET_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -480,3 +480,81 @@ def test_anomaly_stream_state_bounded_and_cross_batch(spark, tmp_path):
     # alternating 10/11 series is never 3-sigma anomalous
     assert len(scored) == 39 - 12
     assert all(abs(r.zscore) < 3 for r in scored)
+
+
+def test_streaming_near_dup_candidates_equals_batch(spark, tmp_path):
+    """Streaming MinHash-LSH candidates: the cumulative emitted pair
+    SET over the whole stream equals the batch candidate set on the
+    same documents (same expressions, same band keys), regardless of
+    micro-batch boundaries; replay from a fresh checkpoint re-emits
+    the identical set."""
+    from firmable_aus_etl_spark.operators.dedup import minhash_lsh_pairs
+    from firmable_aus_etl_spark.streaming.stateful import (
+        streaming_near_dup_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    expect = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=16
+        ).collect()
+    }
+    assert expect  # fixture has near-dups: a vacuous set proves nothing
+
+    # split into 3 ordered micro-batches
+    d = str(tmp_path / "docs")
+    docs.filter(F.col("doc_id") % 3 == 0).coalesce(1).write.parquet(d + "/p1")
+    docs.filter(F.col("doc_id") % 3 == 1).coalesce(1).write.parquet(d + "/p2")
+    docs.filter(F.col("doc_id") % 3 == 2).coalesce(1).write.parquet(d + "/p3")
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/p*")
+        )
+        out = streaming_near_dup_candidates(stream, num_hashes=32, bands=16)
+        q = (
+            out.writeStream.format("memory").queryName(name)
+            .outputMode("append").trigger(availableNow=True).start()
+        )
+        q.awaitTermination(180)
+        return {(r.a_id, r.b_id) for r in spark.sql(f"SELECT * FROM {name}").collect()}
+
+    got = run("nd_pairs_1")
+    assert got == expect
+    # replay determinism (fresh query, fresh state)
+    assert run("nd_pairs_2") == expect
+
+
+def test_streaming_near_dup_bucket_cap_bounds_state(spark, tmp_path):
+    """bucket_cap: a degenerate bucket (identical text -> every band
+    collides) stops admitting members beyond the cap — pair fan-out is
+    capped at cap*(arrivals) instead of quadratic, and the stream
+    completes without unbounded state."""
+    from firmable_aus_etl_spark.streaming.stateful import (
+        streaming_near_dup_candidates,
+    )
+
+    rows = [(i, "same text for every document here") for i in range(30)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    d = str(tmp_path / "dup")
+    df.coalesce(1).write.parquet(d + "/p1")
+    stream = spark.readStream.schema(df.schema).parquet(d + "/p*")
+    out = streaming_near_dup_candidates(
+        stream, num_hashes=16, bands=4, bucket_cap=5
+    )
+    q = (
+        out.writeStream.format("memory").queryName("nd_cap")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(120)
+    pairs = {(r.a_id, r.b_id) for r in spark.sql("SELECT * FROM nd_cap").collect()}
+    # membership capped at 5: every pair has its lower id among the
+    # first 5 admitted, so distinct pairs = 5 members x later arrivals
+    # + C(5,2), NOT C(30,2)
+    assert len(pairs) == 5 * 25 + 10
+    assert all(a < 5 or b < 5 for a, b in pairs)
