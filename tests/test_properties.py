@@ -244,3 +244,64 @@ def test_weighted_sample_is_topk_of_priorities(spark, rows, k):
     }
     want = set(sorted(pri, key=lambda x: (-pri[x], x))[:k])
     assert got == want
+
+
+# ---- round-5 codec properties (no Spark fixture needed) ----------------
+
+_PIXELS = st.integers(min_value=0, max_value=255)
+
+
+@given(
+    dims=st.tuples(
+        st.integers(min_value=4, max_value=24),
+        st.integers(min_value=4, max_value=20),
+    ),
+    ch=st.sampled_from([1, 3]),
+    q=st.sampled_from([25, 60, 90]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@_SETTINGS
+def test_progressive_decode_always_equals_baseline(dims, ch, q, seed):
+    """Property: for ANY image, decoding the progressive encode is
+    pixel-identical to decoding the baseline encode (same quantized
+    coefficients through two entropy codings)."""
+    import random
+
+    from firmable_aus_etl_spark.multimodal import jpeg as J
+
+    w, h = dims
+    rng = random.Random(seed)
+    px = bytes(rng.randrange(256) for _ in range(w * h * ch))
+    base = J.decode_jpeg(J.encode_jpeg(px, w, h, channels=ch, quality=q))
+    prog = J.decode_jpeg(
+        J.encode_jpeg_progressive(px, w, h, channels=ch, quality=q)
+    )
+    assert base == prog
+
+
+@given(
+    n_frames=st.integers(min_value=1, max_value=5),
+    fps=st.sampled_from([1, 10, 25, 30]),
+    seed=st.integers(min_value=0, max_value=10_000),
+)
+@_SETTINGS
+def test_avi_container_roundtrip_property(n_frames, fps, seed):
+    """Property: the MJPEG-AVI container returns every frame blob
+    byte-exact in order, with the header geometry and fps intact."""
+    import random
+
+    from firmable_aus_etl_spark.multimodal import avi as A
+    from firmable_aus_etl_spark.multimodal import jpeg as J
+
+    rng = random.Random(seed)
+    frames = [
+        J.encode_jpeg(
+            bytes(rng.randrange(256) for _ in range(8 * 8 * 3)), 8, 8, channels=3
+        )
+        for _ in range(n_frames)
+    ]
+    data = A.encode_mjpeg_avi(frames, 8, 8, fps=fps)
+    w, h, got_fps, got = A.decode_mjpeg_avi(data)
+    assert (w, h) == (8, 8)
+    assert got == frames
+    assert abs(got_fps - fps) < 1e-9
