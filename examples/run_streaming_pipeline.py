@@ -166,6 +166,35 @@ def main() -> None:
     print(f"vectors seen:   {v_seen}")
     print(f"survivors kept: {v_kept}  (near-dups dropped: {v_seen - v_kept})")
 
+    # --- TRUE streaming near-dup candidates (round 5): the stateful
+    # MinHash-LSH operator over the same doc drops — pairs emit the
+    # moment the colliding doc arrives, and the cumulative set equals
+    # the batch candidate set
+    from firmable_aus_etl_spark.streaming.stateful import (
+        streaming_near_dup_candidates,
+    )
+
+    nd_stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{work}/docs_in")
+    )
+    q = (
+        streaming_near_dup_candidates(nd_stream, num_hashes=32, bands=16)
+        .writeStream.format("memory").queryName("demo_nd_pairs")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination(180)
+    n_pairs = spark.sql(
+        "SELECT count(DISTINCT a_id, b_id) AS n FROM demo_nd_pairs"
+    ).collect()[0].n
+    from firmable_aus_etl_spark.operators.dedup import minhash_lsh_pairs
+
+    n_batch = minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=16).count()
+    print("=== streaming near-dup candidates ===")
+    print(f"streamed candidate pairs: {n_pairs}; batch twin: {n_batch}; "
+          f"equal: {n_pairs == n_batch}")
+
     print("=== streaming heavy hitters (final summaries) ===")
     spark.sql(
         """
