@@ -346,3 +346,57 @@ def vacuum_snapshots(root: str, *, keep: int = 2) -> list[int]:
         if os.path.exists(sp):
             os.unlink(sp)
     return doomed
+
+
+def snapshot_diff(
+    spark: SparkSession,
+    root: str,
+    keys: Sequence[str],
+    *,
+    v_from: int,
+    v_to: int,
+    tracked: Sequence[str] | None = None,
+) -> DataFrame:
+    """Row-level diff between two committed snapshots — the corpus
+    change report a crawl/training pipeline runs between ingests:
+    one row per affected key with ``change`` in
+    ('inserted', 'deleted', 'updated') plus both sides' tracked
+    columns (``old_<c>`` / ``new_<c>``). Unchanged keys are filtered
+    before any wide materialization.
+
+    ``tracked`` defaults to every non-key column present in BOTH
+    versions (schema evolution: columns only in one side are ignored
+    for the change test but still reported from their side). Null-safe
+    comparison — the same semantics merge_upsert uses to decide
+    updates, so diff(v, merge(v, u)) reflects exactly the rows that
+    merge touched.
+
+    Scale shape: one full-outer join keyed on ``keys`` (both sides are
+    plain parquet snapshot scans — column-pruned to keys + tracked),
+    no driver-side state. Time travel must still cover both versions
+    (vacuum drops old snapshots)."""
+    a = read_snapshot(spark, root, version=v_from)
+    b = read_snapshot(spark, root, version=v_to)
+    shared = [c for c in a.columns if c in set(b.columns)]
+    if tracked is None:
+        tracked = [c for c in shared if c not in set(keys)]
+    a = a.select(*keys, *[c for c in tracked if c in a.columns]).alias("o")
+    b = b.select(*keys, *[c for c in tracked if c in b.columns]).alias("n")
+    cond = [F.col(f"o.{k}").eqNullSafe(F.col(f"n.{k}")) for k in keys]
+    j = a.join(b, cond, "full_outer")
+    in_old = F.col(f"o.{keys[0]}").isNotNull()
+    in_new = F.col(f"n.{keys[0]}").isNotNull()
+    changed = F.lit(False)
+    for c in tracked:
+        changed = changed | ~F.col(f"o.{c}").eqNullSafe(F.col(f"n.{c}"))
+    change = (
+        F.when(~in_old, F.lit("inserted"))
+        .when(~in_new, F.lit("deleted"))
+        .when(changed, F.lit("updated"))
+    )
+    out_cols = [F.coalesce(F.col(f"n.{k}"), F.col(f"o.{k}")).alias(k) for k in keys]
+    out_cols.append(change.alias("change"))
+    for c in tracked:
+        out_cols.append(F.col(f"o.{c}").alias(f"old_{c}"))
+        out_cols.append(F.col(f"n.{c}").alias(f"new_{c}"))
+    return j.select(*out_cols).filter(F.col("change").isNotNull())

@@ -335,3 +335,49 @@ def test_lakehouse_stream_sink(spark, root, tmp_path):
     )
     q2.awaitTermination(120)
     assert rows(LH.read_snapshot(spark, root).select("id", "part", "v")) == got
+
+
+def test_snapshot_diff_classifies_changes(spark, root):
+    """Row-level diff between versions: inserted / deleted / updated
+    classification with old_/new_ values, unchanged keys absent, and
+    diff(v, merge(v, u)) == exactly what the merge touched."""
+    base = spark.createDataFrame(
+        [(1, "a", 1.0), (2, "b", 2.0), (3, "c", 3.0)],
+        "id long, s string, v double",
+    )
+    LH.write_snapshot(base, root)  # v0
+    updates = spark.createDataFrame(
+        [(2, "b", 9.0),   # update
+         (3, "c", 3.0),   # no-op (identical)
+         (4, "d", 4.0)],  # insert
+        "id long, s string, v double",
+    )
+    LH.merge_into_snapshot(
+        spark, root, updates, ["id"], delete_where=F.col("id") == 1
+    )  # v1: deletes id 1
+    diff = {r.id: r for r in LH.snapshot_diff(
+        spark, root, ["id"], v_from=0, v_to=1
+    ).collect()}
+    assert set(diff) == {1, 2, 4}  # id 3 unchanged -> absent
+    assert diff[1].change == "deleted" and diff[1].old_v == 1.0 and diff[1].new_v is None
+    assert diff[2].change == "updated" and (diff[2].old_v, diff[2].new_v) == (2.0, 9.0)
+    assert diff[4].change == "inserted" and diff[4].new_s == "d"
+
+
+def test_snapshot_diff_null_safe_and_tracked_subset(spark, root):
+    base = spark.createDataFrame([(1, None, 1.0)], "id long, s string, v double")
+    LH.write_snapshot(base, root)
+    LH.merge_into_snapshot(
+        spark, root,
+        spark.createDataFrame([(1, None, 5.0)], "id long, s string, v double"),
+        ["id"],
+    )
+    # tracked only on s: the null-safe compare sees NO change
+    assert LH.snapshot_diff(
+        spark, root, ["id"], v_from=0, v_to=1, tracked=["s"]
+    ).count() == 0
+    # tracked on v: change detected
+    rows = LH.snapshot_diff(
+        spark, root, ["id"], v_from=0, v_to=1, tracked=["v"]
+    ).collect()
+    assert len(rows) == 1 and rows[0].change == "updated"
