@@ -558,3 +558,57 @@ def test_streaming_near_dup_bucket_cap_bounds_state(spark, tmp_path):
     # + C(5,2), NOT C(30,2)
     assert len(pairs) == 5 * 25 + 10
     assert all(a < 5 or b < 5 for a, b in pairs)
+
+
+def test_streaming_near_dup_to_lakehouse_exactly_once(spark, tmp_path):
+    """End-to-end dedup ingest: the stateful near-dup candidate stream
+    MERGEs into a snapshot-isolated lakehouse pair table — cross-band
+    duplicate emissions and replays collapse by merge semantics, so
+    the final table is exactly the distinct batch candidate set
+    (exactly-once table from an at-least-once candidate stream)."""
+    from firmable_aus_etl_spark.operators.dedup import minhash_lsh_pairs
+    from firmable_aus_etl_spark.sources import lakehouse as LH
+    from firmable_aus_etl_spark.streaming.ops import lakehouse_stream_sink
+    from firmable_aus_etl_spark.streaming.stateful import (
+        streaming_near_dup_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    expect = {
+        (r.a_id, r.b_id)
+        for r in minhash_lsh_pairs(
+            docs, "doc_id", "text", num_hashes=32, bands=16
+        ).collect()
+    }
+    d = str(tmp_path / "docs")
+    docs.filter(F.col("doc_id") % 2 == 0).coalesce(1).write.parquet(d + "/p1")
+    docs.filter(F.col("doc_id") % 2 == 1).coalesce(1).write.parquet(d + "/p2")
+    root = str(tmp_path / "pairs_tbl")
+
+    def run(cp):
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(d + "/p*")
+        )
+        pairs = streaming_near_dup_candidates(stream, num_hashes=32, bands=16)
+        q = lakehouse_stream_sink(
+            pairs, root, ["a_id", "b_id"], checkpoint=cp
+        )
+        q.awaitTermination(180)
+
+    run(str(tmp_path / "cp1"))
+    got = {
+        (r.a_id, r.b_id) for r in LH.read_snapshot(spark, root).collect()
+    }
+    assert got == expect
+    v1 = LH.latest_version(root)
+    # full replay from a fresh checkpoint: value-level no-op
+    run(str(tmp_path / "cp2"))
+    got2 = {
+        (r.a_id, r.b_id) for r in LH.read_snapshot(spark, root).collect()
+    }
+    assert got2 == expect
+    assert LH.latest_version(root) > v1  # snapshots committed, values unchanged
