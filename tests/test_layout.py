@@ -1,7 +1,8 @@
-"""Z-order layout (operators/layout.py): Morton-value correctness,
-curve locality, and the MEASURED pruning claim — parquet row-group
-min/max stats prune on EVERY interleaved dimension of a Z-ordered
-layout, where a 1-D sort prunes only its own column."""
+"""Sharper Z-order layout measurements (operators/partitioning.py
+zorder_key / write_zordered): exact Morton bit interleaving, quadrant
+locality, and row-group-level straddle counts — a 1-D sort leaves the
+second dimension fully unprunable while the Z-order prunes it 3x+.
+Complements test_partitioning's mean-width measurement."""
 
 from __future__ import annotations
 
@@ -10,33 +11,24 @@ import glob
 import pyarrow.parquet as pq
 from pyspark.sql import functions as F
 
-from firmable_aus_etl_spark.operators import layout as L
+from firmable_aus_etl_spark.operators.partitioning import (
+    write_zordered,
+    zorder_key,
+)
 
 
-def test_zorder_value_interleaves_bits(spark):
+def test_zorder_key_exact_bit_interleave(spark):
     df = spark.createDataFrame([(3, 5)], "a long, b long")
-    # ranges chosen so bucket == value (span 2^bits with the epsilon)
-    z = df.select(
-        L.zorder_value(
-            [F.col("a"), F.col("b")], [(0, 7), (0, 7)], bits=3
-        ).alias("z")
-    ).collect()[0].z
-    # a=3 (011), b=5 (101) -> interleave a at even positions, b at odd:
-    # bit i of a -> 2i, bit i of b -> 2i+1:
-    # a bits: 1@0,1@1,0@2 -> 1@0, 1@2 ; b bits: 1@0,0@1,1@2 -> 1@1, 1@5
+    z = df.select(zorder_key("a", "b", bits=3).alias("z")).collect()[0].z
+    # a=3 (011) at even positions, b=5 (101) at odd:
+    # a: 1@0, 1@2 ; b: 1@1, 1@5
     assert z == (1 << 0) | (1 << 2) | (1 << 1) | (1 << 5)
 
 
-def test_zorder_locality_beats_linear_sort(spark):
-    """Monotone locality sanity: points close in BOTH dimensions get
-    close z-values, and a quadrant maps to a contiguous-ish z range
-    (the property row-group pruning exploits)."""
+def test_zorder_quadrant_locality(spark):
     rows = [(x, y) for x in range(16) for y in range(16)]
     df = spark.createDataFrame(rows, "a long, b long")
-    out = df.select(
-        "a", "b",
-        L.zorder_value([F.col("a"), F.col("b")], [(0, 15), (0, 15)], bits=4).alias("z"),
-    ).collect()
+    out = df.select("a", "b", zorder_key("a", "b", bits=4).alias("z")).collect()
     zmap = {(r.a, r.b): r.z for r in out}
     # the low quadrant occupies exactly the lowest quarter of z-space
     low_quad = {zmap[(x, y)] for x in range(8) for y in range(8)}
@@ -62,14 +54,11 @@ def _straddling_row_groups(path: str, col: str, rng) -> tuple[int, int]:
 
 
 def test_zordered_write_bounds_pruning_on_every_dimension(spark, tmp_path):
-    """The measured layout claim (SURVEY's index analog): a 1-D sort
-    prunes perfectly on ITS column and not at all on any other; the
-    Z-order prunes meaningfully on EVERY interleaved column. Measured
-    on real parquet row-group min/max stats (the mechanism any reader
-    uses). Representative numbers (8 files x ~2-3 groups, 10%-range
-    predicates): linear a 3/17, b 17/17 (zero pruning); z-order
-    a 8/18, b 5/18 — the per-dimension-optimality trade Z-order makes
-    to bound the worst dimension."""
+    """Row-group-level pruning measurement: a 1-D sort prunes
+    perfectly on ITS column and not at all on any other; the Z-order
+    prunes meaningfully on EVERY interleaved column. Representative
+    numbers (8 files x ~2-3 groups, 10%-range predicates): linear
+    b 17/17 straddle (zero pruning); z-order b 5/18, a 8/18."""
     state, rows = 9, []
     for i in range(40_000):
         state = (state * 1103515245 + 12345) % (1 << 31)
@@ -78,15 +67,18 @@ def test_zordered_write_bounds_pruning_on_every_dimension(spark, tmp_path):
         b = (state >> 7) % 1000
         rows.append((a, b, i))
     df = spark.createDataFrame(rows, "a long, b long, payload long")
+    old_conf = spark.conf.get("spark.sql.files.maxRecordsPerFile")
     spark.conf.set("spark.sql.files.maxRecordsPerFile", "2500")
-
-    lin = str(tmp_path / "linear")
-    (
-        df.repartitionByRange(8, "a").sortWithinPartitions("a")
-        .write.mode("overwrite").parquet(lin)
-    )
-    zo = str(tmp_path / "zordered")
-    L.write_zordered(df, zo, ["a", "b"], bits=8, partitions=8)
+    try:
+        lin = str(tmp_path / "linear")
+        (
+            df.repartitionByRange(8, "a").sortWithinPartitions("a")
+            .write.mode("overwrite").parquet(lin)
+        )
+        zo = str(tmp_path / "zordered")
+        write_zordered(df, zo, "a", "b", files=8, bits=8)
+    finally:
+        spark.conf.set("spark.sql.files.maxRecordsPerFile", old_conf)
 
     rng = (100, 199)  # 10% of each dimension
     lin_b, lin_total = _straddling_row_groups(lin, "b", rng)
