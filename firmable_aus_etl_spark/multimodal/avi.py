@@ -94,8 +94,11 @@ def decode_mjpeg_avi(data: bytes) -> tuple[int, int, float, list[bytes]]:
 
     Walks the RIFF chunk tree; requires a vids stream whose handler or
     biCompression fourcc is MJPEG-family, then collects every
-    ``..db``/``..dc`` chunk of stream 0 from the movi list. Frames
-    come back as the raw JPEG blobs for jpeg.decode_jpeg."""
+    ``..db``/``..dc`` chunk belonging to THAT stream from the movi
+    list (the two-digit chunk prefix is the stream's ordinal in strh
+    order — a second audio/text stream's data chunks are ignored, not
+    interleaved or fatal). Frames come back as the raw JPEG blobs for
+    jpeg.decode_jpeg."""
     if len(data) < 12 or data[:4] != b"RIFF" or data[8:12] != b"AVI ":
         raise AviUnsupported("not a RIFF/AVI stream")
 
@@ -103,9 +106,13 @@ def decode_mjpeg_avi(data: bytes) -> tuple[int, int, float, list[bytes]]:
     fps = 0.0
     handler_ok = False
     frames: list[bytes] = []
+    strh_seen = 0       # streams are numbered by strh order in hdrl
+    vids_index = None   # ordinal of the MJPEG vids stream
+    in_vids_strl = False  # the strf that follows a vids strh
 
     def walk(buf: bytes, pos: int, end: int, in_movi: bool) -> None:
         nonlocal width, height, fps, handler_ok
+        nonlocal strh_seen, vids_index, in_vids_strl
         while pos + 8 <= end:
             tag = buf[pos : pos + 4]
             size = _u32(buf, pos + 4)
@@ -120,29 +127,37 @@ def decode_mjpeg_avi(data: bytes) -> tuple[int, int, float, list[bytes]]:
             elif tag == b"strh" and size >= 36:
                 fcc_type = buf[body_start : body_start + 4]
                 fcc_handler = buf[body_start + 4 : body_start + 8]
+                in_vids_strl = fcc_type == b"vids"
                 if fcc_type == b"vids":
+                    if vids_index is not None:
+                        raise AviUnsupported("multiple video streams")
                     if fcc_handler not in MJPEG_FOURCCS | {b"\x00\x00\x00\x00"}:
                         raise AviUnsupported(
                             f"video codec {fcc_handler!r} is not MJPEG"
                         )
+                    vids_index = strh_seen
                     scale = _u32(buf, body_start + 20)
                     rate = _u32(buf, body_start + 24)
                     if scale:
                         fps = rate / scale
-            elif tag == b"strf" and size >= 40 and width is not None:
+                strh_seen += 1
+            elif tag == b"strf" and size >= 40 and in_vids_strl:
                 comp = buf[body_start + 16 : body_start + 20]
                 if comp in MJPEG_FOURCCS:
                     handler_ok = True
                 elif comp not in {b"\x00\x00\x00\x00"}:
                     raise AviUnsupported(f"biCompression {comp!r} is not MJPEG")
             elif in_movi and tag[2:4] in (b"dc", b"db") and tag[:2].isdigit():
-                blob = buf[body_start:body_end]
-                if blob[:2] == b"\xff\xd8":
-                    frames.append(blob)
-                elif blob:
-                    raise AviUnsupported(
-                        "movi frame chunk is not a JPEG blob (non-MJPEG data)"
-                    )
+                if vids_index is None or int(tag[:2]) != vids_index:
+                    pass  # another stream's data chunk: skip, don't fail
+                else:
+                    blob = buf[body_start:body_end]
+                    if blob[:2] == b"\xff\xd8":
+                        frames.append(blob)
+                    elif blob:
+                        raise AviUnsupported(
+                            "movi frame chunk is not a JPEG blob (non-MJPEG data)"
+                        )
             pos = body_start + size + (size % 2)
 
     walk(data, 12, 8 + _u32(data, 4), False)

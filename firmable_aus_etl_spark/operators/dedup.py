@@ -612,11 +612,13 @@ def ngram_jaccard_pairs(
     big-corpus path never reaches the join.
     """
     if max_rows is not None:
-        n = df.count()
+        # short-circuit: LIMIT max_rows+1 stops the scan at the first
+        # over-limit partition instead of counting the whole input
+        n = df.limit(max_rows + 1).count()
         if n > max_rows:
             raise ValueError(
                 f"ngram_jaccard_pairs is the quadratic-fanout exact join "
-                f"({n} rows > max_rows={max_rows}); use "
+                f"(> max_rows={max_rows} rows); use "
                 f"ngram_jaccard_pairs_prefix or verified_near_dup_pairs at "
                 f"this scale, or pass max_rows=None deliberately"
             )
@@ -651,7 +653,8 @@ def _prefix_len(sz: Column, threshold: float) -> Column:
 
 
 def jaccard_prefix_candidates(
-    docs: DataFrame, *, threshold: float, order: str = "hash"
+    docs: DataFrame, *, threshold: float, order: str = "hash",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Candidate (a_id, b_id) pairs for the prefix-filtered Jaccard
     join, from a ``(__id, __h: sorted array<long>)`` frame.
@@ -671,6 +674,19 @@ def jaccard_prefix_candidates(
 
     Both orders are total and globally consistent, so the prefix
     theorem and the positional filter hold for either.
+
+    ``max_df`` (default off) is the boilerplate hard-stop SKEW.md
+    measures: prefix rows whose shingle occurs in more than ``max_df``
+    prefixes are dropped BEFORE the self-join, bounding every
+    per-shingle fan-out term to C(max_df, 2) regardless of corpus
+    pathology. This is a RECALL trade, not exact: a true pair whose
+    every prefix collision lands on dropped boilerplate shingles is
+    missed (the df order already pushes boilerplate out of prefixes
+    organically — max_df is the guarantee on top, for corpora where
+    even mid-frequency templating overwhelms the join). df is counted
+    over PREFIX occurrences — exactly the population that enters the
+    join, i.e. the quantity that drives fan-out. Costs one extra
+    count + semi-join on the shingle key.
     """
     sz = F.size(F.col("__h"))
     plen = _prefix_len(sz, threshold)
@@ -693,6 +709,14 @@ def jaccard_prefix_candidates(
         )
     else:  # pragma: no cover - guard
         raise ValueError(f"order must be 'hash' or 'df', got {order!r}")
+    if max_df is not None:
+        keep = (
+            pref.groupBy("sh")
+            .agg(F.count("*").alias("__df"))
+            .filter(F.col("__df") <= max_df)
+            .select("sh")
+        )
+        pref = pref.join(keep, "sh")
     l, r = pref.alias("l"), pref.alias("r")
     szs = F.col("l.sz") + F.col("r.sz")
     # PPJoin positional filter: J>=t needs overlap >= t/(1+t)*(|A|+|B|);
@@ -735,6 +759,7 @@ def ngram_jaccard_pairs_prefix(
     shingle_n: int = 3,
     threshold: float = 0.8,
     order: str = "hash",
+    max_df: int | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via prefix filtering (PPJoin/Vernica).
 
@@ -743,7 +768,9 @@ def ngram_jaccard_pairs_prefix(
     J >= t must collide within the first ``|s| - ceil(t*|s|) + 1``
     shingles of each side, so only those prefixes enter the
     inverted-index join — see :func:`jaccard_prefix_candidates` for
-    the ``order`` trade-off (shuffle-free "hash" vs skew-proof "df").
+    the ``order`` trade-off (shuffle-free "hash" vs skew-proof "df")
+    and the ``max_df`` boilerplate hard-stop (a documented recall
+    trade — with it set the result can be a SUBSET of the exact set).
     Length and positional filters prune candidates before exact
     verification on the full distinct-shingle arrays.
     """
@@ -760,7 +787,9 @@ def ngram_jaccard_pairs_prefix(
         "__id",
         F.array_sort(F.transform(F.col("__sh"), lambda s: F.xxhash64(s))).alias("__h"),
     )
-    cand = jaccard_prefix_candidates(docs, threshold=threshold, order=order)
+    cand = jaccard_prefix_candidates(
+        docs, threshold=threshold, order=order, max_df=max_df
+    )
     a = docs.select(F.col("__id").alias("a_id"), F.col("__h").alias("__h_a"))
     b = docs.select(F.col("__id").alias("b_id"), F.col("__h").alias("__h_b"))
     inter = F.size(F.array_intersect(F.col("__h_a"), F.col("__h_b"))).cast("double")
@@ -786,6 +815,7 @@ def connected_components(
     max_iter: int = 50,
     algorithm: str = "label",
     stats: dict | None = None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Connected components over a distributed edge list.
 
@@ -794,8 +824,12 @@ def connected_components(
     iteration is one or two distributed join + groupBy passes (no
     driver-side graph); the driver only coordinates the loop and
     checks convergence, the standard Spark idiom for iterative
-    algorithms. localCheckpoint truncates lineage so plan depth stays
-    O(1) per iteration.
+    algorithms. Per-round materialization truncates lineage so plan
+    depth stays O(1) per iteration; ``checkpoint_dir`` switches it
+    from localCheckpoint (fast, dies with an executor) to reliable
+    checkpoint() (survives executor loss — set it to durable storage
+    for 100 TB runs; identical results either way, asserted in
+    tests/test_dedup.py). See partitioning.iter_materialize.
 
     ``algorithm``:
 
@@ -828,10 +862,13 @@ def connected_components(
     # prefix-Jaccard join) re-executes per iteration — measured 8.4s ->
     # 3.6s at sf0.1 for near_dup_clusters (edges dominate; rounds are
     # cheap). Same move MLlib/GraphX make before iterating.
-    und = (
-        edges.select(F.col(src).alias("x"), F.col(dst).alias("y"))
-        .union(edges.select(F.col(dst).alias("x"), F.col(src).alias("y")))
-        .localCheckpoint()
+    from firmable_aus_etl_spark.operators.partitioning import iter_materialize
+
+    und = iter_materialize(
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).union(
+            edges.select(F.col(dst).alias("x"), F.col(src).alias("y"))
+        ),
+        checkpoint_dir,
     )
     if nodes is None:
         node_frame = und.select(F.col("x").alias(node_id)).distinct()
@@ -839,7 +876,8 @@ def connected_components(
         node_frame = nodes.select(F.col(node_id)).distinct()
     if algorithm == "star":
         return _connected_components_star(
-            und, node_frame, node_id=node_id, max_iter=max_iter, stats=stats
+            und, node_frame, node_id=node_id, max_iter=max_iter, stats=stats,
+            checkpoint_dir=checkpoint_dir,
         )
     if algorithm != "label":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
@@ -858,7 +896,7 @@ def connected_components(
         # instead of a second labels-join per round (round-4 advisor
         # asked for exactness; round-5 verdict #6 asked for the fold —
         # measured ~25% off near_dup_clusters, PERF.md #22)
-        new_full = (
+        new_full = iter_materialize(
             labels.join(neighbor_min, labels[node_id] == neighbor_min["x"], "left")
             .select(
                 labels[node_id],
@@ -866,8 +904,8 @@ def connected_components(
                 F.least(F.col("cluster"), F.coalesce(F.col("nbr"), F.col("cluster"))).alias(
                     "cluster"
                 ),
-            )
-            .localCheckpoint()
+            ),
+            checkpoint_dir,
         )
         changed = new_full.filter(F.col("cluster") != F.col("__old")).count()
         labels = new_full.select(node_id, "cluster")
@@ -885,6 +923,7 @@ def _connected_components_star(
     node_id: str,
     max_iter: int,
     stats: dict | None,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """Alternating large-star/small-star contraction over an
     undirected edge view ``und`` = (x, y) with both orientations
@@ -910,7 +949,11 @@ def _connected_components_star(
     At fixpoint every surviving edge is (node, component-min): the
     star. Labels = those edges + a self-label for every node not on
     the non-root side (roots and isolated nodes)."""
-    cur = und.filter(F.col("x") != F.col("y")).distinct().localCheckpoint()
+    from firmable_aus_etl_spark.operators.partitioning import iter_materialize
+
+    cur = iter_materialize(
+        und.filter(F.col("x") != F.col("y")).distinct(), checkpoint_dir
+    )
 
     def edge_sig(e: DataFrame):
         return e.agg(
@@ -934,8 +977,8 @@ def _connected_components_star(
             out = joined.filter(F.col("y") <= F.col("x")).select(
                 F.col("y").alias("x"), F.col("m").alias("y")
             ).union(mins.select(F.col("x"), F.col("m").alias("y")))
-        return (
-            out.filter(F.col("x") != F.col("y")).distinct().localCheckpoint()
+        return iter_materialize(
+            out.filter(F.col("x") != F.col("y")).distinct(), checkpoint_dir
         )
 
     rounds = 0

@@ -171,6 +171,7 @@ def pagerank(
     *,
     iters: int = 5,
     damping: float = 0.85,
+    checkpoint_dir: str | None = None,
 ) -> DataFrame:
     """PageRank over a simple undirected edge frame (a, b), a < b —
     every edge walks both ways. Returns (node, rank_e12): the rank in
@@ -193,13 +194,21 @@ def pagerank(
     not emitted by floor division is deliberately dropped (< deg
     units of 1e-12 per node per round) rather than redistributed — the
     bias is identical on every engine.
+
+    ``checkpoint_dir``: switch the per-round materialization from
+    localCheckpoint to reliable checkpoint() (durable storage) so a
+    100 TB run survives executor loss mid-iteration — see
+    partitioning.iter_materialize; results identical either way.
     """
+    from firmable_aus_etl_spark.operators.partitioning import iter_materialize
+
     und = edges.select(
         F.col("a").alias("src"), F.col("b").alias("dst")
     ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    und = und.localCheckpoint(eager=False)
-    deg = und.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint(
-        eager=False
+    und = iter_materialize(und, checkpoint_dir, eager=False)
+    deg = iter_materialize(
+        und.groupBy("src").agg(F.count("*").alias("deg")), checkpoint_dir,
+        eager=False,
     )
     n = deg.count()
     scale = 10**12
@@ -232,5 +241,6 @@ def pagerank(
                     + F.floor(F.lit(damping) * F.col("s") + F.lit(0.5)).cast("long")
                 ).alias("r"),
             )
-        ).localCheckpoint(eager=False)
+        )
+        r = iter_materialize(r, checkpoint_dir, eager=False)
     return r.select(F.col("src").alias("node"), F.col("r").alias("rank_e12"))

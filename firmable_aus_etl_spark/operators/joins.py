@@ -42,6 +42,7 @@ def similarity_join(
     right_tiebreak: str | None = None,
     score_col: str = "score",
     broadcast_right: bool = False,
+    max_rows: int | None = 10_000,
 ) -> DataFrame:
     """op20 — blocked similarity join, top-k per left row.
 
@@ -49,7 +50,15 @@ def similarity_join(
     θ>=85 at :171, top-1 via extractOne at :170).
 
     - ``block``: expression mapping a key column to its blocking key.
-      None -> cross join (op19 semantics; only for tiny sides).
+      None -> cross join (op19 semantics) — HARD-GATED: the unblocked
+      plan evaluates |left|*|right| scorers and is only shippable when
+      at least ONE side is tiny (the broadcast side of the
+      nested-loop; a big fact against a 20-row sample is linear, two
+      big sides are quadratic). If BOTH sides exceed ``max_rows`` this
+      raises instead of silently shipping the quadratic plan — the
+      same guard pattern as ngram_jaccard_pairs. Pass
+      ``max_rows=None`` to override deliberately. The gate costs two
+      LIMIT-bounded counts, and only on the unblocked path.
     - ``prepare``/``scorer``: key normalization runs ONCE PER INPUT ROW
       (default: token_sort) and the pairwise scorer (default:
       levenshtein ratio) sees only prepped strings — O(n+m) string
@@ -79,6 +88,15 @@ def similarity_join(
         cond = block(F.col(f"l.{left_key}")) == block(F.col(f"r.{right_key}"))
         joined = l.join(r, on=cond, how="inner")
     else:
+        if max_rows is not None and all(
+            df_.limit(max_rows + 1).count() > max_rows for df_ in (left, right)
+        ):
+            raise ValueError(
+                f"similarity_join(block=None) is the O(n*m) cross join "
+                f"and BOTH sides exceed max_rows={max_rows}; pass a "
+                f"block= expression (the scale path), shrink one side, "
+                f"or pass max_rows=None deliberately"
+            )
         joined = l.crossJoin(r)
 
     scored = joined.select(

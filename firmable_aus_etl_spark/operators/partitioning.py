@@ -17,6 +17,37 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 
+def iter_materialize(
+    df: DataFrame, checkpoint_dir: str | None = None, *, eager: bool = True
+) -> DataFrame:
+    """Materialize an ITERATION frame (truncate lineage so plan depth
+    stays O(1) per round of an iterative algorithm).
+
+    - ``checkpoint_dir=None`` (default): ``localCheckpoint`` — blocks
+      live in executor storage, no extra I/O. FAST but NOT
+      fault-tolerant: losing an executor mid-iteration loses blocks
+      whose truncated lineage can no longer recompute them, failing
+      the job (restart from scratch). The right local/dev default.
+    - ``checkpoint_dir=<path>``: reliable ``checkpoint()`` into that
+      directory (HDFS/S3 in production) — blocks survive executor
+      loss, so a 100 TB connected-components/pagerank run resumes the
+      round instead of dying. Costs one write+read of the frame per
+      materialization; amortized over rounds it is the standard price
+      of durable iteration (GraphX's checkpointInterval).
+
+    The checkpoint dir is set once per SparkContext (a global): the
+    first reliable call pins it, later calls with a DIFFERENT dir
+    re-pin (last wins — acceptable for the one-driver-loop-at-a-time
+    usage these operators have).
+    """
+    if checkpoint_dir is None:
+        return df.localCheckpoint(eager=eager)
+    sc = df.sparkSession.sparkContext
+    if sc.getCheckpointDir() != checkpoint_dir:
+        sc.setCheckpointDir(checkpoint_dir)
+    return df.checkpoint(eager=eager)
+
+
 def salted_join(
     big: DataFrame,
     small: DataFrame,

@@ -204,6 +204,19 @@ def merge_into_partitioned_snapshot(
     cur = latest_version(root)
     if cur is None:
         return write_snapshot(updates, root, partition_by=[partition_col])
+    # NULL partition values would silently bypass the affected-partition
+    # machinery (the semi-join and the collected list both drop NULLs):
+    # the merged row lands in the default-partition dir while the old
+    # default-partition dir is ALSO carried forward — two rows per key.
+    # Reject explicitly, mirroring _partition_dirname's unsafe-value raise.
+    n_null = updates.filter(F.col(partition_col).isNull()).limit(1).count()
+    if n_null:
+        raise ValueError(
+            f"merge_into_partitioned_snapshot: updates contain NULL "
+            f"{partition_col!r} values; partitioned merge requires a "
+            f"non-null partition value per row (use merge_into_snapshot "
+            f"for tables with nullable partition keys)"
+        )
     affected_frames = [updates.select(partition_col)]
     src_dir = _snapshot_dir(root, cur)
     # via read_snapshot, NOT a raw parquet read: the persisted schema
@@ -320,15 +333,26 @@ def merge_into_snapshot(
     return write_snapshot(out, root)
 
 
-def vacuum_snapshots(root: str, *, keep: int = 2) -> list[int]:
+def vacuum_snapshots(
+    root: str, *, keep: int = 2, orphan_grace_sec: float = 24 * 3600.0
+) -> list[int]:
     """Drop all but the newest ``keep`` committed snapshots (never the
-    latest), plus any snapshot dir with version > the committed
-    pointer — those are by definition uncommitted orphans left by a
-    crashed writer (the pointer commit is the atomic last step, so a
-    dir past it was never visible to any reader). Returns removed
+    latest), plus STALE uncommitted orphan dirs (version > the
+    committed pointer) left by crashed writers. Returns removed
     versions. Readers of removed committed versions lose time travel —
-    the standard lakehouse retention trade."""
+    the standard lakehouse retention trade.
+
+    A dir past the pointer is only *provably* an orphan if its writer
+    crashed — a LIVE writer races this vacuum (it writes snapshot
+    cur+1, links carry-forward partitions, THEN commits the pointer;
+    deleting its in-flight dir would corrupt the commit it is about to
+    land). So orphan reclamation is gated on age: a v > cur dir is
+    reclaimed only when its newest mtime (dir or any file inside) is
+    older than ``orphan_grace_sec`` — far beyond any plausible write
+    duration. Pass ``orphan_grace_sec=0`` only when no writer can be
+    live (e.g. single-process tests)."""
     import shutil
+    import time
 
     cur = latest_version(root)
     if cur is None:
@@ -339,7 +363,20 @@ def vacuum_snapshots(root: str, *, keep: int = 2) -> list[int]:
         if d.startswith("snapshot=")
     )
     doomed = [v for v in versions if v <= cur][:-keep] if keep > 0 else []
-    doomed += [v for v in versions if v > cur]
+    now = time.time()
+    for v in versions:
+        if v <= cur:
+            continue
+        d = _snapshot_dir(root, v)
+        newest = os.path.getmtime(d)
+        for base, _dirs, files in os.walk(d):
+            for fn in files:
+                try:
+                    newest = max(newest, os.path.getmtime(os.path.join(base, fn)))
+                except OSError:
+                    pass  # writer removed it mid-walk: definitely live
+        if now - newest >= orphan_grace_sec:
+            doomed.append(v)
     for v in doomed:
         shutil.rmtree(_snapshot_dir(root, v))
         sp = _schema_path(root, v)

@@ -252,7 +252,10 @@ def streaming_near_dup_candidates(
       salting, and capped buckets are near-useless for
       discrimination anyway.
     - Replay from a fresh checkpoint re-emits the identical set
-      (deterministic hashing, no wall-clock anywhere).
+      (deterministic hashing, no wall-clock anywhere) — including
+      capped buckets: each micro-batch's arrivals are sorted by id
+      before admission, so capped MEMBERSHIP is a pure function of the
+      micro-batch content, not of row order across shuffle partitions.
     """
     from firmable_aus_etl_spark.operators.dedup import minhash_signature
 
@@ -284,17 +287,23 @@ def streaming_near_dup_candidates(
         seen: list[int] = list(state.get[0]) if state.exists else []
         out_a: list[int] = []
         out_b: list[int] = []
-        for pdf in pdfs:
-            for raw in pdf["__id"]:
-                did = int(raw)
-                if did in seen:
-                    continue  # at-least-once redelivery of a member
-                for s in seen:
-                    a, b = (s, did) if s < did else (did, s)
-                    out_a.append(a)
-                    out_b.append(b)
-                if len(seen) < bucket_cap:
-                    seen.append(did)
+        # Row order WITHIN a micro-batch group is not guaranteed across
+        # shuffle partitions/replays; when bucket_cap triggers, WHICH
+        # members are admitted would otherwise depend on that order.
+        # Sorting the batch's ids makes capped membership (and thus the
+        # replayed pair set) a pure function of the micro-batch CONTENT.
+        batch_ids = sorted(
+            {int(raw) for pdf in pdfs for raw in pdf["__id"]}
+        )
+        for did in batch_ids:
+            if did in seen:
+                continue  # at-least-once redelivery of a member
+            for s in seen:
+                a, b = (s, did) if s < did else (did, s)
+                out_a.append(a)
+                out_b.append(b)
+            if len(seen) < bucket_cap:
+                seen.append(did)
         state.update((seen,))
         yield pd.DataFrame({"a_id": out_a, "b_id": out_b})
 

@@ -153,3 +153,58 @@ def test_avi_metadata_mime(spark):
     out = with_media_metadata(df).collect()[0]
     assert out.mime == "video/avi" and out.media_type == "video"
 
+
+
+def _splice_into_movi(data: bytes, chunk: bytes) -> bytes:
+    """Insert a raw chunk right after the movi fourcc, fixing the movi
+    LIST size and the RIFF size."""
+    kind_at = data.find(b"movi")
+    list_at = kind_at - 8
+    assert data[list_at : list_at + 4] == b"LIST"
+    movi_sz = struct.unpack("<I", data[list_at + 4 : list_at + 8])[0]
+    out = data[: kind_at + 4] + chunk + data[kind_at + 4 :]
+    out = (
+        out[: list_at + 4]
+        + struct.pack("<I", movi_sz + len(chunk))
+        + out[list_at + 8 :]
+    )
+    riff_sz = struct.unpack("<I", data[4:8])[0]
+    return out[:4] + struct.pack("<I", riff_sz + len(chunk)) + out[8:]
+
+
+def test_avi_second_stream_chunks_ignored():
+    """ADVICE r5 (low): data chunks of a NON-vids stream in movi (audio
+    '01wb', or even a second data stream's '01dc') must be skipped —
+    neither interleaved into the frame list nor fatal."""
+    f1, f2 = jpeg_of(grad_x), jpeg_of(grad_y)
+    data = A.encode_mjpeg_avi([f1, f2], W, H)
+    audio = b"01wb" + struct.pack("<I", 6) + b"\x01\x02\x03\x04\x05\x06"
+    other_dc = b"01dc" + struct.pack("<I", 4) + b"NOTJ"
+    patched = _splice_into_movi(_splice_into_movi(data, audio), other_dc)
+    w, h, _fps, frames = A.decode_mjpeg_avi(patched)
+    assert (w, h) == (W, H)
+    assert frames == [f1, f2]  # stream-0 frames only, in order
+
+
+def test_avi_multiple_video_streams_rejected():
+    """Two vids streams would make frame attribution ambiguous —
+    refuse instead of silently merging."""
+    data = A.encode_mjpeg_avi([jpeg_of(grad_x)], W, H)
+    # duplicate the strl LIST (contains the vids strh) inside hdrl
+    strl_at = data.find(b"strl") - 8
+    strl_sz = struct.unpack("<I", data[strl_at + 4 : strl_at + 8])[0]
+    strl = data[strl_at : strl_at + 8 + strl_sz]
+    hdrl_at = data.find(b"hdrl") - 8
+    hdrl_sz = struct.unpack("<I", data[hdrl_at + 4 : hdrl_at + 8])[0]
+    end = strl_at + 8 + strl_sz
+    out = data[:end] + strl + data[end:]
+    out = (
+        out[: hdrl_at + 4]
+        + struct.pack("<I", hdrl_sz + len(strl))
+        + out[hdrl_at + 8 :]
+    )
+    out = out[:4] + struct.pack(
+        "<I", struct.unpack("<I", data[4:8])[0] + len(strl)
+    ) + out[8:]
+    with pytest.raises(A.AviUnsupported, match="multiple video"):
+        A.decode_mjpeg_avi(out)

@@ -404,3 +404,100 @@ def test_naive_jaccard_scale_gate(spark):
     assert dedup.ngram_jaccard_pairs(
         big, "doc_id", "text", threshold=0.9, max_rows=None
     ).count() > 0
+
+
+def test_prefix_jaccard_max_df_bounds_candidates(spark):
+    """Round-6 verdict #8: max_df is the boilerplate hard-stop. With a
+    generous max_df the result equals exact; with a tight max_df the
+    candidate fan-out collapses on a boilerplate corpus while true
+    pairs remain a subset of the exact set (documented recall trade —
+    here the boilerplate-only collisions carry no true pairs, so the
+    final pair set is unchanged)."""
+    from pyspark.sql import functions as F2
+
+    boiler = "standard legal disclaimer text shared verbatim across every doc"
+    rows = [
+        (i, f"{boiler} body {i} alpha{i} beta{i} gamma{i} delta{i} "
+            f"eps{i} zeta{i} eta{i} theta{i} iota{i} kappa{i}")
+        for i in range(120)
+    ]
+    # plant one true near-dup pair that shares its OWN rare shingles
+    rows.append((900, "unique payload shared exactly here one two three four five six"))
+    rows.append((901, "unique payload shared exactly here one two three four five sev"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    exact = {
+        (r.a_id, r.b_id)
+        for r in dedup.ngram_jaccard_pairs(
+            docs, "doc_id", "text", threshold=0.6
+        ).collect()
+    }
+    assert (900, 901) in exact
+
+    def cand_count(max_df):
+        frame = dedup.shingle_frame(docs, "doc_id", "text", shingle_n=3).select(
+            "__id",
+            F2.array_sort(
+                F2.transform(F2.col("__sh"), lambda s: F2.xxhash64(s))
+            ).alias("__h"),
+        )
+        return dedup.jaccard_prefix_candidates(
+            frame, threshold=0.6, order="hash", max_df=max_df
+        ).count()
+
+    # generous cap: exact result, no recall loss
+    got_loose = {
+        (r.a_id, r.b_id)
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            docs, "doc_id", "text", threshold=0.6, max_df=10_000
+        ).collect()
+    }
+    assert got_loose == exact
+
+    # tight cap: fan-out bounded, result a subset that keeps the
+    # rare-shingle true pair
+    assert cand_count(5) < cand_count(None) / 5
+    got_tight = {
+        (r.a_id, r.b_id)
+        for r in dedup.ngram_jaccard_pairs_prefix(
+            docs, "doc_id", "text", threshold=0.6, max_df=5
+        ).collect()
+    }
+    assert got_tight <= exact
+    assert (900, 901) in got_tight
+
+
+def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
+    """Round-6 verdict #3: checkpoint_dir switches per-round
+    materialization from localCheckpoint to reliable checkpoint();
+    labeling must be identical either way, for both algorithms (and
+    pagerank's integer ranks too)."""
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (20, 20), (4, 3)], "a_id long, b_id long"
+    )
+    ck = str(tmp_path / "ck")
+    for algo in ("label", "star"):
+        base = sorted(
+            tuple(r)
+            for r in dedup.connected_components(edges, algorithm=algo).collect()
+        )
+        durable = sorted(
+            tuple(r)
+            for r in dedup.connected_components(
+                edges, algorithm=algo, checkpoint_dir=ck
+            ).collect()
+        )
+        assert base == durable, algo
+    import os
+
+    assert os.listdir(ck), "reliable checkpoint must actually write files"
+
+    from firmable_aus_etl_spark.operators import graph as G
+
+    e2 = spark.createDataFrame([(1, 2), (2, 3), (3, 1), (4, 1)], "a long, b long")
+    pr_base = sorted(tuple(r) for r in G.pagerank(e2, iters=3).collect())
+    pr_dur = sorted(
+        tuple(r)
+        for r in G.pagerank(e2, iters=3, checkpoint_dir=str(tmp_path / "ck2")).collect()
+    )
+    assert pr_base == pr_dur

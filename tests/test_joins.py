@@ -339,3 +339,30 @@ def test_interval_overlap_join_no_nested_loop(spark):
         QUERIES["overlapping_activity_windows"](spark, "/root/testdata/sf0.001")
     )
     assert "BroadcastNestedLoop" not in plan and "CartesianProduct" not in plan
+
+
+def test_unblocked_similarity_join_gated_when_both_sides_big(spark):
+    """Round-6 verdict #9: the block=None cross join raises when BOTH
+    sides exceed max_rows (quadratic plan); one tiny side (the
+    broadcast nested-loop case) stays allowed."""
+    import pytest
+
+    big_l = spark.range(50).selectExpr("CAST(id AS STRING) AS lname")
+    big_r = spark.range(50).selectExpr("CAST(id AS STRING) AS rname")
+    with pytest.raises(ValueError, match="BOTH sides exceed"):
+        joins.similarity_join(
+            big_l, big_r, "lname", "rname", block=None, max_rows=10
+        )
+    # one side tiny -> allowed (linear in the big side)
+    small_r = big_r.limit(3)
+    out = joins.similarity_join(
+        big_l, small_r, "lname", "rname",
+        block=None, max_rows=10, threshold=0.0, k=1,
+    )
+    assert out.count() == 50
+    # explicit override runs the deliberate quadratic twin
+    out2 = joins.similarity_join(
+        big_l.limit(12), big_r.limit(12), "lname", "rname",
+        block=None, max_rows=None, threshold=0.0, k=1,
+    )
+    assert out2.count() == 12

@@ -266,20 +266,60 @@ def test_partitioned_merge_key_in_keys_skips_probe(spark, root):
 
 
 def test_vacuum_reclaims_crashed_writer_orphans(spark, root):
-    """ADVICE r4 (low): snapshot dirs with version > the committed
-    pointer are uncommitted orphans of a crashed writer; vacuum must
-    reclaim them (they were never reader-visible)."""
+    """ADVICE r4 (low) + r5 (medium): snapshot dirs with version > the
+    committed pointer are orphans of a crashed writer ONLY once they
+    are stale — a live writer mid-commit must not have its in-flight
+    dir deleted from under it. Fresh dirs survive the default grace;
+    orphan_grace_sec=0 reclaims immediately (single-process tests)."""
     df = spark.createDataFrame([(1, 1.0)], "id long, v double")
     LH.write_snapshot(df, root)  # version 0 committed
     orphan = os.path.join(root, "snapshot=5")
     os.makedirs(orphan)
     with open(os.path.join(orphan, "junk.parquet"), "w") as fh:
         fh.write("partial write")
+    # fresh (= possibly a live writer): default vacuum leaves it alone
     removed = LH.vacuum_snapshots(root, keep=2)
+    assert 5 not in removed
+    assert os.path.exists(orphan)
+    # stale (grace elapsed): reclaimed
+    removed = LH.vacuum_snapshots(root, keep=2, orphan_grace_sec=0)
     assert 5 in removed
     assert not os.path.exists(orphan)
     # committed data untouched
     assert rows(LH.read_snapshot(spark, root)) == [(1, 1.0)]
+
+
+def test_vacuum_grace_uses_newest_file_mtime(spark, root):
+    """An orphan dir whose FILES are still being written counts as
+    live even if the dir's own mtime is old."""
+    import time
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    LH.write_snapshot(df, root)
+    orphan = os.path.join(root, "snapshot=7")
+    os.makedirs(orphan)
+    with open(os.path.join(orphan, "part.parquet"), "w") as fh:
+        fh.write("in-flight")
+    # age the DIR but keep the file fresh
+    old = time.time() - 7200
+    os.utime(orphan, (old, old))
+    removed = LH.vacuum_snapshots(root, keep=2, orphan_grace_sec=3600)
+    assert 7 not in removed and os.path.exists(orphan)
+    # age the file too -> reclaimed
+    os.utime(os.path.join(orphan, "part.parquet"), (old, old))
+    removed = LH.vacuum_snapshots(root, keep=2, orphan_grace_sec=3600)
+    assert 7 in removed and not os.path.exists(orphan)
+
+
+def test_partitioned_merge_rejects_null_partition_values(spark, root):
+    """ADVICE r5 (low): NULL partition values bypass the
+    affected-partition machinery (semi-join and collected list drop
+    NULLs) and would leave two rows per key — reject explicitly."""
+    base = spark.createDataFrame([(1, "a", 1.0)], "id long, p string, v double")
+    LH.write_snapshot(base, root, partition_by=["p"])
+    bad = spark.createDataFrame([(2, None, 2.0)], "id long, p string, v double")
+    with pytest.raises(ValueError, match="NULL"):
+        LH.merge_into_partitioned_snapshot(spark, root, bad, ["id"], "p")
 
 
 def test_partitioned_merge_rejects_unsafe_partition_values(spark, root):
