@@ -461,6 +461,51 @@ def multiprobe_flipsets(n_planes: int, max_flip: int = 2) -> list[list[int]]:
     return out
 
 
+def auto_n_planes(
+    n: int, *, target_occupancy: int = 16, min_planes: int = 6,
+    max_planes: int = 20,
+) -> int:
+    """Occupancy-targeted plane count: the smallest ``np`` with expected
+    bucket width ``n / 2^np <= target_occupancy``, clamped — i.e.
+    ceil(log2(n / target)), computed in PURE INTEGER arithmetic
+    (``(ceil(n/target) - 1).bit_length()``) so an SQL oracle can
+    re-derive the identical count with integer threshold comparisons
+    and no libm log2 whose last-ulp rounding could differ between
+    engines at exact power-of-two boundaries."""
+    raw = (max(1, -(-n // max(1, target_occupancy))) - 1).bit_length()
+    return min(max_planes, max(min_planes, raw))
+
+
+def lsh_topk_auto(
+    queries: DataFrame,
+    corpus: DataFrame,
+    *,
+    dim: int,
+    target_occupancy: int = 16,
+    min_planes: int = 6,
+    max_planes: int = 20,
+    **kwargs,
+) -> DataFrame:
+    """Occupancy-targeted single-probe sign-LSH: sizes ``n_planes``
+    from the corpus count via :func:`auto_n_planes` (the SCALING.md
+    production rule — constant expected occupancy keeps candidate-join
+    fan-out ~linear in n instead of quadratic), then delegates to
+    :func:`lsh_topk`. make_planes is PREFIX-STABLE in n_planes (the
+    LCG stream is sequential), so auto-sizing just chooses how many of
+    the same deterministic planes participate — which is what makes
+    the count-derived SQL oracle possible (queries.py replays the
+    clamp rule as integer CASE thresholds over count(*))."""
+    n = corpus.count()
+    return lsh_topk(
+        queries, corpus, dim=dim,
+        n_planes=auto_n_planes(
+            n, target_occupancy=target_occupancy,
+            min_planes=min_planes, max_planes=max_planes,
+        ),
+        **kwargs,
+    )
+
+
 def lsh_multiprobe_topk_auto(
     queries: DataFrame,
     corpus: DataFrame,
@@ -490,20 +535,20 @@ def lsh_multiprobe_topk_auto(
     probes to buy recall with candidates (ann_recall_report measures
     exactly this frontier).
 
-    Not registered as an oracle query: the plane count is
-    data-dependent, so no static SQL twin exists — the underlying
-    machinery is oracle-proven by lsh_multiprobe_ann_top3 at every
-    fixed plane count, and tests pin the sizing rule + recall on the
-    clustered fixture."""
-    import math
-
+    Oracle story (round-6): the plane count is data-dependent but the
+    sizing rule is pure integer arithmetic (:func:`auto_n_planes`) and
+    make_planes is prefix-stable, so the SQL twin bakes the
+    max_planes matrix and re-derives the SAME count from count(*)
+    with integer CASE thresholds — lsh_multiprobe_ann_top3 now runs
+    THIS path end to end under the oracle gate."""
     n = corpus.count()
-    n_planes = min(
-        max_planes,
-        max(min_planes, math.ceil(math.log2(max(n, 1) / target_occupancy))),
-    )
     return lsh_multiprobe_topk(
-        queries, corpus, dim=dim, n_planes=n_planes, **kwargs
+        queries, corpus, dim=dim,
+        n_planes=auto_n_planes(
+            n, target_occupancy=target_occupancy,
+            min_planes=min_planes, max_planes=max_planes,
+        ),
+        **kwargs,
     )
 
 

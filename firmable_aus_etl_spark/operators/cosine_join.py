@@ -280,6 +280,7 @@ def cosine_join_adaptive(
     stats_wt: DataFrame | None = None,
     plan: str | None = None,
     decision_out: dict | None = None,
+    stats_cache: dict | None = None,
 ) -> DataFrame:
     """Stats-based dispatch between the naive inverted-index join and
     the AllPairs prefix-filtered join — both exact, so the choice is
@@ -340,6 +341,15 @@ def cosine_join_adaptive(
     TakeOrdered job instead of a multi-stage stats DAG; the fast path
     the registered query uses, since locally the Spark stats job is
     stage-latency-bound, not volume-bound).
+
+    ``stats_cache`` (round-5 verdict nit #4): a caller-owned dict that
+    memoizes the COLLECTED posting/block stats, so repeated adaptive
+    calls over the same logical input pay the stats job once — an
+    engine's ANALYZE-statistics lifetime, owned by the caller because
+    only the caller knows when the underlying table changed (a
+    DataFrame has no content fingerprint that doesn't cost a job).
+    Keyed by (threshold, blocks); pass one dict per (table, column)
+    input, reuse it across calls, drop it on data change.
     """
     blocks = list(block_cols)
     if plan in ("naive", "prefix"):
@@ -407,7 +417,13 @@ def cosine_join_adaptive(
         )
     )
     # 1-row x 1-row cross join: both aggregate branches run in one job
-    stats = posting_stats.crossJoin(block_stats).collect()[0]
+    _ck = (float(threshold), tuple(blocks))
+    if stats_cache is not None and _ck in stats_cache:
+        stats = stats_cache[_ck]
+    else:
+        stats = posting_stats.crossJoin(block_stats).collect()[0].asDict()
+        if stats_cache is not None:
+            stats_cache[_ck] = stats
     # decision compares p^2-scaled quantities on both sides, so the
     # sample-space numbers are used directly; telemetry is unscaled.
     pair_rows = stats["pair_rows"] or 0

@@ -23,6 +23,59 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def cooccurrence_pairs(
+    df: DataFrame,
+    group_col: str,
+    item_col: str,
+    *,
+    min_count: int = 1,
+    max_items_per_group: int | None = None,
+) -> DataFrame:
+    """Unordered co-occurrence pairs of a grouped item frame: (a, b, w)
+    with a < b, w = number of groups containing both items, filtered to
+    ``w >= min_count`` — the co-purchase / co-citation / co-mention
+    edge builder.
+
+    Plan shape (the reason this is an operator, not a self-join in
+    every query): ONE shuffle gathers each group's distinct item set
+    (groupBy + collect_set), pairs expand INSIDE the array expression
+    (C(k,2) rows per group, JVM codegen, no Python), and one pair-keyed
+    aggregation counts them. The classic alternative — self-join on the
+    group key — shuffles the input TWICE (both join sides) plus once
+    more for the pair count, and its join fan-out materializes through
+    the shuffle machinery instead of an in-memory array walk. Same
+    output, one wide shuffle fewer, and the narrow rows that do shuffle
+    are (group, item) instead of joined pair rows.
+
+    Skew: a group with k items fans out k^2/2 pair rows either way —
+    at 100 TB one viral group (a basket/document/session with 10^5
+    items) dominates the stage. ``max_items_per_group`` drops such
+    groups outright (the standard cap in co-occurrence mining;
+    deliberate, visible recall trade), keeping per-row fan-out
+    bounded by C(cap, 2).
+    """
+    items = df.groupBy(group_col).agg(
+        F.sort_array(F.collect_set(item_col)).alias("__items")
+    )
+    if max_items_per_group is not None:
+        items = items.filter(F.size("__items") <= max_items_per_group)
+    # sorted array => a < b by construction; i is the 0-based index, so
+    # partners start at 1-based position i + 2
+    pairs = items.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(__items, (x, i) -> "
+                "transform(slice(__items, i + 2, size(__items)), "
+                "y -> struct(x AS a, y AS b))))"
+            )
+        ).alias("__p")
+    ).select("__p.a", "__p.b")
+    out = pairs.groupBy("a", "b").agg(F.count("*").alias("w"))
+    if min_count > 1:
+        out = out.filter(F.col("w") >= min_count)
+    return out
+
+
 def undirected_simple_edges(
     pairs: DataFrame, src: str = "a", dst: str = "b"
 ) -> DataFrame:

