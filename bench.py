@@ -73,6 +73,7 @@ HEADLINE = [
     "hourly_event_anomalies",     # trailing-window anomaly scoring
     "doc_bigram_perplexity",      # corpus bigram-LM cross-entropy scoring
     "lsh_multiprobe_ann_top3",    # query-directed multi-probe ANN (r4)
+    "reference_pipeline_matches",  # the reference's whole DAG, end to end (r6)
 ]
 
 # Iterations of the sentinel loop; the reference time was calibrated

@@ -8398,3 +8398,233 @@ def q_cluster_aware_split(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").cast("long").alias("total_tokens"),
         )
     )
+
+
+# --- the reference's whole DAG as ONE oracle-checked query (round-6 #6) ---
+
+# token_sort for single-token digit names is identity, but the oracle
+# replays the full expression for fidelity (DuckDB list_sort over
+# string_split of the collapsed-whitespace lowered trim).
+_REF_NORM = (
+    "array_to_string(list_sort(string_split("
+    "regexp_replace(lower(trim({x})), ' +', ' ', 'g'), ' ')), ' ')"
+)
+
+
+def _ref_pipeline_oracle() -> str:
+    norm_c = _REF_NORM.format(x="cc.company_name")
+    norm_a = _REF_NORM.format(x="a.entity_name")
+    return f"""
+WITH abr_base AS (
+  SELECT s_suppkey,
+         CASE WHEN s_suppkey % 13 = 0
+              THEN lpad(CAST(s_suppkey AS VARCHAR), 10, '0') || 'X'
+              ELSE lpad(CAST(s_suppkey AS VARCHAR), 11, '0') END AS abn,
+         '  ' || reverse(regexp_replace(lower(trim(s_name)), '^[a-z]+#', '')) AS entity_name,
+         'company' AS entity_type,
+         CASE WHEN s_suppkey % 10 = 9 THEN 'CANCELLED' ELSE ' Active ' END AS entity_status,
+         CAST(s_nationkey AS VARCHAR) AS state,
+         CASE WHEN s_suppkey % 7 = 0 THEN ''
+              WHEN s_suppkey % 11 = 0 THEN '12b4'
+              ELSE lpad(CAST((s_nationkey * 37 + 11) % 10000 AS VARCHAR), 4, '0')
+         END AS postcode
+  FROM supplier
+),
+abr_raw AS (
+  SELECT abn, entity_name, entity_type, entity_status, state, postcode FROM abr_base
+  UNION ALL  -- full-row duplicates (dedup_full target)
+  SELECT abn, entity_name, entity_type, entity_status, state, postcode
+  FROM abr_base WHERE s_suppkey % 3 = 0
+  UNION ALL  -- keyed duplicates losing the entity_name tiebreak
+  SELECT abn, 'zz ' || entity_name, entity_type, entity_status, state, postcode
+  FROM abr_base WHERE s_suppkey % 5 = 0
+),
+abr_trim AS (
+  SELECT DISTINCT trim(abn) AS abn, trim(entity_name) AS entity_name,
+         trim(entity_type) AS entity_type, trim(entity_status) AS entity_status,
+         trim(state) AS state, trim(postcode) AS postcode
+  FROM abr_raw
+  WHERE regexp_matches(trim(abn), '^[0-9]{{11}}$')
+    AND (trim(postcode) = '' OR regexp_matches(trim(postcode), '^[0-9]{{4}}$'))
+),
+abr_clean AS (
+  SELECT abn, entity_name, entity_type, entity_status, state, postcode
+  FROM (SELECT *, row_number() OVER (PARTITION BY abn
+                                     ORDER BY entity_name ASC NULLS LAST) AS rn
+        FROM abr_trim)
+  WHERE rn = 1 AND lower(entity_status) = 'active'
+),
+cc_base AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 19 = 0 THEN NULL
+              ELSE ' https://ex' || CAST(c_custkey AS VARCHAR) || '.com ' END AS website_url,
+         CASE WHEN c_custkey % 23 = 0 THEN NULL
+              ELSE reverse(regexp_replace(lower(trim(c_name)), '^[a-z]+#', '')) END AS company_name
+  FROM customer
+),
+cc_raw AS (
+  SELECT website_url, company_name FROM cc_base
+  UNION ALL
+  SELECT website_url, company_name FROM cc_base WHERE c_custkey % 4 = 0
+),
+cc_clean AS (
+  SELECT substr(trim(website_url), 1, 500) AS website_url,
+         company_name  -- titlecase+collapse is identity on digit names
+  FROM (SELECT *, row_number() OVER (PARTITION BY website_url, company_name
+                                     ORDER BY website_url) AS rn
+        FROM cc_raw
+        WHERE website_url IS NOT NULL AND company_name IS NOT NULL)
+  WHERE rn = 1
+),
+scored AS (
+  SELECT cc.website_url, cc.company_name, a.abn, a.entity_name, a.postcode,
+         100.0 * (1.0 - CAST(levenshtein({norm_c}, {norm_a}) AS DOUBLE)
+                  / CAST(greatest(length({norm_c}), length({norm_a}), 1) AS DOUBLE)
+                 ) AS score
+  FROM cc_clean cc JOIN abr_clean a
+    ON substr(lower(trim(cc.company_name)), 1, 2)
+     = substr(lower(trim(a.entity_name)), 1, 2)
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY website_url
+                               ORDER BY score DESC, abn) AS rn
+  FROM scored WHERE score >= 85.0
+),
+newm AS (
+  SELECT website_url, company_name, abn, entity_name, postcode,
+         round(score / 100.0, 3) AS match_confidence
+  FROM ranked WHERE rn = 1
+),
+existing AS (
+  SELECT website_url, company_name, abn,
+         entity_name || ' (stale)' AS entity_name, postcode,
+         CASE WHEN CAST(abn AS BIGINT) % 4 = 0
+              THEN round(match_confidence * 0.5, 3)
+              ELSE round(least(match_confidence * 1.2, 1.0), 3)
+         END AS match_confidence
+  FROM newm WHERE CAST(abn AS BIGINT) % 2 = 0
+  UNION ALL
+  SELECT 'https://legacy.example', 'Legacy Pty Ltd', '99999999999',
+         'legacy holdings', '0000', 0.999
+),
+joined AS (
+  SELECT e.website_url AS e_url, e.company_name AS e_name, e.abn AS e_abn,
+         e.entity_name AS e_ent, e.postcode AS e_pc,
+         e.match_confidence AS e_conf,
+         u.website_url AS u_url, u.company_name AS u_name, u.abn AS u_abn,
+         u.entity_name AS u_ent, u.postcode AS u_pc,
+         u.match_confidence AS u_conf,
+         (u.abn IS NOT NULL AND (e.abn IS NULL OR (
+             ((e.company_name IS DISTINCT FROM u.company_name)
+              OR (e.entity_name IS DISTINCT FROM u.entity_name)
+              OR (e.postcode IS DISTINCT FROM u.postcode)
+              OR (e.match_confidence IS DISTINCT FROM u.match_confidence))
+             AND u.match_confidence > e.match_confidence))) AS take_u
+  FROM existing e FULL OUTER JOIN newm u
+    ON e.abn = u.abn AND e.website_url = u.website_url
+)
+SELECT CASE WHEN take_u THEN u_url ELSE e_url END AS website_url,
+       CASE WHEN take_u THEN u_name ELSE e_name END AS company_name,
+       CASE WHEN take_u THEN u_abn ELSE e_abn END AS abn,
+       CASE WHEN take_u THEN u_ent ELSE e_ent END AS entity_name,
+       CASE WHEN take_u THEN u_pc ELSE e_pc END AS postcode,
+       CASE WHEN take_u THEN u_conf ELSE e_conf END AS match_confidence
+FROM joined
+"""
+
+
+@register("reference_pipeline_matches", _ref_pipeline_oracle())
+def q_reference_pipeline_matches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's WHOLE DAG as one oracle-checked query (round-6
+    verdict #6; reference dags/etl_pipeline.py:91-103): ABR-shaped and
+    CC-shaped fixtures derive deterministically from supplier/customer
+    (invalid ABNs, bad postcodes, cancelled entities, NULL urls,
+    full-row + keyed duplicates planted to exercise every cleaning
+    rule), then clean_abr_companies -> clean_common_crawl_companies ->
+    match_entities (blocked fuzzy top-1) -> merge_matches
+    (greater-confidence-wins against a stale prior table with an
+    existing-only legacy row). The DuckDB twin replays every stage —
+    filters, dedup windows, token_sort levenshtein scoring, the merge's
+    null-safe changed test and confidence predicate.
+
+    Fixture name geometry: names strip to 9-digit strings REVERSED so
+    the reference's 2-char-prefix blocking yields ~100 uniform blocks
+    (un-reversed, every name starts '00' — one degenerate block, the
+    skew case SURVEY §7.4 warns about)."""
+    from firmable_aus_etl_spark import pipelines
+
+    strip = lambda c: F.regexp_replace(F.lower(F.trim(c)), "^[a-z]+#", "")  # noqa: E731
+
+    supp = load_table(spark, sf_dir, "supplier")
+    k = F.col("s_suppkey")
+    abr_base = supp.select(
+        k.alias("s_suppkey"),
+        F.when(
+            k % 13 == 0,
+            F.concat(F.lpad(k.cast("string"), 10, "0"), F.lit("X")),
+        ).otherwise(F.lpad(k.cast("string"), 11, "0")).alias("abn"),
+        F.concat(F.lit("  "), F.reverse(strip(F.col("s_name")))).alias("entity_name"),
+        F.lit("company").alias("entity_type"),
+        F.when(k % 10 == 9, "CANCELLED").otherwise(" Active ").alias("entity_status"),
+        F.col("s_nationkey").cast("string").alias("state"),
+        F.when(k % 7 == 0, "")
+        .when(k % 11 == 0, "12b4")
+        .otherwise(
+            F.lpad(((F.col("s_nationkey") * 37 + 11) % 10000).cast("string"), 4, "0")
+        )
+        .alias("postcode"),
+    )
+    cols = ["abn", "entity_name", "entity_type", "entity_status", "state", "postcode"]
+    abr_raw = (
+        abr_base.select(*cols)
+        .unionByName(abr_base.filter(k % 3 == 0).select(*cols))
+        .unionByName(
+            abr_base.filter(k % 5 == 0).select(
+                "abn",
+                F.concat(F.lit("zz "), F.col("entity_name")).alias("entity_name"),
+                "entity_type", "entity_status", "state", "postcode",
+            )
+        )
+    )
+    abr = pipelines.clean_abr_companies(abr_raw)
+
+    cust = load_table(spark, sf_dir, "customer")
+    ck = F.col("c_custkey")
+    cc_base = cust.select(
+        ck.alias("c_custkey"),
+        F.when(ck % 19 == 0, F.lit(None).cast("string"))
+        .otherwise(
+            F.concat(F.lit(" https://ex"), ck.cast("string"), F.lit(".com "))
+        )
+        .alias("website_url"),
+        F.when(ck % 23 == 0, F.lit(None).cast("string"))
+        .otherwise(F.reverse(strip(F.col("c_name"))))
+        .alias("company_name"),
+    )
+    cc_raw = cc_base.select("website_url", "company_name").unionByName(
+        cc_base.filter(ck % 4 == 0).select("website_url", "company_name")
+    )
+    cc = pipelines.clean_common_crawl_companies(cc_raw)
+
+    new_m = pipelines.match_entities(cc, abr, threshold=85.0).select(
+        "website_url", "company_name", "abn", "entity_name", "postcode",
+        "match_confidence",
+    )
+    abn_l = F.col("abn").cast("long")
+    existing = new_m.filter(abn_l % 2 == 0).select(
+        "website_url", "company_name", "abn",
+        F.concat(F.col("entity_name"), F.lit(" (stale)")).alias("entity_name"),
+        "postcode",
+        F.when(abn_l % 4 == 0, F.round(F.col("match_confidence") * 0.5, 3))
+        .otherwise(F.round(F.least(F.col("match_confidence") * 1.2, F.lit(1.0)), 3))
+        .alias("match_confidence"),
+    )
+    legacy = spark.range(1).select(
+        F.lit("https://legacy.example").alias("website_url"),
+        F.lit("Legacy Pty Ltd").alias("company_name"),
+        F.lit("99999999999").alias("abn"),
+        F.lit("legacy holdings").alias("entity_name"),
+        F.lit("0000").alias("postcode"),
+        F.lit(0.999).alias("match_confidence"),
+    )
+    return pipelines.merge_matches(existing.unionByName(legacy), new_m)

@@ -197,6 +197,85 @@ def lakehouse_stream_sink(
     )
 
 
+def verified_near_dup_stream_sink(
+    candidates: DataFrame,
+    docs_source,
+    root: str,
+    *,
+    checkpoint: str,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+):
+    """Streaming VERIFIED near-dups (round-6 verdict #5): the stateful
+    MinHash-LSH candidate stream (streaming/stateful.py) runs the
+    exact-Jaccard verify leg inside the foreachBatch merge, so the
+    lakehouse table holds verified pairs — batch-equal to
+    operators/dedup.verified_near_dup_pairs over the same documents.
+
+    Per micro-batch: the (small) candidate pair set broadcast-joins
+    the documents' hashed distinct-shingle arrays — the IDENTICAL
+    verify expressions as the batch operator (array_intersect size,
+    |A∪B| = |A|+|B|-|A∩B| on xxhash64 longs), so jaccard values are
+    bit-equal — then pairs >= threshold MERGE into the snapshot table
+    keyed (a_id, b_id). Cross-band duplicate emissions and replays
+    collapse by merge semantics (exactly-once table from an
+    at-least-once stream); a candidate that fails verification is
+    simply never written.
+
+    ``docs_source``: a static DataFrame over the document corpus, or a
+    zero-arg callable returning one (re-evaluated per batch so
+    file-backed corpora grow with the stream). Both documents of an
+    emitted candidate have necessarily ARRIVED (the pair emits when
+    the second one does), so a source view that includes everything
+    the stream has delivered is sufficient; pairs whose documents the
+    view can't resolve yet are retried implicitly on replay only —
+    use the same source the stream reads to make the view complete.
+
+    Scale shape: verification cost is O(batch candidates * doc_len),
+    the docs side is column-pruned to (id, shingle hashes), and only
+    verified pairs reach the merge. Returns the started query.
+    """
+    from firmable_aus_etl_spark.operators.dedup import shingle_frame
+    from firmable_aus_etl_spark.sources import lakehouse as LH
+
+    def _verify_merge(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        docs = docs_source() if callable(docs_source) else docs_source
+        h = shingle_frame(docs, id_col, text_col, shingle_n=shingle_n).select(
+            "__id",
+            F.transform(F.col("__sh"), lambda s: F.xxhash64(s)).alias("__h"),
+        )
+        pairs = F.broadcast(batch.dropDuplicates(["a_id", "b_id"]))
+        a = h.select(F.col("__id").alias("a_id"), F.col("__h").alias("__h_a"))
+        b = h.select(F.col("__id").alias("b_id"), F.col("__h").alias("__h_b"))
+        inter = F.size(
+            F.array_intersect(F.col("__h_a"), F.col("__h_b"))
+        ).cast("double")
+        union = (
+            F.size(F.col("__h_a")) + F.size(F.col("__h_b"))
+        ).cast("double") - inter
+        verified = (
+            pairs.join(a, "a_id")
+            .join(b, "b_id")
+            .withColumn(
+                "jaccard",
+                F.when(union > 0, inter / union).otherwise(F.lit(0.0)),
+            )
+            .filter(F.col("jaccard") >= threshold)
+            .select("a_id", "b_id", "jaccard")
+        )
+        LH.merge_into_snapshot(spark, root, verified, ["a_id", "b_id"])
+
+    return (
+        candidates.writeStream.foreachBatch(_verify_merge)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
 def stream_stream_interval_join(
     left: DataFrame,
     right: DataFrame,

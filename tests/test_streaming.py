@@ -612,3 +612,85 @@ def test_streaming_near_dup_to_lakehouse_exactly_once(spark, tmp_path):
     }
     assert got2 == expect
     assert LH.latest_version(root) > v1  # snapshots committed, values unchanged
+
+
+def test_streaming_verified_near_dups_equals_batch(spark, tmp_path):
+    """Round-6 verdict #5: the exact-Jaccard verify leg runs inside the
+    foreachBatch merge, so the lakehouse table holds VERIFIED pairs —
+    equal (keys AND jaccard values) to the batch
+    verified_near_dup_pairs over the same documents, across three
+    different micro-batch splittings, and replay is a value no-op."""
+    from firmable_aus_etl_spark.operators.dedup import verified_near_dup_pairs
+    from firmable_aus_etl_spark.sources import lakehouse as LH
+    from firmable_aus_etl_spark.streaming.ops import verified_near_dup_stream_sink
+    from firmable_aus_etl_spark.streaming.stateful import (
+        streaming_near_dup_candidates,
+    )
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "doc_id", "text"
+    )
+    expect = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in verified_near_dup_pairs(
+            docs, "doc_id", "text", threshold=0.5, num_hashes=32, bands=16,
+            impl="expr",
+        ).collect()
+    }
+    assert expect, "fixture must contain verified near-dups"
+
+    def split(n_parts, d):
+        for i in range(n_parts):
+            docs.filter(F.col("doc_id") % n_parts == i).coalesce(1).write.parquet(
+                f"{d}/p{i}"
+            )
+
+    for n_parts in (1, 2, 4):
+        d = str(tmp_path / f"docs{n_parts}")
+        split(n_parts, d)
+        root = str(tmp_path / f"tbl{n_parts}")
+
+        def run(cp):
+            stream = (
+                spark.readStream.schema(docs.schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(d + "/p*")
+            )
+            cand = streaming_near_dup_candidates(stream, num_hashes=32, bands=16)
+            q = verified_near_dup_stream_sink(
+                cand,
+                lambda: spark.read.parquet(d + "/p*"),
+                root,
+                checkpoint=cp,
+                threshold=0.5,
+            )
+            q.awaitTermination(180)
+
+        run(str(tmp_path / f"cp{n_parts}"))
+        got = {
+            (r.a_id, r.b_id, round(r.jaccard, 9))
+            for r in LH.read_snapshot(spark, root).collect()
+        }
+        assert got == expect, f"splitting {n_parts}"
+
+    # replay the 2-part run from a fresh checkpoint: values unchanged
+    root = str(tmp_path / "tbl2")
+    v1 = LH.latest_version(root)
+    d = str(tmp_path / "docs2")
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(d + "/p*")
+    )
+    cand = streaming_near_dup_candidates(stream, num_hashes=32, bands=16)
+    q = verified_near_dup_stream_sink(
+        cand, lambda: spark.read.parquet(d + "/p*"), root,
+        checkpoint=str(tmp_path / "cp2b"), threshold=0.5,
+    )
+    q.awaitTermination(180)
+    got2 = {
+        (r.a_id, r.b_id, round(r.jaccard, 9))
+        for r in LH.read_snapshot(spark, root).collect()
+    }
+    assert got2 == expect
+    assert LH.latest_version(root) > v1
