@@ -78,6 +78,14 @@ def main() -> None:
         cand = dedup.jaccard_prefix_candidates(frame, threshold=0.8, order=order)
         c, s = timed(f"prefix-{order}", cand)
         results.append((f"prefix filter, {order} order — candidates", c, s))
+    # max_df hard-stop (round-6 verdict #8): bounds every per-shingle
+    # fan-out term to C(max_df, 2) even under hash order — the
+    # guarantee on top of the df-order's organic prefix eviction
+    cand_capped = dedup.jaccard_prefix_candidates(
+        frame, threshold=0.8, order="hash", max_df=8
+    )
+    c, s = timed("prefix-hash-maxdf", cand_capped)
+    results.append(("prefix filter, hash order + max_df=8 — candidates", c, s))
     ex = frame.select("__id", F.explode("__h").alias("sh"))
     naive_pairs = (
         ex.alias("l")
@@ -88,13 +96,22 @@ def main() -> None:
     results.append(("naive inverted index — pair rows into join", c, s))
 
     # full exact joins must agree
-    full_naive = dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.8)
+    full_naive = dedup.ngram_jaccard_pairs(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.8, max_rows=None
+    )
     full_df = dedup.ngram_jaccard_pairs_prefix(
         docs, "doc_id", "text", shingle_n=3, threshold=0.8, order="df"
     )
     a = {(r.a_id, r.b_id) for r in full_naive.collect()}
     b = {(r.a_id, r.b_id) for r in full_df.collect()}
     assert a == b, f"exactness violated: {len(a)} vs {len(b)}"
+    # max_df is a documented recall trade; on THIS corpus the planted
+    # near-dups share rare shingles, so the capped result is still exact
+    full_capped = dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.8, max_df=8
+    )
+    bc = {(r.a_id, r.b_id) for r in full_capped.collect()}
+    assert bc == a, f"max_df dropped true pairs here: {len(bc)} vs {len(a)}"
 
     lines = [
         "# SKEW — boilerplate-skew demo for the prefix-filtered Jaccard join\n",
@@ -117,12 +134,28 @@ def main() -> None:
         "boilerplate frequency — the property that holds at 100 TB, where",
         "boilerplate df is in the billions and the naive join is not",
         "runnable at all. (At the benign-skew fixture corpus the two tie;",
-        "see PERF.md decision 6.)",
+        "see PERF.md decision 6.) `max_df` (round-6) is the HARD bound on",
+        "top: prefix rows whose shingle exceeds max_df prefix occurrences",
+        "drop before the self-join, capping every per-shingle term at",
+        "C(max_df, 2) under ANY order — a recall trade (documented in the",
+        "operator), exact on this corpus because the planted pairs share",
+        "rare shingles (asserted in this script).",
     ]
+    # PRESERVE hand-authored sections after the first one (sign-LSH
+    # occupancy, triangle orientation, IVF hot-centroid, AQE) — this
+    # script owns only the boilerplate-skew section.
+    tail = ""
+    try:
+        old = open("/root/repo/SKEW.md").read()
+        i = old.find("\n## ")
+        if i != -1:
+            tail = old[i:]
+    except FileNotFoundError:
+        pass
     with open("/root/repo/SKEW.md", "w") as f:
-        f.write("\n".join(lines) + "\n")
+        f.write("\n".join(lines) + "\n" + tail)
     print("\n".join(lines[6:]))
-    print("wrote SKEW.md")
+    print("wrote SKEW.md (tail sections preserved)")
 
 
 if __name__ == "__main__":
