@@ -885,7 +885,19 @@ def connected_components(
         )
     if algorithm != "label":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
-    labels = node_frame.select(node_id, F.col(node_id).alias("cluster"))
+    # Iterate over EDGE-PARTICIPATING nodes only: a node with no edges
+    # can never change its label, yet carrying it through the loop
+    # would shuffle the whole corpus every round — on a dedup graph
+    # where 1% of docs have a near-dup, that is 100x wasted shuffle
+    # volume per round at 100 TB. Singletons rejoin as self-labels at
+    # the end (one anti-join), the same assembly the star variant uses.
+    edge_nodes = und.select(F.col("x").alias(node_id)).distinct()
+    if nodes is not None:
+        # endpoints outside the caller's node universe stay excluded
+        # (exactly the pre-round-6 semantics, where only node_frame
+        # rows ever carried labels)
+        edge_nodes = edge_nodes.join(node_frame, node_id, "left_semi")
+    labels = edge_nodes.select(node_id, F.col(node_id).alias("cluster"))
     rounds = 0
     for _ in range(max_iter):
         rounds += 1
@@ -922,7 +934,10 @@ def connected_components(
             break
     if stats is not None:
         stats["rounds"] = rounds
-    return labels
+    singletons = node_frame.join(labels.select(node_id), node_id, "left_anti")
+    return labels.unionByName(
+        singletons.select(node_id, F.col(node_id).alias("cluster"))
+    )
 
 
 def _connected_components_star(

@@ -105,13 +105,14 @@ def main() -> None:
     a = {(r.a_id, r.b_id) for r in full_naive.collect()}
     b = {(r.a_id, r.b_id) for r in full_df.collect()}
     assert a == b, f"exactness violated: {len(a)} vs {len(b)}"
-    # max_df is a documented recall trade; on THIS corpus the planted
-    # near-dups share rare shingles, so the capped result is still exact
+    # max_df is a documented RECALL trade: the capped result must be a
+    # subset of the exact set; measure the recall it buys the bound with
     full_capped = dedup.ngram_jaccard_pairs_prefix(
         docs, "doc_id", "text", shingle_n=3, threshold=0.8, max_df=8
     )
     bc = {(r.a_id, r.b_id) for r in full_capped.collect()}
-    assert bc == a, f"max_df dropped true pairs here: {len(bc)} vs {len(a)}"
+    assert bc <= a, f"max_df must only DROP pairs: {bc - a}"
+    maxdf_recall = f"{len(bc)}/{len(a)}"
 
     lines = [
         "# SKEW — boilerplate-skew demo for the prefix-filtered Jaccard join\n",
@@ -137,9 +138,12 @@ def main() -> None:
         "see PERF.md decision 6.) `max_df` (round-6) is the HARD bound on",
         "top: prefix rows whose shingle exceeds max_df prefix occurrences",
         "drop before the self-join, capping every per-shingle term at",
-        "C(max_df, 2) under ANY order — a recall trade (documented in the",
-        "operator), exact on this corpus because the planted pairs share",
-        "rare shingles (asserted in this script).",
+        f"C(max_df, 2) under ANY order. The bound is bought with RECALL —",
+        f"measured here: {maxdf_recall} true pairs survive max_df=8 at",
+        "t=0.8 (the dropped pairs' only prefix collisions sat on",
+        "boilerplate shingles); subset-ness is asserted, never silent",
+        "extra pairs. Use the df order first (it is exact); reach for",
+        "max_df when even mid-frequency templating overwhelms the join.",
     ]
     # PRESERVE hand-authored sections after the first one (sign-LSH
     # occupancy, triangle orientation, IVF hot-centroid, AQE) — this
