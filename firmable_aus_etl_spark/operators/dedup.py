@@ -1094,14 +1094,21 @@ def remove_repeated_spans(
     # downstream branch on one core (conditional — no-op at scale);
     # A/B at sf0.1: 1.74 -> 1.14 s
     toks = span_tokens(ensure_parallelism(df, id_col), id_col, text_col)
-    starts = span_starts(toks, n=n)
+    # gram strings (~n tokens each) never leave the map stage: the
+    # frequency groupBy and the boilerplate join run on xxhash64 keys —
+    # 8-byte shuffle rows instead of ~50-byte strings (the same move as
+    # ngram_jaccard_pairs_prefix; same 2^-64 collision caveat, surfaced
+    # by the oracle hash gate)
+    starts = span_starts(toks, n=n).select(
+        "__id", "i", F.xxhash64("g").alias("gh")
+    )
     boiler = F.broadcast(
-        starts.groupBy("g")
+        starts.groupBy("gh")
         .agg(F.count_distinct("__id").alias("nd"))
         .filter(F.col("nd") >= min_docs)
-        .select("g")
+        .select("gh")
     )
-    dup_starts = starts.join(boiler, "g").select(
+    dup_starts = starts.join(boiler, "gh").select(
         "__id", F.col("i").alias("p"), F.lit(1).alias("__dup")
     )
     rebuilt = span_rebuild(toks, dup_starts, n=n)

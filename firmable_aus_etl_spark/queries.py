@@ -4336,9 +4336,10 @@ def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     find training docs sharing any 8-gram with it and how many
     distinct 8-grams leak. The flagged set is what a real pipeline
     anti-joins away. Gram generation is native sequence+slice (no
-    UDF); the join keys on the gram string — at 100 TB, hash the gram
-    to a 64-bit key to shrink the shuffle (same move as the
-    fingerprint family)."""
+    UDF); gram strings never leave the map stage — the distinct and
+    the overlap join run on xxhash64 keys, 8-byte shuffle rows instead
+    of ~50-byte strings (round-6; the fingerprint-family move, same
+    2^-64 collision caveat surfaced by the oracle hash gate)."""
     from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
     docs = ensure_parallelism(
@@ -4353,22 +4354,24 @@ def q_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.explode(
             F.transform(
                 F.sequence(F.lit(1), F.size("w") - 7),
-                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 8)),
+                lambda i: F.xxhash64(
+                    F.concat_ws(" ", F.slice(F.col("w"), i, 8))
+                ),
             )
-        ).alias("g"),
+        ).alias("gh"),
     )
     # the eval set is the SMALL side by construction (one source vs the
     # rest of the corpus) — broadcast it so the train grams never
-    # shuffle on the gram string; remaining exchanges are the train
-    # distinct and the final per-doc count
+    # shuffle at all on the overlap join; remaining exchanges are the
+    # train distinct (on 8-byte hashes) and the final per-doc count
     eval_grams = F.broadcast(
-        grams.filter(F.col("source") == "src0").select("g").distinct()
+        grams.filter(F.col("source") == "src0").select("gh").distinct()
     )
     train_grams = (
-        grams.filter(F.col("source") != "src0").select("doc_id", "g").distinct()
+        grams.filter(F.col("source") != "src0").select("doc_id", "gh").distinct()
     )
     return (
-        train_grams.join(eval_grams, "g")
+        train_grams.join(eval_grams, "gh")
         .groupBy("doc_id")
         .agg(F.count("*").alias("n_shared_grams"))
     )
@@ -4431,15 +4434,17 @@ def q_remove_repeated_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("doc_id", F.col("s.pos").alias("pos"), F.col("s.seg").alias("seg"))
     # only the BOILERPLATE segments (>= 3 distinct docs) matter for
     # filtering, and they are few by nature — broadcast the blocklist
-    # and anti-join, instead of shuffling every segment row on the
-    # segment string to meet its frequency
+    # and anti-join. Frequency + blocklist key on xxhash64 of the
+    # segment (round-6): 8-byte shuffle/broadcast rows instead of
+    # 5-token strings; the original seg stays in the row for reassembly
+    segs = segs.withColumn("sh", F.xxhash64("seg"))
     blocklist = F.broadcast(
-        segs.groupBy("seg")
+        segs.groupBy("sh")
         .agg(F.count_distinct("doc_id").alias("nd"))
         .filter(F.col("nd") >= 3)
-        .select("seg")
+        .select("sh")
     )
-    kept = segs.join(blocklist, "seg", "left_anti")
+    kept = segs.join(blocklist, "sh", "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(
             " ",
