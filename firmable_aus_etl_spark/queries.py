@@ -1708,9 +1708,21 @@ def _tfidf_weight_frame(
             F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10000))
             < int(doc_sample * 10000)
         )
+    # tokens are IDENTITY keys only (tf/df grouping, the inverted-index
+    # join); the output never carries one — so they leave the map stage
+    # as xxhash64 longs and every downstream shuffle (tf, df, wt join,
+    # both cosine-join plans) moves 8-byte keys instead of strings
+    # (round-6; fingerprint-family move, 2^-64 collision caveat under
+    # the oracle hash gate). The AllPairs global order becomes hash
+    # order — exactness holds under ANY total order both sides share.
     toks = ensure_parallelism(docs, "doc_id").select(
         "doc_id", "source", "lang",
-        F.explode(F.split(normalize_name(F.col("text")), " ")).alias("t"),
+        F.explode(
+            F.transform(
+                F.split(normalize_name(F.col("text")), " "),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("t"),
     )
     tf = toks.groupBy("doc_id", "source", "lang", "t").agg(
         F.count("*").cast("double").alias("tf")
@@ -4636,15 +4648,20 @@ def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     idx = F.when(
         F.size(w) >= 2, F.sequence(F.lit(1), F.size(w) - 1)
     ).otherwise(F.array().cast("array<int>"))
+    # token/bigram identity is all the counts need — shuffle xxhash64
+    # longs, not strings (round-6 fingerprint-family move; 2^-64
+    # collision caveat under the oracle hash gate)
     bg = toks.select(
         "doc_id",
         F.explode(
             F.transform(
                 idx,
                 lambda i: F.struct(
-                    F.element_at(w, i).alias("w1"),
-                    F.concat_ws(
-                        " ", F.element_at(w, i), F.element_at(w, i + 1)
+                    F.xxhash64(F.element_at(w, i)).alias("w1"),
+                    F.xxhash64(
+                        F.concat_ws(
+                            " ", F.element_at(w, i), F.element_at(w, i + 1)
+                        )
                     ).alias("b"),
                 ),
             )
@@ -4653,7 +4670,9 @@ def q_doc_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
     c2 = bg.groupBy("b").agg(F.count("*").alias("n2"))
     c1 = bg.groupBy("w1").agg(F.count("*").alias("n1"))
     vocab = (
-        toks.select(F.explode(w).alias("t"))
+        toks.select(
+            F.explode(F.transform(w, lambda s: F.xxhash64(s))).alias("t")
+        )
         .agg(F.count_distinct("t").alias("vs"))
     )
     nll = F.floor(
