@@ -97,17 +97,29 @@ def dedup_exact_text(
     )
 
 
-def shingles(col: Column | str, n: int = 3) -> Column:
-    """Word n-gram shingles of normalized text as array<string>.
-
-    Built from slice/transform over the token array — stays JVM-side.
-    """
-    toks = F.split(normalize_name(col), " ")
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Word n-gram shingles from an ALREADY-MATERIALIZED token-array
+    column. ``toks`` must be a plain column reference, not the
+    tokenize expression: Spark does no subexpression elimination
+    inside lambda functions, so an inlined split/regex tree re-runs
+    PER ELEMENT — O(len^2) regex work per document (the perplexity
+    lesson, PERF decision 10; round-6 closes the same hole here)."""
     cnt = F.size(toks) - F.lit(n - 1)
     idx = F.sequence(F.lit(1), F.greatest(cnt, F.lit(1)))
     return F.when(F.size(toks) < n, F.array(F.concat_ws(" ", toks))).otherwise(
         F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, n)))
     )
+
+
+def shingles(col: Column | str, n: int = 3) -> Column:
+    """Word n-gram shingles of normalized text as array<string>.
+
+    Built from slice/transform over the token array — stays JVM-side.
+    Prefer tokenizing into its own projection and calling
+    :func:`shingles_from_tokens` (see its lambda-inlining caveat);
+    this form keeps the one-expression API for single-use callers.
+    """
+    return shingles_from_tokens(F.split(normalize_name(col), " "), n)
 
 
 _MERSENNE_31 = (1 << 31) - 1  # 2147483647, prime
@@ -303,9 +315,19 @@ def shingle_frame(
     """
     from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
 
-    return ensure_parallelism(df, id_col).select(
+    # two projections, deliberately: the token array materializes as an
+    # attribute BEFORE the shingle lambda consumes it (CollapseProject
+    # keeps the split out of the lambda because __w is referenced more
+    # than once) — otherwise the tokenize regex re-runs per shingle,
+    # O(len^2) per document (shingles_from_tokens docstring; A/B in
+    # PERF.md round-6)
+    toks = ensure_parallelism(df, id_col).select(
         F.col(id_col).alias("__id"),
-        F.array_distinct(shingles(F.col(text_col), shingle_n)).alias("__sh"),
+        F.split(normalize_name(F.col(text_col)), " ").alias("__w"),
+    )
+    return toks.select(
+        "__id",
+        F.array_distinct(shingles_from_tokens(F.col("__w"), shingle_n)).alias("__sh"),
     )
 
 

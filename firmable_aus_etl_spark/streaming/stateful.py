@@ -257,12 +257,24 @@ def streaming_near_dup_candidates(
       before admission, so capped MEMBERSHIP is a pure function of the
       micro-batch content, not of row order across shuffle partitions.
     """
-    from firmable_aus_etl_spark.operators.dedup import minhash_signature
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+    from firmable_aus_etl_spark.operators.dedup import (
+        minhash_signature_from,
+        shingles_from_tokens,
+    )
 
-    sig = docs.select(
+    # token array materialized BEFORE the shingle lambda (no subexpr
+    # elimination inside HOFs — the shingle_frame discipline); the
+    # expressions are the batch path's bit for bit, just staged
+    toks = docs.select(
         F.col(id_col).cast("long").alias("__id"),
-        minhash_signature(
-            text_col, num_hashes=num_hashes, shingle_n=shingle_n
+        F.split(normalize_name(F.col(text_col)), " ").alias("__w"),
+    )
+    sig = toks.select(
+        "__id",
+        minhash_signature_from(
+            F.array_distinct(shingles_from_tokens(F.col("__w"), shingle_n)),
+            num_hashes=num_hashes,
         ).alias("__sig"),
     )
     rows_per_band = num_hashes // bands

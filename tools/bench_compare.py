@@ -79,6 +79,7 @@ COMPARE = [
     "golden_records_documents",
     "source_vocab_overlap",
     "k_anonymity_audit_customers",
+    "reference_pipeline_matches",
 ]
 
 
