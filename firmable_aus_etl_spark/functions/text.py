@@ -93,8 +93,22 @@ NGRAM_PROFILES: dict[str, list[str]] = {
 
 
 def char_trigrams(col: Column | str) -> Column:
-    """Distinct char trigrams of normalized text as array<string>."""
-    t = normalize_name(col)
+    """Distinct char trigrams of normalized text as array<string>.
+
+    Lambda-inlining caveat (the shingle_frame discipline): the
+    normalized string ``t`` is referenced INSIDE the transform lambda,
+    and Spark does no subexpression elimination in HOF bodies — so
+    when ``col`` is the raw text, the normalize regex re-runs per
+    trigram position. Frame-level callers must stage the normalized
+    string as an attribute first and pass THAT (see
+    with_language_id_ngram); this expression form stays for
+    single-use/test callers."""
+    return char_trigrams_from_norm(normalize_name(col))
+
+
+def char_trigrams_from_norm(t: Column) -> Column:
+    """Distinct char trigrams from an ALREADY-NORMALIZED string column
+    (ideally a materialized attribute — see char_trigrams caveat)."""
     n = F.greatest(F.length(t) - F.lit(2), F.lit(1))
     grams = F.transform(F.sequence(F.lit(1), n), lambda i: t.substr(i, F.lit(3)))
     return F.array_distinct(grams)
@@ -232,7 +246,13 @@ def with_language_id_ngram(
     the single-file fixture scan).
     """
     grams = "__lid_grams"
-    out = df.withColumn(grams, char_trigrams(text_col))
+    # stage the NORMALIZED string as an attribute before the trigram
+    # lambda consumes it — with the raw column inlined, the normalize
+    # regex re-runs per trigram position (no subexpr elimination inside
+    # HOFs; round-6, the shingle_frame fix applied here). The substr
+    # lambda then reads a materialized attribute: O(len) per row.
+    out = df.withColumn("__lid_norm", normalize_name(text_col))
+    out = out.withColumn(grams, char_trigrams_from_norm(F.col("__lid_norm")))
     out = out.withColumn(
         "__lid_denom", F.greatest(F.size(grams), F.lit(1)).cast("double")
     )
@@ -255,5 +275,6 @@ def with_language_id_ngram(
         ).otherwise(expr)
     out = out.withColumn(out_col, expr)
     return out.drop(
-        grams, "__lid_denom", "__lid_mx", *[f"__lid_s_{lang}" for lang in langs]
+        grams, "__lid_norm", "__lid_denom", "__lid_mx",
+        *[f"__lid_s_{lang}" for lang in langs],
     )
