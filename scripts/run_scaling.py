@@ -59,6 +59,8 @@ QUERY_SET = [
     "semantic_dedup_cell_blocked",
     # graph
     "copurchase_graph_summary",
+    # the whole reference DAG (round-6)
+    "reference_pipeline_matches",
 ]
 
 
