@@ -2832,6 +2832,51 @@ def q_minhash_verified_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _portable_clusters_oracle() -> str:
+    """Recursive-CTE closure over the PORTABLE minhash+verify pair set:
+    the entire designated 100 TB dedup DAG (signature -> banding ->
+    candidate join -> exact verify -> connected components) as ONE
+    DuckDB-replayable statement."""
+    base = _portable_minhash_oracle(
+        num_hashes=16, bands=8, verify_threshold=0.5
+    )
+    return f"""
+WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ({base.strip()})),
+und AS (SELECT a_id AS x, b_id AS y FROM pairs
+        UNION ALL SELECT b_id, a_id FROM pairs),
+reach AS (
+  SELECT doc_id AS node, doc_id AS root FROM documents
+  UNION
+  SELECT u.y AS node, r.root
+  FROM reach r JOIN und u ON u.x = r.node
+)
+SELECT node AS doc_id, min(root) AS cluster FROM reach GROUP BY node
+"""
+
+
+@register("minhash_dedup_clusters", _portable_clusters_oracle())
+def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The designated 100 TB dedup DAG end to end, under ONE oracle:
+    portable MinHash signatures -> LSH banding -> candidate equi-join
+    -> exact-Jaccard verify on candidates only -> connected-components
+    clustering (min-reachable-id labels; keep-representative =
+    filter(doc_id == cluster)). near_dup_clusters proves the same
+    clustering over the EXACT prefix-join pair set; this query proves
+    it over the APPROXIMATE scale path a production corpus actually
+    runs — banding recall (1-(1-j^2)^8) decides which pairs exist, so
+    the cluster labeling here is the one a real pipeline ships.
+    Every stage replays bit-for-bit in DuckDB (recursive-CTE closure
+    over the portable pair set)."""
+    docs = load_table(spark, sf_dir, "documents")
+    pairs = dedup.verified_near_dup_pairs(
+        docs, "doc_id", "text",
+        threshold=0.5, shingle_n=3, num_hashes=16, bands=8, portable=True,
+    ).select("a_id", "b_id")
+    return dedup.connected_components(
+        pairs, nodes=docs.select("doc_id"), node_id="doc_id"
+    )
+
+
 @register("minhash_lsh_candidates", _portable_minhash_oracle())
 @register("minhash_lsh_candidates_portable", _portable_minhash_oracle())
 def q_minhash_lsh_candidates_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
