@@ -860,7 +860,9 @@ def connected_components(
       among itself and its neighbors, until a fixpoint. Rounds =
       graph DIAMETER; near-dup clusters are small and dense, so this
       converges in a few rounds and each round is the cheaper of the
-      two algorithms.
+      two algorithms. Propagation runs TWO steps per materialized job
+      (see the loop comment), so up to ``max_iter`` rounded UP to even
+      steps execute — the bound is on work, convergence is exact.
     - ``"star"``: alternating large-star/small-star edge contraction
       (Kiveris et al., "Connected Components in MapReduce and
       Beyond", SoCC 2014). Each pass rewires edges toward the
