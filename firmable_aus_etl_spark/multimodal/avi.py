@@ -124,8 +124,18 @@ def decode_mjpeg_avi(data: bytes) -> tuple[int, int, float, list[bytes]]:
             elif tag == b"avih" and size >= 40:
                 width = _u32(buf, body_start + 32)
                 height = _u32(buf, body_start + 36)
-            elif tag == b"strh" and size >= 36:
-                fcc_type = buf[body_start : body_start + 4]
+            elif tag == b"strh":
+                # EVERY strh advances the stream ordinal and resets the
+                # strf latch, even a truncated one (size < 36): the
+                # ##dc/##db two-digit prefixes count strh chunks in
+                # order, so skipping a short strh would misalign
+                # vids_index against the movi chunk numbering and a
+                # stale in_vids_strl could claim the next stream's strf
+                # (round-6 ADVICE). The size guard stays only on the
+                # header-field reads.
+                fcc_type = (
+                    buf[body_start : body_start + 4] if size >= 36 else b""
+                )
                 fcc_handler = buf[body_start + 4 : body_start + 8]
                 in_vids_strl = fcc_type == b"vids"
                 if fcc_type == b"vids":

@@ -348,8 +348,12 @@ def cosine_join_adaptive(
     engine's ANALYZE-statistics lifetime, owned by the caller because
     only the caller knows when the underlying table changed (a
     DataFrame has no content fingerprint that doesn't cost a job).
-    Keyed by (threshold, blocks); pass one dict per (table, column)
-    input, reuse it across calls, drop it on data change.
+    Keyed by (threshold, blocks, stats_sample, caller-stats?) so stats
+    collected under one sampling configuration never answer a call made
+    under another; pass one dict per (table, column) input, reuse it
+    across calls, drop it on data change. The cache never invalidates
+    itself if the underlying table changes within a session — that is
+    the caller's contract (ANALYZE lifetime), same as engine statistics.
     """
     blocks = list(block_cols)
     if plan in ("naive", "prefix"):
@@ -416,8 +420,11 @@ def cosine_join_adaptive(
             ),
         )
     )
-    # 1-row x 1-row cross join: both aggregate branches run in one job
-    _ck = (float(threshold), tuple(blocks))
+    # 1-row x 1-row cross join: both aggregate branches run in one job.
+    # The key carries the SAMPLING configuration too (p and whether the
+    # caller supplied its own stats frame): stats collected under one
+    # sample must not answer a call made under another (round-6 ADVICE).
+    _ck = (float(threshold), tuple(blocks), float(p), stats_wt is not None)
     if stats_cache is not None and _ck in stats_cache:
         stats = stats_cache[_ck]
     else:

@@ -773,6 +773,92 @@ def jaccard_prefix_candidates(
     return cand
 
 
+def auto_prune_df(n_docs: int) -> int:
+    """Data-dependent boilerplate bound for :func:`df_pruned_shingles`:
+    ``max(8, isqrt(n_docs))`` (round-7, the auto_n_planes pattern).
+
+    Rationale: in a near-dup corpus, CONTENT shingles have df = O(1)
+    (a document and its few near-copies) while BOILERPLATE shingles
+    (license footers, navigation chrome, templated headers) have
+    df ∝ n. sqrt(n) separates the two regimes at any scale — content
+    stays, boilerplate goes — and a shingle at the bound contributes
+    at most C(sqrt(n), 2) ~ n/2 candidate rows, so no single shingle
+    can be a super-linear term. Pure-integer (math.isqrt) and exactly
+    replayable in SQL as greatest(8, floor(sqrt(n) + 1e-9)): sqrt is
+    correctly rounded in both engines and n << 2^52, so the floor
+    matches isqrt bit-for-bit.
+
+    On corpora with NO df ∝ n regime (e.g. the uniform fixed-vocab
+    test fixtures, where every shingle's df ~ n/|vocab_shingles|) the
+    bound sits above nearly every df and the rule self-deactivates —
+    correct behavior: those shingles ARE the content, pruning them
+    would destroy recall, and no exact join can be sub-quadratic
+    there (Sum_sh C(df,2) with df ∝ n is inherently n²; the minhash
+    DAG is the designated route for that corpus shape).
+    """
+    import math
+
+    return max(8, math.isqrt(int(n_docs)))
+
+
+# literal-array ceiling for the driver-side hot-shingle list; beyond
+# this the pruning falls back to a distributed anti-join + re-agg
+_MAX_HOT_LITERAL = 20_000
+
+
+def df_pruned_shingles(docs: DataFrame, bound: int) -> DataFrame:
+    """Drop shingles whose corpus document frequency exceeds ``bound``
+    from every document's shingle SET (docs = (__id, __h sorted
+    array<long>) as built by ngram_jaccard_pairs_prefix).
+
+    This changes the SIMILARITY SEMANTICS, deliberately: Jaccard is
+    computed over content shingles only — shingle-level stopwording,
+    the same move C4/FineWeb-style curation makes before dedup. It is
+    NOT the prefix-occurrence ``max_df`` hard-stop (which keeps exact
+    sets and trades recall by dropping JOIN rows): pruning the sets
+    keeps the downstream join EXACT w.r.t. the pruned sets, so the
+    result is order-independent and a SQL twin can replay it without
+    reproducing Spark's hash order. Pairs that shared only boilerplate
+    drop to J=0; near-dups that differed only in boilerplate can GAIN
+    similarity — both are the intended reading at 100 TB.
+
+    Plan: one aggregate over exploded 8-byte shingle hashes finds the
+    over-bound shingles — few by construction (sum df <= total rows R
+    means at most R/bound shingles exceed the bound). When the list
+    fits a literal (<= 20k entries) the prune is a zero-shuffle
+    array_except against a broadcast literal (one parsed F.expr — a
+    py4j F.lit(list) round-trips per element, PERF.md r4); an EMPTY
+    list short-circuits to the input unchanged. Bigger lists take the
+    distributed anti-join + re-agg fallback (two shuffles).
+    """
+    sh_df = (
+        docs.select(F.explode("__h").alias("sh"))
+        .groupBy("sh")
+        .agg(F.count("*").alias("__df"))
+        .filter(F.col("__df") > bound)
+        .select("sh")
+    )
+    hot_rows = sh_df.limit(_MAX_HOT_LITERAL + 1).collect()
+    if not hot_rows:
+        return docs
+    if len(hot_rows) <= _MAX_HOT_LITERAL:
+        arr_sql = "array(" + ",".join(
+            f"{r['sh']}L" for r in sorted(hot_rows, key=lambda r: r["sh"])
+        ) + ")"
+        return docs.select(
+            "__id",
+            F.array_sort(
+                F.array_except(F.col("__h"), F.expr(arr_sql))
+            ).alias("__h"),
+        )
+    ex = docs.select("__id", F.explode("__h").alias("sh"))
+    return (
+        ex.join(F.broadcast(sh_df), "sh", "left_anti")
+        .groupBy("__id")
+        .agg(F.array_sort(F.collect_list("sh")).alias("__h"))
+    )
+
+
 def ngram_jaccard_pairs_prefix(
     df: DataFrame,
     id_col: str,
@@ -782,6 +868,7 @@ def ngram_jaccard_pairs_prefix(
     threshold: float = 0.8,
     order: str = "hash",
     max_df: int | None = None,
+    prune_df: int | str | None = None,
 ) -> DataFrame:
     """Exact n-gram Jaccard pairs via prefix filtering (PPJoin/Vernica).
 
@@ -795,6 +882,15 @@ def ngram_jaccard_pairs_prefix(
     trade — with it set the result can be a SUBSET of the exact set).
     Length and positional filters prune candidates before exact
     verification on the full distinct-shingle arrays.
+
+    ``prune_df`` (round-7): drop shingles with corpus df > bound from
+    the shingle SETS before the join — shingle-level stopwording (see
+    :func:`df_pruned_shingles` for semantics vs ``max_df``).
+    ``"auto"`` derives the bound from corpus stats via
+    :func:`auto_prune_df` (max(8, isqrt(n)) — SQL-replayable, so the
+    data-dependent rule itself sits under an oracle hash gate). Costs
+    one count job + one small aggregate when the rule finds nothing to
+    prune; the join stays exact w.r.t. the pruned sets.
     """
     # shingle_frame repartitions first (single-file inputs would run the
     # HOF on one core); immediately collapse each distinct-shingle set
@@ -809,6 +905,11 @@ def ngram_jaccard_pairs_prefix(
         "__id",
         F.array_sort(F.transform(F.col("__sh"), lambda s: F.xxhash64(s))).alias("__h"),
     )
+    if prune_df is not None:
+        bound = (
+            auto_prune_df(df.count()) if prune_df == "auto" else int(prune_df)
+        )
+        docs = df_pruned_shingles(docs, bound)
     cand = jaccard_prefix_candidates(
         docs, threshold=threshold, order=order, max_df=max_df
     )
@@ -886,7 +987,10 @@ def connected_components(
     # prefix-Jaccard join) re-executes per iteration — measured 8.4s ->
     # 3.6s at sf0.1 for near_dup_clusters (edges dominate; rounds are
     # cheap). Same move MLlib/GraphX make before iterating.
-    from firmable_aus_etl_spark.operators.partitioning import iter_materialize
+    from firmable_aus_etl_spark.operators.partitioning import (
+        iter_materialize,
+        iter_unpersist,
+    )
 
     # eager=False: the first consumer (round 1's neighbor join / star's
     # first edge_sig) materializes the blocks inside its own job — an
@@ -923,22 +1027,24 @@ def connected_components(
         edge_nodes = edge_nodes.join(node_frame, node_id, "left_semi")
     labels = edge_nodes.select(node_id, F.col(node_id).alias("cluster"))
 
-    def propagate(lbl: DataFrame) -> DataFrame:
+    def propagate(lbl: DataFrame, *, keep_old: bool = False) -> DataFrame:
         neighbor_min = (
             und.join(lbl, und["y"] == lbl[node_id])
             .groupBy("x")
             .agg(F.min("cluster").alias("nbr"))
         )
+        new_cluster = F.least(
+            F.col("cluster"), F.coalesce(F.col("nbr"), F.col("cluster"))
+        ).alias("cluster")
+        out = [lbl[node_id], new_cluster]
+        if keep_old:
+            out.append(F.col("cluster").alias("__old"))
         return lbl.join(
             neighbor_min, lbl[node_id] == neighbor_min["x"], "left"
-        ).select(
-            lbl[node_id],
-            F.least(
-                F.col("cluster"), F.coalesce(F.col("nbr"), F.col("cluster"))
-            ).alias("cluster"),
-        )
+        ).select(*out)
 
     rounds = 0
+    prev_mat: DataFrame | None = None
     for _ in range(max(1, (max_iter + 1) // 2)):
         # TWO propagation steps per materialized job (round-6): each
         # loop turn chains two join+agg rounds into one lineage, then
@@ -946,20 +1052,27 @@ def connected_components(
         # eager=False means the changed-count computes AND persists the
         # frame, so the whole double-round is ONE Spark job (halves
         # job-submit latency, the dominant per-round cost; shuffle
-        # volume per round unchanged). Convergence over the double
-        # step is exact: labels are monotone non-increasing, so zero
-        # change across two steps iff the first step was already a
-        # fixpoint (no oscillation is possible).
+        # volume per round unchanged). The convergence check compares
+        # the LAST PAIR of steps (step k vs step k-1), not step k vs
+        # the turn start (round-7): labels are monotone non-increasing,
+        # so zero change between consecutive steps iff step k-1 was
+        # already a fixpoint — exact, and it detects convergence a full
+        # turn earlier whenever the fixpoint lands mid-turn. Near-dup
+        # graphs are clique-shaped (diameter 1: step 1 assigns every
+        # node the clique min, step 2 changes nothing), so the whole
+        # propagation is ONE Spark job there, vs two under the
+        # turn-start comparison (measured: sf0.01 and sf0.1 documents
+        # both converge at step 1).
         rounds += 2
-        stepped = propagate(propagate(labels.select(node_id, "cluster")))
+        s1 = propagate(labels.select(node_id, "cluster"))
         new_full = iter_materialize(
-            labels.select(
-                node_id, F.col("cluster").alias("__old")
-            ).join(stepped, node_id),
-            checkpoint_dir,
-            eager=False,
+            propagate(s1, keep_old=True), checkpoint_dir, eager=False
         )
         changed = new_full.filter(F.col("cluster") != F.col("__old")).count()
+        # reliable path: the previous round's cache is now dead weight
+        # (its durable copy lives in the checkpoint files)
+        iter_unpersist(prev_mat, checkpoint_dir)
+        prev_mat = new_full
         labels = new_full.select(node_id, "cluster")
         if changed == 0:
             break
@@ -1006,7 +1119,10 @@ def _connected_components_star(
     At fixpoint every surviving edge is (node, component-min): the
     star. Labels = those edges + a self-label for every node not on
     the non-root side (roots and isolated nodes)."""
-    from firmable_aus_etl_spark.operators.partitioning import iter_materialize
+    from firmable_aus_etl_spark.operators.partitioning import (
+        iter_materialize,
+        iter_unpersist,
+    )
 
     cur = iter_materialize(
         und.filter(F.col("x") != F.col("y")).distinct(), checkpoint_dir,
@@ -1047,18 +1163,28 @@ def _connected_components_star(
     prev_frame = cur
     for _ in range(max_iter):
         rounds += 1
-        cur = star_pass(cur, large=True)
-        cur = star_pass(cur, large=False)
-        sig = edge_sig(cur)
+        mid = star_pass(cur, large=True)
+        nxt = star_pass(mid, large=False)
+        sig = edge_sig(nxt)
+        # reliable path: the large-star intermediate is consumed once
+        # and the (round-2)'th frame is no longer referenced (prev_frame
+        # still backs the convergence confirm); drop their caches —
+        # durable copies live in the checkpoint files (round-6 ADVICE).
+        iter_unpersist(mid, checkpoint_dir)
         if (sig["n"], sig["sig"]) == (prev["n"], prev["sig"]):
             # exact confirmation: equal counts + empty one-sided
             # difference of two DISTINCT sets => set equality. Runs
             # only on signature match, so the per-round cost stays
             # one 1-row aggregate.
-            if cur.join(prev_frame, ["x", "y"], "left_anti").limit(1).count() == 0:
+            if nxt.join(prev_frame, ["x", "y"], "left_anti").limit(1).count() == 0:
+                iter_unpersist(prev_frame, checkpoint_dir)
+                cur = nxt
                 break
+        # prev_frame == cur at every iteration start; once nxt replaces
+        # it nothing references the old frame again
+        iter_unpersist(cur, checkpoint_dir)
         prev = sig
-        prev_frame = cur
+        prev_frame = cur = nxt
     if stats is not None:
         stats["rounds"] = rounds
     # fixpoint edges are (node, root) stars; x > y always holds here

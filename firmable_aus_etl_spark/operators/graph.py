@@ -251,7 +251,14 @@ def pagerank(
     ``checkpoint_dir``: switch the per-round materialization from
     localCheckpoint to reliable checkpoint() (durable storage) so a
     100 TB run survives executor loss mid-iteration — see
-    partitioning.iter_materialize; results identical either way.
+    partitioning.iter_materialize; results identical either way. The
+    reliable path persists each round's frame (so the checkpoint write
+    reads cache instead of recomputing the lineage); because this loop
+    runs no per-round action, those caches materialize only when the
+    caller acts and stay resident O(iters) — MEMORY_AND_DISK evicts
+    LRU under pressure, and iters is a small constant here (the CC
+    loop, which does act per round, releases them eagerly via
+    iter_unpersist).
     """
     from firmable_aus_etl_spark.operators.partitioning import iter_materialize
 

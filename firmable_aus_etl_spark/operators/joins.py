@@ -43,6 +43,7 @@ def similarity_join(
     score_col: str = "score",
     broadcast_right: bool = False,
     max_rows: int | None = 10_000,
+    block_cap: int | None = None,
 ) -> DataFrame:
     """op20 — blocked similarity join, top-k per left row.
 
@@ -70,6 +71,30 @@ def similarity_join(
       join against a small reference table must not shuffle the fact.
     - both sides' columns are carried into the output, so column names
       must be distinct across the two inputs (rename before joining).
+    - ``block_cap``: HOT-BLOCK SALTING (SURVEY §7.4 — the reference's
+      production matcher blocks on raw 2-char name prefixes, which are
+      Zipf on real names, and its known failure mode is one "TH" block
+      holding a huge share of the corpus; AQE can split that block's
+      shuffle PARTITION but cannot reduce its O(n_block²) candidate
+      fan-out landing on one task). When a block exceeds ``block_cap``
+      rows on either side, the pair space is tiled into a
+      ceil(n_l/cap) x ceil(n_r/cap) grid (Okcan & Riedewald's
+      1-bucket-theta decomposition restricted to hot blocks): each
+      left row takes a deterministic row-hash tile coordinate and
+      replicates across the right tiles, and vice versa, so every
+      in-block pair is scored in EXACTLY ONE tile and per-task
+      candidates are bounded by block_cap². Results are bit-identical
+      to the unsalted join (same pair set, same scorer; the top-k
+      window re-ranks over the union of tiles — left ids are never
+      split across partitions of the window, which keys on left id,
+      not on the tile). Costs one counts-aggregate job per side plus a
+      broadcast of the hot-block directory (≤ rows/cap entries by
+      construction). Replication factor for a hot block is the
+      OTHER side's tile count — linear in the hot side's size divided
+      by cap, the inherent price of spreading an O(n²) block. Rows
+      whose hash keys collide on one exact value still co-locate
+      (tile = hash of the JOIN KEY); pathological single-value keys
+      need a coarser prepare/block, not a smaller cap.
     """
     if prepare is None:
         prepare = token_sort
@@ -84,7 +109,11 @@ def similarity_join(
     if broadcast_right:
         r = F.broadcast(r)
 
-    if block is not None:
+    if block is not None and block_cap is not None:
+        joined = _salted_block_join(
+            left, right, left_key, right_key, prepare, block, block_cap
+        )
+    elif block is not None:
         cond = block(F.col(f"l.{left_key}")) == block(F.col(f"r.{right_key}"))
         joined = l.join(r, on=cond, how="inner")
     else:
@@ -112,6 +141,92 @@ def similarity_join(
     return topk_per_group(scored, part, order, k=k)
 
 
+def _salted_block_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_key: str,
+    right_key: str,
+    prepare: Callable[[Column], Column],
+    block: Callable[[Column], Column],
+    block_cap: int,
+) -> DataFrame:
+    """Hot-block-salted equi-join on the blocking key (see
+    similarity_join's ``block_cap`` doc for semantics and the
+    exactly-once-per-pair argument). Emits the same ``l.*``/``r.*``
+    aliased row shape as the unsalted path so the scoring select is
+    shared."""
+    if block_cap < 1:
+        raise ValueError(f"block_cap must be >= 1, got {block_cap}")
+    l = (
+        left.withColumn("__prep", prepare(F.col(left_key)))
+        .withColumn("__blk", block(F.col(left_key)))
+        .filter(F.col("__blk").isNotNull())
+    )
+    r = (
+        right.withColumn("__prep", prepare(F.col(right_key)))
+        .withColumn("__blk", block(F.col(right_key)))
+        .filter(F.col("__blk").isNotNull())
+    )
+    cap = F.lit(int(block_cap))
+    # hot-block directory: tile counts per side, only for blocks over
+    # the cap on EITHER side. Bounded by (|L|+|R|)/cap entries, so it
+    # broadcasts; two count aggregates is the whole planning cost.
+    lc = l.groupBy("__blk").agg(F.count("*").alias("__nl"))
+    rc = r.groupBy("__blk").agg(F.count("*").alias("__nr"))
+    hot = (
+        lc.join(rc, "__blk")  # blocks on one side only never join anyway
+        .filter((F.col("__nl") > cap) | (F.col("__nr") > cap))
+        .select(
+            "__blk",
+            F.ceil(F.col("__nl") / cap).cast("int").alias("__sl"),
+            F.ceil(F.col("__nr") / cap).cast("int").alias("__sr"),
+        )
+    )
+    l2 = (
+        l.join(F.broadcast(hot), "__blk", "left")
+        .withColumn(
+            "__tile_l",
+            F.when(
+                F.col("__sl").isNull(), F.lit(0)
+            ).otherwise(F.pmod(F.xxhash64(F.col(left_key)), F.col("__sl"))),
+        )
+        .withColumn(
+            "__tile_r",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("__sr"), F.lit(1)) - 1)
+            ),
+        )
+        .drop("__sl", "__sr")
+        .alias("l")
+    )
+    r2 = (
+        r.join(F.broadcast(hot), "__blk", "left")
+        .withColumn(
+            "__tile_r2",
+            F.when(
+                F.col("__sr").isNull(), F.lit(0)
+            ).otherwise(F.pmod(F.xxhash64(F.col(right_key)), F.col("__sr"))),
+        )
+        .withColumn(
+            "__tile_l2",
+            F.explode(
+                F.sequence(F.lit(0), F.coalesce(F.col("__sl"), F.lit(1)) - 1)
+            ),
+        )
+        .drop("__sl", "__sr")
+        .alias("r")
+    )
+    return l2.join(
+        r2,
+        on=(
+            (F.col("l.__blk") == F.col("r.__blk"))
+            & (F.col("l.__tile_l") == F.col("r.__tile_l2"))
+            & (F.col("l.__tile_r") == F.col("r.__tile_r2"))
+        ),
+        how="inner",
+    )
+
+
 def nl_similarity_join(
     left: DataFrame,
     right: DataFrame,
@@ -123,6 +238,13 @@ def nl_similarity_join(
 
     reference: entity_matching.py:28-43. Kept for parity and for tiny
     right sides; the blocked builder is the scale path.
+
+    BREAKING since round 6: when BOTH sides exceed ``max_rows``
+    (default 10_000) this raises instead of silently shipping the
+    O(n*m) plan — callers who previously (slowly) ran two large sides
+    must either pass a ``block=`` via :func:`similarity_join` or opt
+    back in deliberately with ``max_rows=None``. The gate costs two
+    LIMIT-bounded count jobs per call, only on this unblocked path.
     """
     return similarity_join(left, right, left_key, right_key, block=None, **kwargs)
 

@@ -39,13 +39,37 @@ def iter_materialize(
     first reliable call pins it, later calls with a DIFFERENT dir
     re-pin (last wins — acceptable for the one-driver-loop-at-a-time
     usage these operators have).
+
+    The reliable path PERSISTS the frame before checkpoint(): without
+    a cache, Spark computes the RDD in the consuming job and then
+    RECOMPUTES the whole lineage in the separate checkpoint-write job
+    (checkpointing reads the RDD again; it is not captured from the
+    first run) — at 100 TB that doubles every iteration (round-6
+    ADVICE). With the persist, the write job reads cached blocks.
+    Callers should ``iter_unpersist`` the PREVIOUS round's frame once
+    the next one is materialized so the cache footprint stays O(1)
+    rounds; the checkpoint files keep the durable copy.
     """
     if checkpoint_dir is None:
         return df.localCheckpoint(eager=eager)
+    from pyspark import StorageLevel
+
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
-    return df.checkpoint(eager=eager)
+    return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=eager)
+
+
+def iter_unpersist(df: DataFrame | None, checkpoint_dir: str | None) -> None:
+    """Release a PRIOR round's iter_materialize frame.
+
+    Only acts on the reliable path: there the durable copy lives in the
+    checkpoint files, so dropping the cache is safe. A localCheckpoint
+    frame's blocks ARE its only copy — unpersisting one would destroy
+    the data — so ``checkpoint_dir=None`` is a no-op by design.
+    """
+    if df is not None and checkpoint_dir is not None:
+        df.unpersist()
 
 
 def salted_join(

@@ -134,6 +134,74 @@ def q_similarity_join_blocked_top1(spark: SparkSession, sf_dir: str) -> DataFram
     )
 
 
+# The skew case itself (round-7): the reference's production matcher
+# blocks on raw 2-char name prefixes (entity_matching_tfidf.py:159-160),
+# Zipf-distributed on real names — one "TH"-like block can hold a huge
+# share of the corpus, and its O(n_block²) candidate fan-out lands on
+# ONE task no matter how AQE splits partitions. Here the fixture keeps
+# the DEGENERATE blocking deliberately: after prefix-strip every norm
+# starts "00", so the FIRST-2 block key puts the ENTIRE corpus in one
+# hot block, and block_cap tiles that block's pair space into bounded
+# per-task grids (joins._salted_block_join). The oracle replays the
+# plain blocked join — salting must be invisible in the result.
+_SIM_SALTED_ORACLE = """
+WITH c AS (
+  SELECT c_custkey, c_name,
+         regexp_replace(lower(trim(c_name)), '^[a-z]+#', '') AS norm
+  FROM customer
+), s AS (
+  SELECT s_suppkey, s_name,
+         regexp_replace(lower(trim(s_name)), '^[a-z]+#', '') AS norm
+  FROM supplier
+), scored AS (
+  SELECT c.c_custkey, c.c_name, s.s_suppkey, s.s_name,
+         100.0 * (1.0 - CAST(levenshtein(c.norm, s.norm) AS DOUBLE)
+                  / CAST(greatest(length(c.norm), length(s.norm), 1) AS DOUBLE)) AS score
+  FROM c JOIN s
+    ON substr(c.norm, 1, 2) = substr(s.norm, 1, 2)
+), thresh AS (
+  SELECT * FROM scored WHERE score >= 85.0
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY score DESC, s_suppkey) AS rn
+  FROM thresh
+)
+SELECT c_custkey, c_name, s_suppkey, s_name, round(score, 2) AS score
+FROM ranked WHERE rn = 1
+"""
+
+
+@register("similarity_join_salted_top1", _SIM_SALTED_ORACLE)
+def q_similarity_join_salted_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op20 under adversarial block skew (SURVEY §7.4): ONE degenerate
+    hot block (every normalized name shares the '00' first-2 prefix —
+    the fixture does NOT dodge the skew, unlike the uniform last-2
+    blocking of the flagship), handled by ``block_cap`` grid salting.
+    Output is bit-identical to the unsalted blocked join, which is
+    exactly what the DuckDB twin replays."""
+    strip = lambda c: F.regexp_replace(F.lower(F.trim(c)), "^[a-z]+#", "")  # noqa: E731
+    cust = load_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_name", strip(F.col("c_name")).alias("c_norm")
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_name", strip(F.col("s_name")).alias("s_norm")
+    )
+    out = joins.similarity_join(
+        cust,
+        supp,
+        "c_norm",
+        "s_norm",
+        block=lambda c: F.substring(c, 1, 2),
+        threshold=85.0,
+        k=1,
+        left_id="c_custkey",
+        right_tiebreak="s_suppkey",
+        block_cap=256,
+    )
+    return out.select(
+        "c_custkey", "c_name", "s_suppkey", "s_name", F.round("score", 2).alias("score")
+    )
+
+
 # --- aggregation family ---------------------------------------------------
 
 # Money sums go through exact integer cents (floor(x*100+0.5) per row is

@@ -368,7 +368,10 @@ def vacuum_snapshots(
         if v <= cur:
             continue
         d = _snapshot_dir(root, v)
-        newest = os.path.getmtime(d)
+        try:
+            newest = os.path.getmtime(d)
+        except OSError:
+            continue  # dir vanished between listdir and stat: live writer
         for base, _dirs, files in os.walk(d):
             for fn in files:
                 try:
