@@ -806,7 +806,9 @@ def auto_prune_df(n_docs: int) -> int:
 _MAX_HOT_LITERAL = 20_000
 
 
-def df_pruned_shingles(docs: DataFrame, bound: int) -> DataFrame:
+def df_pruned_shingles(
+    docs: DataFrame, bound: int, *, occurrences: DataFrame | None = None
+) -> DataFrame:
     """Drop shingles whose corpus document frequency exceeds ``bound``
     from every document's shingle SET (docs = (__id, __h sorted
     array<long>) as built by ngram_jaccard_pairs_prefix).
@@ -830,10 +832,21 @@ def df_pruned_shingles(docs: DataFrame, bound: int) -> DataFrame:
     py4j F.lit(list) round-trips per element, PERF.md r4); an EMPTY
     list short-circuits to the input unchanged. Bigger lists take the
     distributed anti-join + re-agg fallback (two shuffles).
+
+    ``occurrences`` optionally supplies the one-row-per-(doc, shingle)
+    hashed-shingle frame the detection aggregates over — callers that
+    can produce it WITHOUT the array_sort the main pipeline needs
+    (ngram_jaccard_pairs_prefix) save that work in this branch. The
+    detection deliberately RECOMPUTES upstream lineage instead of
+    caching ``docs``: a localCheckpoint here measured slower overall
+    (4.6 vs 2.3 s at sf0.1) — the InMemoryTableScan of cached arrays
+    loses to parquet+codegen recompute and breaks the main plan's
+    exchange reuse across its three consumptions.
     """
+    if occurrences is None:
+        occurrences = docs.select(F.explode("__h").alias("sh"))
     sh_df = (
-        docs.select(F.explode("__h").alias("sh"))
-        .groupBy("sh")
+        occurrences.groupBy("sh")
         .agg(F.count("*").alias("__df"))
         .filter(F.col("__df") > bound)
         .select("sh")
@@ -901,7 +914,8 @@ def ngram_jaccard_pairs_prefix(
     # shingles inside ONE compared pair could perturb a count — odds
     # ~|s|^2/2^64 per pair; the sf0.01 oracle hash-gate would surface
     # it. Same trade as every production fingerprint dedup.)
-    docs = shingle_frame(df, id_col, text_col, shingle_n=shingle_n).select(
+    shf = shingle_frame(df, id_col, text_col, shingle_n=shingle_n)
+    docs = shf.select(
         "__id",
         F.array_sort(F.transform(F.col("__sh"), lambda s: F.xxhash64(s))).alias("__h"),
     )
@@ -909,7 +923,15 @@ def ngram_jaccard_pairs_prefix(
         bound = (
             auto_prune_df(df.count()) if prune_df == "auto" else int(prune_df)
         )
-        docs = df_pruned_shingles(docs, bound)
+        # detection branch skips the array_sort (df needs multiplicity,
+        # not order) and recomputes lineage instead of caching — see
+        # df_pruned_shingles for the measured trade
+        occ = shf.select(
+            F.explode(
+                F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
+            ).alias("sh")
+        )
+        docs = df_pruned_shingles(docs, bound, occurrences=occ)
     cand = jaccard_prefix_candidates(
         docs, threshold=threshold, order=order, max_df=max_df
     )

@@ -48,25 +48,51 @@ def pack_chunks(
     tokens_col: str,
     budget: int,
     groups: int = 64,
+    policy: str = "ffd",
+    group_mode: str = "crc32",
 ) -> DataFrame:
     """Pack rows of ``chunks`` into examples of at most ``budget``
     tokens each.
 
     Chunks with ``tokens >= budget`` are emitted as singletons
     (truncation is the tokenizer's job, not the packer's). Determinism:
-    group = crc32(id) % groups; within a group FFD orders by
-    (tokens desc, id) and first-fit scans open bins in creation order —
-    no dependence on partitioning or arrival order.
+    within a group the packer orders by (tokens desc, id) — no
+    dependence on partitioning or arrival order.
+
+    ``policy``:
+
+    - ``"ffd"`` (default): first-fit-decreasing — first-fit scans open
+      bins in creation order; bins used <= 11/9 * OPT + 1 per group.
+      Best fill, but the open-bin scan is stateful in a way no SQL twin
+      can replay, so FFD results are property-tested, not oracle-gated.
+    - ``"nextfit"`` (round-7): next-fit-decreasing — only the LATEST
+      bin is open; a chunk that does not fit closes it and opens a new
+      one. Slightly worse fill (NFD <= 2 * OPT per group), but the
+      state is one (bin, remaining) pair folded over the ranked rows —
+      exactly a recursive CTE (cumsum-with-reset), so the tokenize →
+      chunk → pack pipeline sits under the DuckDB hash gate
+      (q_pack_chunks_512).
+
+    ``group_mode``: ``"crc32"`` hashes ids into groups (default;
+    best spread for clustered id spaces); ``"mod"`` uses ``id %
+    groups`` — weaker spread but replayable in ANSI SQL, used by the
+    oracle-gated query.
     """
     if budget <= 0:
         raise ValueError("budget must be positive")
+    if policy not in ("ffd", "nextfit"):
+        raise ValueError(f"policy must be 'ffd' or 'nextfit', got {policy!r}")
 
+    if group_mode == "crc32":
+        group = (F.crc32(F.col(id_col).cast("string")) % groups).cast("long")
+    elif group_mode == "mod":
+        group = F.pmod(F.col(id_col).cast("long"), F.lit(groups)).cast("long")
+    else:
+        raise ValueError(f"group_mode must be 'crc32' or 'mod', got {group_mode!r}")
     src = chunks.select(
         F.col(id_col).cast("long").alias("cid"),
         F.col(tokens_col).cast("long").alias("toks"),
-        (F.crc32(F.col(id_col).cast("string")) % groups).cast("long").alias(
-            "pack_group"
-        ),
+        group.alias("pack_group"),
     )
 
     def pack(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -75,13 +101,20 @@ def pack_chunks(
             ["toks", "cid"], ascending=[False, True]
         ).itertuples(index=False)
         # (remaining_capacity, exact_token_sum, ids); oversize
-        # singletons carry remaining = -1 so first-fit skips them
+        # singletons carry remaining = -1 so first-fit skips them and
+        # next-fit treats them as closed (remaining 0)
         bins: list[tuple[int, int, list[int]]] = []
         for row in ordered:
             toks, cid = int(row.toks), int(row.cid)
             placed = False
             if toks < budget:
-                for i, (rem, tot, ids) in enumerate(bins):
+                if policy == "ffd":
+                    scan = enumerate(bins)
+                else:  # nextfit: only the latest bin is open
+                    scan = (
+                        [(len(bins) - 1, bins[-1])] if bins else []
+                    )
+                for i, (rem, tot, ids) in scan:
                     if toks <= rem:
                         bins[i] = (rem - toks, tot + toks, ids + [cid])
                         placed = True

@@ -808,6 +808,48 @@ def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
 
 
+# The twin replays the DATA-DEPENDENT prune rule itself (round-7, the
+# auto_n_planes pattern): bound = greatest(8, isqrt(count(*))) — sqrt
+# is correctly rounded in both engines and n << 2^52, so
+# floor(sqrt(n)+1e-9) == math.isqrt(n) bit-for-bit — then drops
+# over-bound shingles from every document's shingle SET before the
+# exact Jaccard. On the driver fixtures the bound sits above every df
+# (uniform 30-word vocab: df ~ n/27k << sqrt(n)), so the rule
+# self-deactivates and the result equals the unpruned exact set — but
+# the SQL still computes the rule, so the sizing logic itself is under
+# the hash gate at every scale factor. Spark counts df over xxhash64'd
+# shingles, the twin over strings: identical up to the fingerprint
+# family's 2^-64 collision caveat.
+_JACCARD_PRUNED_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS sh
+  FROM d
+),
+rule AS (
+  SELECT greatest(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) + 1e-9) AS BIGINT)) AS bound
+  FROM documents
+),
+keep AS (
+  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh)
+  WHERE df <= (SELECT bound FROM rule)
+),
+sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN keep USING (sh)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       CAST(shared AS DOUBLE) / CAST(x.sz + y.sz - shared AS DOUBLE) AS jaccard
+FROM shared JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
+WHERE CAST(shared AS DOUBLE) / CAST(x.sz + y.sz - shared AS DOUBLE) >= 0.5
+"""
+
+
 # Same oracle as the naive inverted-index join: prefix filtering is an
 # exact optimization (Vernica SIGMOD'10), so the hash gate doubles as a
 # proof that the pruned plan loses no pairs.
@@ -817,10 +859,30 @@ def q_ngram_jaccard_prefix_near_dups(spark: SparkSession, sf_dir: str) -> DataFr
     0.5 with Vernica-style prefix + length filtering — only each doc's
     rarest |s|-ceil(t|s|)+1 shingles enter the inverted index, so the
     frequent-shingle fan-out that dominates the naive join at 100 TB
-    never reaches the shuffle."""
+    never reaches the shuffle. Kept EXACT deliberately: sharing
+    _JACCARD_ORACLE with the naive join is the standing proof that the
+    pruned PLAN loses no pairs; the df-prune scale lever lives in
+    q_ngram_jaccard_pruned_near_dups (round-7)."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs_prefix(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+
+
+@register("ngram_jaccard_pruned_near_dups", _JACCARD_PRUNED_ORACLE)
+def q_ngram_jaccard_pruned_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB default for exact near-dup pairs: prefix join over
+    AUTO df-pruned shingle sets (dedup.auto_prune_df = max(8, isqrt(n))
+    — shingle-level stopwording that removes df ∝ n boilerplate before
+    the join, self-deactivating on corpora with no boilerplate regime,
+    like this fixture). The twin replays the RULE itself (integer
+    floor(sqrt(count(*))+1e-9) == isqrt), so the data-dependent sizing
+    is oracle-gated at every scale factor, the round-6 auto_n_planes
+    pattern. Kept as its own query so ngram_jaccard_prefix_near_dups
+    stays the exactness proof against the naive join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, prune_df="auto"
     )
 
 
@@ -4220,14 +4282,61 @@ def q_mode_event_type_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register_pipeline("pack_chunks_512")  # rows-only: greedy FFD packing is not SQL-expressible
+# Round-7 (verdict #5): the packing stage moves under the hash gate.
+# Next-fit-decreasing's whole state is one (bin, remaining) pair folded
+# over the ranked rows — cumsum-with-reset, i.e. a recursive CTE: the
+# anchor seeds each group's rank-1 row, every step consumes rank rn+1
+# and either joins the open bin or opens bin+1. Groups recurse in
+# lockstep (one iteration per rank), so recursion depth = max group
+# size. Oversize chunks (toks >= 512) carry remaining 0 — their own
+# closed bin, both engines.
+_PACK_ORACLE = """
+WITH RECURSIVE t AS (
+  SELECT doc_id, string_split(text, ' ') AS toks
+  FROM documents WHERE lang = 'en'
+), starts AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, len(toks) - 1, 25)) AS start
+  FROM t
+), chunks AS (
+  SELECT doc_id * 1000 + CAST(start / 25 AS BIGINT) AS cid,
+         CAST(len(toks[start + 1 : start + 50]) AS BIGINT) AS toks
+  FROM starts
+), ranked AS (
+  SELECT cid % 16 AS g, cid, toks,
+         row_number() OVER (PARTITION BY cid % 16
+                            ORDER BY toks DESC, cid) AS rn
+  FROM chunks
+), rec AS (
+  SELECT g, rn, cid, toks, CAST(0 AS BIGINT) AS bin,
+         CASE WHEN toks < 512 THEN 512 - toks ELSE CAST(0 AS BIGINT) END AS rem
+  FROM ranked WHERE rn = 1
+  UNION ALL
+  SELECT x.g, x.rn, x.cid, x.toks,
+         CASE WHEN x.toks < 512 AND x.toks <= r.rem
+              THEN r.bin ELSE r.bin + 1 END,
+         CASE WHEN x.toks < 512 AND x.toks <= r.rem THEN r.rem - x.toks
+              WHEN x.toks < 512 THEN 512 - x.toks
+              ELSE CAST(0 AS BIGINT) END
+  FROM rec r JOIN ranked x ON x.g = r.g AND x.rn = r.rn + 1
+)
+SELECT g AS pack_group, bin AS example_id,
+       count(*) AS n_chunks,
+       CAST(sum(toks) AS BIGINT) AS total_tokens,
+       list_sort(list(cid)) AS chunk_ids
+FROM rec GROUP BY g, bin
+"""
+
+
+@register("pack_chunks_512", _PACK_ORACLE)
 def q_pack_chunks_512(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Sequence packing (LLM-pipeline stage after chunking/dedup):
-     50-token chunks packed into 512-token training examples with
-    deterministic sharded first-fit-decreasing (operators/packing.py).
-    Rows-only at the driver (bin packing has no ANSI-SQL twin);
-    tests/test_packing.py carries the exactly-once / budget / FFD
-    efficiency-bound proofs."""
+    50-token chunks packed into 512-token training examples with
+    deterministic sharded next-fit-decreasing (operators/packing.py
+    policy='nextfit', group='mod' — both chosen for exact ANSI-SQL
+    replayability, so the whole tokenize → chunk → pack step sits
+    under the recursive-CTE hash gate; the better-fill FFD policy
+    stays available and property-tested in tests/test_packing.py)."""
     from firmable_aus_etl_spark.operators.packing import pack_chunks
 
     chunks = QUERIES["doc_chunks_overlap"](spark, sf_dir).select(
@@ -4235,7 +4344,8 @@ def q_pack_chunks_512(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("chunk_len").alias("n_tokens"),
     )
     packed = pack_chunks(
-        chunks, id_col="chunk_id", tokens_col="n_tokens", budget=512, groups=16
+        chunks, id_col="chunk_id", tokens_col="n_tokens", budget=512,
+        groups=16, policy="nextfit", group_mode="mod",
     )
     return packed.select(
         "pack_group",

@@ -501,3 +501,71 @@ def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
         for r in G.pagerank(e2, iters=3, checkpoint_dir=str(tmp_path / "ck2")).collect()
     )
     assert pr_base == pr_dur
+
+
+def test_auto_prune_df_rule_and_active_pruning(spark):
+    """Round-7 verdict #3: prune_df='auto' derives max(8, isqrt(n))
+    from corpus stats and drops df > bound shingles from the SETS.
+    On a boilerplate corpus the rule ACTIVATES: boilerplate-only
+    'pairs' vanish, while a true near-dup pair that shares its own
+    rare shingles survives with a (possibly higher) content-only
+    Jaccard."""
+    import math
+
+    assert dedup.auto_prune_df(0) == 8
+    assert dedup.auto_prune_df(63) == 8
+    assert dedup.auto_prune_df(65) == 8
+    assert dedup.auto_prune_df(100) == 10
+    assert dedup.auto_prune_df(10**6) == 1000
+    # SQL replay identity: floor(sqrt(n)+1e-9) == isqrt(n)
+    for n in (1, 2, 63, 64, 65, 99, 100, 101, 10**6, 10**6 + 1):
+        assert int(math.floor(math.sqrt(float(n)) + 1e-9)) == math.isqrt(n)
+
+    boiler = "standard legal disclaimer text shared verbatim across every doc"
+    rows = [
+        (i, f"{boiler} body only here {i}")
+        for i in range(150)  # boilerplate df=152 >> bound=max(8,isqrt(152))=12
+    ]
+    rows.append((900, "unique payload shared exactly here one two three four five six"))
+    rows.append((901, "unique payload shared exactly here one two three four five sev"))
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+
+    # Unpruned at threshold 0.5: boilerplate dominates every doc, so
+    # the 150 template docs are pairwise 'near-dups' of each other.
+    exact = dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", threshold=0.5
+    )
+    n_exact = exact.count()
+    assert n_exact > 1000  # the boilerplate pair explosion
+
+    pruned = dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", threshold=0.5, prune_df="auto"
+    ).collect()
+    got = {(r.a_id, r.b_id) for r in pruned}
+    assert (900, 901) in got          # content near-dup survives
+    assert all(a >= 900 for a, _ in got)  # boilerplate-only pairs gone
+
+
+def test_df_pruned_shingles_literal_and_join_paths_agree(spark):
+    """The <=20k literal array_except path and the distributed
+    anti-join fallback must produce identical pruned sets."""
+    rows = [(i, f"common words everywhere always {i} rare{i} token{i}") for i in range(40)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    frame = dedup.shingle_frame(docs, "doc_id", "text", shingle_n=3).select(
+        "__id",
+        F.array_sort(F.transform(F.col("__sh"), lambda s: F.xxhash64(s))).alias("__h"),
+    )
+    lit_path = dedup.df_pruned_shingles(frame, 5)
+    old = dedup._MAX_HOT_LITERAL
+    try:
+        dedup._MAX_HOT_LITERAL = 0  # force the join fallback
+        join_path = dedup.df_pruned_shingles(frame, 5)
+    finally:
+        dedup._MAX_HOT_LITERAL = old
+    a = {(r["__id"], tuple(r["__h"])) for r in lit_path.collect()}
+    b = {(r["__id"], tuple(r["__h"])) for r in join_path.collect()}
+    # join fallback drops docs whose every shingle was pruned; the
+    # literal path keeps them as empty arrays — normalize those away
+    a = {(i, h) for i, h in a if h}
+    b = {(i, h) for i, h in b if h}
+    assert a == b
