@@ -25,9 +25,17 @@ Scale honesty, stated up front:
   partitions are carried forward by reference... here, by rewrite; a
   real lakehouse carries them by manifest). The MERGE JOIN itself is
   the same one full-outer hash shuffle either way.
-- single-writer: the pointer swap is last-writer-wins; there is no
-  optimistic-concurrency CAS loop. Document the assumption, don't
-  pretend otherwise.
+- concurrent writers (round-7): commits are optimistic. A writer
+  CLAIMS its target version up front via an exclusive-create claim
+  file (`_claim.<n>`, O_CREAT|O_EXCL — the filesystem CAS primitive),
+  so two writers racing the same base version cannot both commit: the
+  loser sees SnapshotConflict and retries its whole read-merge-write
+  cycle against the new snapshot (``max_retries``), or raises. The
+  invariant — the pointer only ever advances to a version whose claim
+  the committer holds — is what makes last-writer-wins impossible: a
+  lost merge would require two holders of one claim. Crashed writers
+  leave a stale claim + orphan dir; vacuum_snapshots reclaims both
+  under the same mtime grace period.
 """
 
 from __future__ import annotations
@@ -43,6 +51,72 @@ from pyspark.sql import functions as F
 from firmable_aus_etl_spark.operators.joins import merge_upsert
 
 _POINTER = "_LATEST"
+
+
+class SnapshotConflict(RuntimeError):
+    """A concurrent writer claimed the target snapshot version first.
+
+    Raised after ``max_retries`` read-merge-write attempts; each retry
+    re-reads the (new) latest snapshot, so a caught conflict always
+    means real sustained contention, never a lost merge."""
+
+
+def _claim_path(root: str, version: int) -> str:
+    return os.path.join(root, f"_claim.{version}")
+
+
+def _claim_version(root: str, version: int) -> None:
+    """Exclusively claim a snapshot version (the commit CAS): O_EXCL
+    create fails for every process but one. Claiming BEFORE reading
+    the base snapshot pins it — the pointer cannot advance past the
+    version this writer holds."""
+    try:
+        os.close(
+            os.open(_claim_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        )
+    except FileExistsError:
+        raise SnapshotConflict(
+            f"snapshot version {version} of {root} is claimed by a "
+            f"concurrent (or crashed) writer; retry against the new "
+            f"snapshot or vacuum stale claims"
+        ) from None
+
+
+def _release_claim(root: str, version: int) -> None:
+    try:
+        os.unlink(_claim_path(root, version))
+    except OSError:
+        pass  # vacuum reclaims leftovers
+
+
+def _claim_next(root: str) -> tuple[int | None, int]:
+    """Claim the next snapshot version and PIN the current one:
+    returns (cur, nxt) with claim ``nxt`` held and the pointer
+    verified still at ``cur`` AFTER the claim. The re-verify is
+    essential — a committed writer releases its claim, so claiming
+    nxt can succeed when nxt is already committed; without the check
+    the new writer would overwrite an immutable committed dir."""
+    cur = latest_version(root)
+    nxt = 0 if cur is None else cur + 1
+    _claim_version(root, nxt)
+    if latest_version(root) != cur:
+        _release_claim(root, nxt)
+        raise SnapshotConflict(
+            f"snapshot pointer of {root} advanced past {cur} during claim"
+        )
+    return cur, nxt
+
+
+def _conflict_backoff(attempt: int) -> None:
+    """Jittered exponential sleep between optimistic-commit retries:
+    the competing writer holds its claim for the DURATION of its merge
+    + write (seconds to minutes), so linear millisecond retries would
+    exhaust before the winner commits. 0.1s * 2^attempt capped at 5s —
+    ten attempts ride out ~20s of contention."""
+    import random
+    import time
+
+    time.sleep(min(0.1 * (2**attempt), 5.0) + random.uniform(0, 0.05))
 
 
 def _snapshot_dir(root: str, version: int) -> str:
@@ -106,21 +180,39 @@ def _commit_pointer(root: str, version: int) -> None:
 
 
 def write_snapshot(
-    df: DataFrame, root: str, *, partition_by: Sequence[str] | None = None
+    df: DataFrame, root: str, *, partition_by: Sequence[str] | None = None,
+    max_retries: int = 3,
 ) -> int:
     """Create the table (or replace it wholesale) as the next
     snapshot, optionally hive-partitioned (the layout partition-level
-    MERGE requires). Returns the committed version."""
+    MERGE requires). Returns the committed version.
+
+    Commit protocol (round-7): claim the target version exclusively,
+    write the immutable dir + schema, swing the pointer, release the
+    claim. A concurrent writer racing the same base version loses the
+    claim and retries against the advanced pointer (whole-table
+    replace has no merge to recompute, so retrying here is safe);
+    SnapshotConflict after ``max_retries``."""
     os.makedirs(root, exist_ok=True)
-    cur = latest_version(root)
-    nxt = 0 if cur is None else cur + 1
-    w = df.write.mode("overwrite")
-    if partition_by:
-        w = w.partitionBy(*partition_by)
-    w.parquet(_snapshot_dir(root, nxt))
-    _write_schema(root, nxt, df)
-    _commit_pointer(root, nxt)
-    return nxt
+    for attempt in range(max(1, max_retries)):
+        try:
+            cur, nxt = _claim_next(root)
+        except SnapshotConflict:
+            if attempt + 1 >= max(1, max_retries):
+                raise
+            _conflict_backoff(attempt)
+            continue
+        try:
+            w = df.write.mode("overwrite")
+            if partition_by:
+                w = w.partitionBy(*partition_by)
+            w.parquet(_snapshot_dir(root, nxt))
+            _write_schema(root, nxt, df)
+            _commit_pointer(root, nxt)
+            return nxt
+        finally:
+            _release_claim(root, nxt)
+    raise AssertionError("unreachable")  # pragma: no cover
 
 
 def _write_schema(root: str, version: int, df: DataFrame) -> None:
@@ -159,6 +251,7 @@ def merge_into_partitioned_snapshot(
     tracked: Sequence[str] | None = None,
     prefer_update_when: Column | None = None,
     delete_where: Column | None = None,
+    max_retries: int = 3,
 ) -> int:
     """Partition-level MERGE — the fact-table path the whole-table
     merge documents as its scale limit: only partitions PRESENT IN THE
@@ -198,12 +291,12 @@ def merge_into_partitioned_snapshot(
     over untouched partitions would reintroduce the full-table scan
     this path exists to avoid). For a table-wide delete use
     merge_into_snapshot, or include the predicate's partition values
-    in the updates."""
-    import shutil
+    in the updates.
 
-    cur = latest_version(root)
-    if cur is None:
-        return write_snapshot(updates, root, partition_by=[partition_col])
+    Concurrency: same optimistic claim protocol as merge_into_snapshot
+    — claim the target version before reading the base snapshot, retry
+    the whole cycle on conflict, SnapshotConflict after
+    ``max_retries``."""
     # NULL partition values would silently bypass the affected-partition
     # machinery (the semi-join and the collected list both drop NULLs):
     # the merged row lands in the default-partition dir while the old
@@ -217,6 +310,51 @@ def merge_into_partitioned_snapshot(
             f"non-null partition value per row (use merge_into_snapshot "
             f"for tables with nullable partition keys)"
         )
+    os.makedirs(root, exist_ok=True)
+    for attempt in range(max(1, max_retries)):
+        try:
+            cur, nxt = _claim_next(root)
+        except SnapshotConflict:
+            if attempt + 1 >= max(1, max_retries):
+                raise
+            _conflict_backoff(attempt)
+            continue
+        try:
+            if cur is None:
+                # first write creates the table under the held claim
+                # (write_snapshot would try to claim version 0 again)
+                w = updates.write.mode("overwrite").partitionBy(partition_col)
+                w.parquet(_snapshot_dir(root, nxt))
+                _write_schema(root, nxt, updates)
+                _commit_pointer(root, nxt)
+                return nxt
+            return _merge_partitioned_claimed(
+                spark, root, updates, keys, partition_col, cur, nxt,
+                tracked=tracked, prefer_update_when=prefer_update_when,
+                delete_where=delete_where,
+            )
+        finally:
+            _release_claim(root, nxt)
+    raise AssertionError("unreachable")  # pragma: no cover
+
+
+def _merge_partitioned_claimed(
+    spark: SparkSession,
+    root: str,
+    updates: DataFrame,
+    keys: Sequence[str],
+    partition_col: str,
+    cur: int,
+    nxt: int,
+    *,
+    tracked: Sequence[str] | None,
+    prefer_update_when: Column | None,
+    delete_where: Column | None,
+) -> int:
+    """Body of the partitioned merge with claim ``nxt`` held and base
+    snapshot ``cur`` pinned (see merge_into_partitioned_snapshot)."""
+    import shutil
+
     affected_frames = [updates.select(partition_col)]
     src_dir = _snapshot_dir(root, cur)
     # via read_snapshot, NOT a raw parquet read: the persisted schema
@@ -257,7 +395,6 @@ def merge_into_partitioned_snapshot(
         merged = merged.filter(~delete_where)
     merged = merged.localCheckpoint()
 
-    nxt = cur + 1
     dst_dir = _snapshot_dir(root, nxt)
     if os.path.exists(dst_dir):
         shutil.rmtree(dst_dir)  # orphan of a crashed writer
@@ -298,6 +435,7 @@ def merge_into_snapshot(
     tracked: Sequence[str] | None = None,
     prefer_update_when: Column | None = None,
     delete_where: Column | None = None,
+    max_retries: int = 3,
 ) -> int:
     """MERGE INTO the snapshot table: full-outer merge of the current
     snapshot with ``updates`` (merge_upsert semantics — update iff a
@@ -310,27 +448,50 @@ def merge_into_snapshot(
 
     Returns the committed version. First merge on an empty table is a
     plain create from ``updates``.
+
+    Concurrency (round-7): the whole read-merge-write cycle runs under
+    an optimistic claim on the target version, taken BEFORE reading
+    the base snapshot — so the merge provably computed against the
+    snapshot it replaces. A conflicting writer forces a full retry
+    (merge recomputed against the NEW snapshot — never committed
+    stale); SnapshotConflict after ``max_retries``.
     """
-    cur = latest_version(root)
-    if cur is None:
-        out = updates
-    else:
-        existing = read_snapshot(spark, root, version=cur)
-        out = merge_upsert(
-            existing,
-            updates,
-            keys,
-            tracked=tracked,
-            prefer_update_when=prefer_update_when,
-        )
-    if delete_where is not None:
-        out = out.filter(~delete_where)
-    # materialize BEFORE the overwrite: `out` reads snapshot `cur`,
-    # which is immutable (we write `cur+1`), so no read/write overlap —
-    # but localCheckpoint also decouples from the pointer so a slow
-    # write can't observe a concurrent pointer swap mid-plan.
-    out = out.localCheckpoint()
-    return write_snapshot(out, root)
+    os.makedirs(root, exist_ok=True)
+    for attempt in range(max(1, max_retries)):
+        try:
+            cur, nxt = _claim_next(root)
+        except SnapshotConflict:
+            if attempt + 1 >= max(1, max_retries):
+                raise
+            _conflict_backoff(attempt)
+            continue
+        try:
+            if cur is None:
+                out = updates
+            else:
+                existing = read_snapshot(spark, root, version=cur)
+                out = merge_upsert(
+                    existing,
+                    updates,
+                    keys,
+                    tracked=tracked,
+                    prefer_update_when=prefer_update_when,
+                )
+            if delete_where is not None:
+                out = out.filter(~delete_where)
+            # materialize BEFORE the overwrite: `out` reads snapshot
+            # `cur`, which is immutable (we write `cur+1`), so no
+            # read/write overlap — and localCheckpoint decouples from
+            # the pointer so a slow write can't observe a concurrent
+            # pointer swap mid-plan.
+            out = out.localCheckpoint()
+            out.write.mode("overwrite").parquet(_snapshot_dir(root, nxt))
+            _write_schema(root, nxt, out)
+            _commit_pointer(root, nxt)
+            return nxt
+        finally:
+            _release_claim(root, nxt)
+    raise AssertionError("unreachable")  # pragma: no cover
 
 
 def vacuum_snapshots(
@@ -385,6 +546,29 @@ def vacuum_snapshots(
         sp = _schema_path(root, v)
         if os.path.exists(sp):
             os.unlink(sp)
+    # stale commit claims (round-7): a claim at or below the pointer is
+    # a leftover of a COMMITTED write (release failed) — reclaim now; a
+    # claim past the pointer belongs to a crashed writer once it is
+    # older than the grace period (a live writer would be touching its
+    # snapshot dir, but the claim file itself is created once, so age
+    # it on its own mtime).
+    for name in os.listdir(root):
+        if not name.startswith("_claim."):
+            continue
+        try:
+            cv = int(name.split(".", 1)[1])
+        except ValueError:
+            continue
+        p = os.path.join(root, name)
+        try:
+            stale = cv <= cur or now - os.path.getmtime(p) >= orphan_grace_sec
+        except OSError:
+            continue  # released concurrently
+        if stale:
+            try:
+                os.unlink(p)
+            except OSError:
+                pass
     return doomed
 
 
