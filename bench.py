@@ -74,6 +74,8 @@ HEADLINE = [
     "doc_bigram_perplexity",      # corpus bigram-LM cross-entropy scoring
     "lsh_multiprobe_ann_top3",    # query-directed multi-probe ANN (r4)
     "reference_pipeline_matches",  # the reference's whole DAG, end to end (r6)
+    "similarity_join_salted_top1",  # hot-block grid-salted fuzzy join (r7)
+    "ngram_jaccard_pruned_near_dups",  # auto df-pruned exact Jaccard (r7)
 ]
 
 # Iterations of the sentinel loop; the reference time was calibrated

@@ -35,6 +35,32 @@ SCALES = [
     ("syn0.1", "/tmp/scaledata/sf0.1", 0.1),
     ("syn0.3", "/tmp/scaledata/sf0.3", 0.3),
     ("syn1", "/tmp/scaledata/sf1", 1.0),
+    ("syn3", "/tmp/scaledata/sf3", 3.0),
+]
+
+# syn3 (round-7): 1.5-decade fits for the designated scale paths only —
+# the full set at 3x data would spend most of its wall time re-proving
+# already-linear scans
+SYN3_SET = {
+    "near_dup_clusters",
+    "minhash_dedup_clusters",
+    "reference_pipeline_matches",
+    "lsh_multiprobe_ann_top3",
+    "ngram_jaccard_prefix_near_dups",
+    "tfidf_cosine_top1",
+}
+
+# Zipf/boilerplate corpus (gen_zipfdocs.py): the df ∝ n regime the
+# auto_prune_df rule exists for. Documents-only dirs; only the
+# documents-reading queries run here.
+ZIPF_SCALES = [
+    ("zipf0.1", "/tmp/zipfdocs/sf0.1", 0.1),
+    ("zipf0.3", "/tmp/zipfdocs/sf0.3", 0.3),
+    ("zipf1", "/tmp/zipfdocs/sf1", 1.0),
+]
+ZIPF_SET = [
+    "ngram_jaccard_pruned_near_dups",
+    "ngram_jaccard_prefix_near_dups",
 ]
 
 QUERY_SET = [
@@ -61,6 +87,11 @@ QUERY_SET = [
     "copurchase_graph_summary",
     # the whole reference DAG (round-6)
     "reference_pipeline_matches",
+    # round-7 additions: the designated dedup DAG, the auto-pruned
+    # exact join, the hot-block-salted fuzzy join
+    "minhash_dedup_clusters",
+    "ngram_jaccard_pruned_near_dups",
+    "similarity_join_salted_top1",
 ]
 
 
@@ -74,6 +105,8 @@ def main() -> None:
             print(f"SKIP {label}: {sf_dir} missing", file=sys.stderr)
             continue
         for name in QUERY_SET:
+            if label == "syn3" and name not in SYN3_SET:
+                continue
             best = math.inf
             for _ in range(runs_n):
                 t0 = time.time()
@@ -82,20 +115,42 @@ def main() -> None:
             results.setdefault(name, {})[label] = round(best, 3)
             print(f"  {label:8s} {name:32s} {best:7.3f}s", file=sys.stderr)
 
-    # least-squares slope of log(t) on log(sf) over the synthetic points
-    pts = [(lbl, sf) for lbl, _d, sf in SCALES if lbl.startswith("syn")]
-    out = {}
-    for name, r in results.items():
-        xs = [math.log(sf) for lbl, sf in pts if lbl in r]
-        ys = [math.log(max(r[lbl], 1e-3)) for lbl, _sf in pts if lbl in r]
-        n = len(xs)
-        alpha = None
-        if n >= 2:
-            mx, my = sum(xs) / n, sum(ys) / n
-            denom = sum((x - mx) ** 2 for x in xs)
-            alpha = round(sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3)
-        out[name] = {**r, "alpha": alpha}
-    print(json.dumps({"runs": runs_n, "results": out}))
+    zipf_results: dict[str, dict[str, float]] = {}
+    for label, sf_dir, _sf in ZIPF_SCALES:
+        if not os.path.isdir(sf_dir):
+            print(f"SKIP {label}: {sf_dir} missing", file=sys.stderr)
+            continue
+        for name in ZIPF_SET:
+            best = math.inf
+            for _ in range(runs_n):
+                t0 = time.time()
+                ALL[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+                best = min(best, time.time() - t0)
+            zipf_results.setdefault(name, {})[label] = round(best, 3)
+            print(f"  {label:8s} {name:32s} {best:7.3f}s", file=sys.stderr)
+
+    def fit(scales, prefix, res):
+        pts = [(lbl, sf) for lbl, _d, sf in scales if lbl.startswith(prefix)]
+        out = {}
+        for name, r in res.items():
+            xs = [math.log(sf) for lbl, sf in pts if lbl in r]
+            ys = [math.log(max(r[lbl], 1e-3)) for lbl, _sf in pts if lbl in r]
+            n = len(xs)
+            alpha = None
+            if n >= 2:
+                mx, my = sum(xs) / n, sum(ys) / n
+                denom = sum((x - mx) ** 2 for x in xs)
+                alpha = round(
+                    sum((x - mx) * (y - my) for x, y in zip(xs, ys)) / denom, 3
+                )
+            out[name] = {**r, "alpha": alpha}
+        return out
+
+    print(json.dumps({
+        "runs": runs_n,
+        "results": fit(SCALES, "syn", results),
+        "zipf": fit(ZIPF_SCALES, "zipf", zipf_results),
+    }))
 
 
 if __name__ == "__main__":
