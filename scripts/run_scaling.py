@@ -62,6 +62,11 @@ ZIPF_SET = [
     "ngram_jaccard_pruned_near_dups",
     "ngram_jaccard_prefix_near_dups",
 ]
+# the UNPRUNED exact join is the quadratic contrast case on this
+# corpus (boilerplate df = 0.3n -> Sum C(df,2) candidate fan-out);
+# measured: 7.5 s at zipf0.1, KILLED after 6+ min at zipf0.3 (vs
+# 3.5 s pruned) — cap it at the smallest scale and disclose
+ZIPF_EXACT_MAX_SF = 0.15
 
 QUERY_SET = [
     # scan/join/window/merge core
@@ -121,6 +126,11 @@ def main() -> None:
             print(f"SKIP {label}: {sf_dir} missing", file=sys.stderr)
             continue
         for name in ZIPF_SET:
+            if (
+                name == "ngram_jaccard_prefix_near_dups"
+                and _sf > ZIPF_EXACT_MAX_SF
+            ):
+                continue
             best = math.inf
             for _ in range(runs_n):
                 t0 = time.time()
