@@ -157,13 +157,25 @@ def _salted_block_join(
     shared."""
     if block_cap < 1:
         raise ValueError(f"block_cap must be >= 1, got {block_cap}")
+    from firmable_aus_etl_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    # the scorer downstream is heavy per-row work; a single-file input
+    # arrives as ONE partition, and if Spark then broadcasts the other
+    # side the whole hot block's pair scoring runs on one core no
+    # matter how the tiles spread the keys (measured: 150k x 10k
+    # degenerate block ground a single task for 10+ minutes). The
+    # conditional repartition is a no-op on already-parallel scans.
     l = (
-        left.withColumn("__prep", prepare(F.col(left_key)))
+        ensure_parallelism(left, left_key)
+        .withColumn("__prep", prepare(F.col(left_key)))
         .withColumn("__blk", block(F.col(left_key)))
         .filter(F.col("__blk").isNotNull())
     )
     r = (
-        right.withColumn("__prep", prepare(F.col(right_key)))
+        ensure_parallelism(right, right_key)
+        .withColumn("__prep", prepare(F.col(right_key)))
         .withColumn("__blk", block(F.col(right_key)))
         .filter(F.col("__blk").isNotNull())
     )

@@ -92,11 +92,14 @@ QUERY_SET = [
     "copurchase_graph_summary",
     # the whole reference DAG (round-6)
     "reference_pipeline_matches",
-    # round-7 additions: the designated dedup DAG, the auto-pruned
-    # exact join, the hot-block-salted fuzzy join
+    # round-7 additions: the designated dedup DAG and the auto-pruned
+    # exact join. similarity_join_salted_top1 is deliberately NOT
+    # fitted: its fixture scores EVERY pair of one degenerate block
+    # (total work O(n_l * n_r) by design — alpha ~2 is the fixture,
+    # not the plan), and its scale dimension is the per-task candidate
+    # bound, measured in SKEW.md.
     "minhash_dedup_clusters",
     "ngram_jaccard_pruned_near_dups",
-    "similarity_join_salted_top1",
 ]
 
 
