@@ -1016,10 +1016,26 @@ def connected_components(
 
     # eager=False: the first consumer (round 1's neighbor join / star's
     # first edge_sig) materializes the blocks inside its own job — an
-    # eager checkpoint would be one extra blocking job for no reuse gain
+    # eager checkpoint would be one extra blocking job for no reuse gain.
+    # Materialize the DIRECTED edges, then build the symmetric view from
+    # the cached frame (round-7): a union whose two branches both hang
+    # off the raw edge plan executes the whole upstream pair pipeline
+    # TWICE inside the materializing job — exchange reuse does not
+    # deduplicate the differently-projected branches (measured at syn3:
+    # prefix-Jaccard edges cost 138 s standalone, the old clusters
+    # query booked 293 s ≈ 2 x edges + rounds).
+    # (two-layer materialization: und itself is ALSO materialized so
+    # the per-round neighbor joins read one cached frame instead of
+    # re-unioning two cache scans per propagate step — measured
+    # 1.7 -> 2.5 s at sf0.1 without it)
+    directed = iter_materialize(
+        edges.select(F.col(src).alias("x"), F.col(dst).alias("y")),
+        checkpoint_dir,
+        eager=False,
+    )
     und = iter_materialize(
-        edges.select(F.col(src).alias("x"), F.col(dst).alias("y")).union(
-            edges.select(F.col(dst).alias("x"), F.col(src).alias("y"))
+        directed.union(
+            directed.select(F.col("y").alias("x"), F.col("x").alias("y"))
         ),
         checkpoint_dir,
         eager=False,
