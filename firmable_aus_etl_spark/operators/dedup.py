@@ -1045,10 +1045,18 @@ def connected_components(
     else:
         node_frame = nodes.select(F.col(node_id)).distinct()
     if algorithm == "star":
-        return _connected_components_star(
+        out = _connected_components_star(
             und, node_frame, node_id=node_id, max_iter=max_iter, stats=stats,
             checkpoint_dir=checkpoint_dir,
         )
+        # the star loop ran its convergence actions, so every
+        # checkpoint below is materialized — the edge caches are now
+        # pure speedup for recompute that will never happen (the
+        # LogicalRDD leaves read checkpoint files). Release them so a
+        # long-lived session ends the call with zero residual cache.
+        iter_unpersist(und, checkpoint_dir)
+        iter_unpersist(directed, checkpoint_dir)
+        return out
     if algorithm != "label":
         raise ValueError(f"unknown algorithm: {algorithm!r}")
     # Iterate over EDGE-PARTICIPATING nodes only: a node with no edges
@@ -1118,6 +1126,13 @@ def connected_components(
         # upper bound: convergence may have landed on the first of the
         # two steps in the final turn
         stats["rounds"] = rounds
+    # every frame below is checkpointed by the loop's count() actions;
+    # the caches only serve recomputation that can no longer happen, so
+    # the reliable path exits with zero residual cache entries (tested:
+    # test_reliable_checkpoint_cache_stays_bounded).
+    iter_unpersist(prev_mat, checkpoint_dir)
+    iter_unpersist(und, checkpoint_dir)
+    iter_unpersist(directed, checkpoint_dir)
     singletons = node_frame.join(labels.select(node_id), node_id, "left_anti")
     return labels.unionByName(
         singletons.select(node_id, F.col(node_id).alias("cluster"))
@@ -1225,6 +1240,9 @@ def _connected_components_star(
         prev_frame = cur = nxt
     if stats is not None:
         stats["rounds"] = rounds
+    # cur's checkpoint is materialized (edge_sig ran on it); release
+    # the final cache so the reliable path exits cache-clean
+    iter_unpersist(cur, checkpoint_dir)
     # fixpoint edges are (node, root) stars; x > y always holds here
     star_labels = cur.select(
         F.col("x").alias(node_id), F.col("y").alias("cluster")

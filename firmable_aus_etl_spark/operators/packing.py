@@ -101,8 +101,12 @@ def pack_chunks(
             ["toks", "cid"], ascending=[False, True]
         ).itertuples(index=False)
         # (remaining_capacity, exact_token_sum, ids); oversize
-        # singletons carry remaining = -1 so first-fit skips them and
-        # next-fit treats them as closed (remaining 0)
+        # singletons carry remaining = 0 — closed to every toks >= 1
+        # chunk, and IDENTICAL to the recursive-CTE twin's rem=0, so a
+        # degenerate toks == 0 chunk lands in the same bin in both
+        # engines (round-7 ADVICE #4: remaining=-1 here would open a
+        # new bin for a zero-token chunk that the SQL twin packs into
+        # the oversize bin — a latent hash-gate divergence)
         bins: list[tuple[int, int, list[int]]] = []
         for row in ordered:
             toks, cid = int(row.toks), int(row.cid)
@@ -120,7 +124,7 @@ def pack_chunks(
                         placed = True
                         break
             if not placed:
-                bins.append((budget - toks if toks < budget else -1, toks, [cid]))
+                bins.append((budget - toks if toks < budget else 0, toks, [cid]))
         return pd.DataFrame(
             {
                 "pack_group": [g] * len(bins),

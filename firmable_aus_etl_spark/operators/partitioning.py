@@ -57,7 +57,19 @@ def iter_materialize(
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() != checkpoint_dir:
         sc.setCheckpointDir(checkpoint_dir)
-    return df.persist(StorageLevel.MEMORY_AND_DISK).checkpoint(eager=eager)
+    cached = df.persist(StorageLevel.MEMORY_AND_DISK)
+    out = cached.checkpoint(eager=eager)
+    # checkpoint() returns a NEW DataFrame whose plan is a LogicalRDD
+    # leaf — unpersist() resolves cache entries by logical-plan match,
+    # so calling it on `out` would never release `cached` (the
+    # PRE-checkpoint plan that actually holds the MEMORY_AND_DISK
+    # blocks). Stash the persisted handle on the returned frame so
+    # iter_unpersist can release the real cache entry (round-7 ADVICE:
+    # without this, caches accumulated one per round across the whole
+    # CC/star loop — the exact O(rounds) footprint this API exists to
+    # avoid).
+    out._iter_cached = cached
+    return out
 
 
 def iter_unpersist(df: DataFrame | None, checkpoint_dir: str | None) -> None:
@@ -67,9 +79,14 @@ def iter_unpersist(df: DataFrame | None, checkpoint_dir: str | None) -> None:
     checkpoint files, so dropping the cache is safe. A localCheckpoint
     frame's blocks ARE its only copy — unpersisting one would destroy
     the data — so ``checkpoint_dir=None`` is a no-op by design.
+
+    Unpersists the PRE-checkpoint cached handle that iter_materialize
+    stashed as ``_iter_cached`` — the checkpointed frame itself was
+    never cached (its plan is a LogicalRDD leaf), so unpersisting it
+    directly would be a no-op.
     """
     if df is not None and checkpoint_dir is not None:
-        df.unpersist()
+        getattr(df, "_iter_cached", df).unpersist()
 
 
 def salted_join(

@@ -65,28 +65,72 @@ def _claim_path(root: str, version: int) -> str:
     return os.path.join(root, f"_claim.{version}")
 
 
-def _claim_version(root: str, version: int) -> None:
-    """Exclusively claim a snapshot version (the commit CAS): O_EXCL
-    create fails for every process but one. Claiming BEFORE reading
-    the base snapshot pins it — the pointer cannot advance past the
-    version this writer holds."""
+def _posix_claim(root: str, version: int) -> bool:
+    """Default claim backend: O_CREAT|O_EXCL exclusive create — the
+    POSIX filesystem CAS. Returns False when another writer holds the
+    claim."""
     try:
         os.close(
             os.open(_claim_path(root, version), os.O_CREAT | os.O_EXCL | os.O_WRONLY)
         )
+        return True
     except FileExistsError:
-        raise SnapshotConflict(
-            f"snapshot version {version} of {root} is claimed by a "
-            f"concurrent (or crashed) writer; retry against the new "
-            f"snapshot or vacuum stale claims"
-        ) from None
+        return False
 
 
-def _release_claim(root: str, version: int) -> None:
+def _posix_release(root: str, version: int) -> None:
     try:
         os.unlink(_claim_path(root, version))
     except OSError:
         pass  # vacuum reclaims leftovers
+
+
+# Pluggable claim backend (round-7 verdict Next #6). The commit
+# protocol needs exactly one primitive: an atomic create-if-absent
+# ("CAS on existence") of the claim object, plus its inverse. The
+# default is the POSIX pair above — correct on local/NFS-v4/HDFS
+# filesystems, where same-directory O_EXCL create and unlink are
+# atomic. Object stores, where a 100 TB deployment's table root would
+# actually live, don't expose O_EXCL but all expose an equivalent
+# conditional write — swap the backend, keep the protocol:
+#   - S3:  conditional PUT with `If-None-Match: *` (natively supported
+#     since 2024-08; returns 412 when the key exists)
+#   - GCS: upload with precondition `ifGenerationMatch=0`
+#   - ABFS/Azure Blob: create with lease, or `If-None-Match: *`
+# Each claim_fn(root, version) -> bool must be atomic w.r.t. every
+# concurrent caller and return False (never raise) on a lost race;
+# release_fn(root, version) deletes the claim object, swallowing
+# not-found. set_claim_backend is test-injectable — the race tests
+# drive a simulated always-lose object-store backend through it.
+_claim_backend: tuple = (_posix_claim, _posix_release)
+
+
+def set_claim_backend(claim_fn=None, release_fn=None) -> tuple:
+    """Install a claim backend (see the comment above for the per-store
+    production primitive). Returns the PREVIOUS (claim_fn, release_fn)
+    pair so callers can restore it; None arguments reset to the POSIX
+    default."""
+    global _claim_backend
+    prev = _claim_backend
+    _claim_backend = (claim_fn or _posix_claim, release_fn or _posix_release)
+    return prev
+
+
+def _claim_version(root: str, version: int) -> None:
+    """Exclusively claim a snapshot version (the commit CAS): the
+    backend's conditional create fails for every process but one.
+    Claiming BEFORE reading the base snapshot pins it — the pointer
+    cannot advance past the version this writer holds."""
+    if not _claim_backend[0](root, version):
+        raise SnapshotConflict(
+            f"snapshot version {version} of {root} is claimed by a "
+            f"concurrent (or crashed) writer; retry against the new "
+            f"snapshot or vacuum stale claims"
+        )
+
+
+def _release_claim(root: str, version: int) -> None:
+    _claim_backend[1](root, version)
 
 
 def _claim_next(root: str) -> tuple[int | None, int]:
@@ -511,35 +555,56 @@ def vacuum_snapshots(
     reclaimed only when its newest mtime (dir or any file inside) is
     older than ``orphan_grace_sec`` — far beyond any plausible write
     duration. Pass ``orphan_grace_sec=0`` only when no writer can be
-    live (e.g. single-process tests)."""
+    live (e.g. single-process tests).
+
+    Stale commit CLAIMS are reclaimed under the same liveness rule:
+    released immediately at or below the pointer (a committed write's
+    leftover), and past the pointer only when both the claim file and
+    the claimant's in-flight snapshot dir have been quiet for the grace
+    period — so a live merge that runs longer than the grace keeps its
+    claim (its writes keep the dir mtimes fresh). Runs even on a table
+    with nothing committed yet, so a writer that crashed during the
+    very first commit cannot wedge the table behind ``_claim.0``."""
     import shutil
     import time
 
-    cur = latest_version(root)
-    if cur is None:
+    if not os.path.isdir(root):
         return []
+    cur = latest_version(root)
+    # cur None = nothing committed yet. Claim/orphan reclamation must
+    # STILL run (round-7 ADVICE #2): a writer that crashed during the
+    # very first commit leaves _claim.0 on an empty table, and without
+    # reclamation every subsequent write raises SnapshotConflict
+    # forever. Treat the pointer as -1 so the age-gated passes apply.
+    base_v = -1 if cur is None else cur
     versions = sorted(
         int(d.split("=", 1)[1])
         for d in os.listdir(root)
         if d.startswith("snapshot=")
     )
-    doomed = [v for v in versions if v <= cur][:-keep] if keep > 0 else []
+    doomed = [v for v in versions if v <= base_v][:-keep] if keep > 0 else []
     now = time.time()
-    for v in versions:
-        if v <= cur:
-            continue
-        d = _snapshot_dir(root, v)
+
+    def newest_mtime(d: str) -> float | None:
+        """Newest mtime of a dir or anything inside it; None when the
+        dir vanished (a live writer is mutating it right now)."""
         try:
             newest = os.path.getmtime(d)
         except OSError:
-            continue  # dir vanished between listdir and stat: live writer
-        for base, _dirs, files in os.walk(d):
+            return None
+        for b, _dirs, files in os.walk(d):
             for fn in files:
                 try:
-                    newest = max(newest, os.path.getmtime(os.path.join(base, fn)))
+                    newest = max(newest, os.path.getmtime(os.path.join(b, fn)))
                 except OSError:
                     pass  # writer removed it mid-walk: definitely live
-        if now - newest >= orphan_grace_sec:
+        return newest
+
+    for v in versions:
+        if v <= base_v:
+            continue
+        newest = newest_mtime(_snapshot_dir(root, v))
+        if newest is not None and now - newest >= orphan_grace_sec:
             doomed.append(v)
     for v in doomed:
         shutil.rmtree(_snapshot_dir(root, v))
@@ -547,11 +612,16 @@ def vacuum_snapshots(
         if os.path.exists(sp):
             os.unlink(sp)
     # stale commit claims (round-7): a claim at or below the pointer is
-    # a leftover of a COMMITTED write (release failed) — reclaim now; a
-    # claim past the pointer belongs to a crashed writer once it is
-    # older than the grace period (a live writer would be touching its
-    # snapshot dir, but the claim file itself is created once, so age
-    # it on its own mtime).
+    # a leftover of a COMMITTED write (release failed) — reclaim now.
+    # A claim past the pointer is reclaimed only when BOTH the claim
+    # file AND the claimant's in-flight snapshot dir have gone quiet
+    # for the grace period (round-7 ADVICE #3: the claim file itself is
+    # created once and never touched, so aging it alone would strip a
+    # LIVE merge that simply runs longer than the grace — letting a
+    # second writer claim the same version and both commit, the exact
+    # lost update the protocol exists to prevent; the snapshot dir's
+    # mtimes advance for the whole write, so they are the liveness
+    # signal, same as orphan-dir reclamation).
     for name in os.listdir(root):
         if not name.startswith("_claim."):
             continue
@@ -561,9 +631,18 @@ def vacuum_snapshots(
             continue
         p = os.path.join(root, name)
         try:
-            stale = cv <= cur or now - os.path.getmtime(p) >= orphan_grace_sec
+            claim_age_ok = now - os.path.getmtime(p) >= orphan_grace_sec
         except OSError:
             continue  # released concurrently
+        if cv <= base_v:
+            stale = True
+        elif claim_age_ok:
+            d_newest = newest_mtime(_snapshot_dir(root, cv))
+            # dir absent -> the claimant never started writing (or its
+            # orphan dir was just reclaimed above): claim age decides.
+            stale = d_newest is None or now - d_newest >= orphan_grace_sec
+        else:
+            stale = False
         if stale:
             try:
                 os.unlink(p)

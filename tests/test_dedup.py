@@ -503,6 +503,38 @@ def test_connected_components_reliable_checkpoint_identical(spark, tmp_path):
     assert pr_base == pr_dur
 
 
+def test_reliable_checkpoint_cache_stays_bounded(spark, tmp_path):
+    """Round-7 ADVICE #1: checkpoint() returns a LogicalRDD-leaf frame,
+    so unpersisting IT never released the pre-checkpoint cache —
+    MEMORY_AND_DISK entries accumulated one per round. iter_materialize
+    now stashes the persisted handle and iter_unpersist releases it;
+    a multi-round CC run on the reliable path must end with the same
+    number of persistent RDDs it started with (zero residual)."""
+
+    def n_persistent():
+        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+
+    # chain graph: diameter 11 forces several label-propagation rounds
+    chain = [(i, i + 1) for i in range(12)]
+    edges = spark.createDataFrame(chain, "a_id long, b_id long")
+    for algo in ("label", "star"):
+        before = n_persistent()
+        stats: dict = {}
+        out = dedup.connected_components(
+            edges,
+            algorithm=algo,
+            stats=stats,
+            checkpoint_dir=str(tmp_path / f"ck_{algo}"),
+        )
+        assert out.count() == 13
+        assert stats["rounds"] >= 2, "fixture must force a multi-round run"
+        after = n_persistent()
+        assert after == before, (
+            f"{algo}: {after - before} cache entries leaked over "
+            f"{stats['rounds']} rounds (must be 0 — O(1) in rounds)"
+        )
+
+
 def test_auto_prune_df_rule_and_active_pruning(spark):
     """Round-7 verdict #3: prune_df='auto' derives max(8, isqrt(n))
     from corpus stats and drops df > bound shingles from the SETS.

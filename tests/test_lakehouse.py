@@ -311,6 +311,99 @@ def test_vacuum_grace_uses_newest_file_mtime(spark, root):
     assert 7 in removed and not os.path.exists(orphan)
 
 
+def test_vacuum_reclaims_claim_on_empty_table(spark, root):
+    """Round-7 ADVICE #2: a writer that crashes during the very FIRST
+    commit leaves _claim.0 on a table with nothing committed — vacuum
+    must still run its claim-cleanup pass (pointer treated as -1), or
+    every subsequent write conflicts forever."""
+    os.makedirs(root)
+    with open(os.path.join(root, "_claim.0"), "w"):
+        pass
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    with pytest.raises(LH.SnapshotConflict):
+        LH.write_snapshot(df, root, max_retries=2)
+    # fresh claim + no snapshot dir: default grace keeps it (could be a
+    # live writer about to start its dir)
+    LH.vacuum_snapshots(root)
+    assert os.path.exists(os.path.join(root, "_claim.0"))
+    # stale: reclaimed, table unwedged
+    LH.vacuum_snapshots(root, orphan_grace_sec=0)
+    assert not os.path.exists(os.path.join(root, "_claim.0"))
+    assert LH.write_snapshot(df, root) == 0
+
+
+def test_vacuum_keeps_claim_of_live_long_merge(spark, root):
+    """Round-7 ADVICE #3: the claim file is created once and never
+    touched, so aging it alone would strip a LIVE merge that runs
+    longer than the grace — a second writer could then claim the same
+    version and both commit. Claim reclamation past the pointer must
+    be gated on the in-flight snapshot dir's activity."""
+    import time
+
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    LH.write_snapshot(df, root)  # version 0 committed
+    # simulate a long-running merge of version 1: old claim, but the
+    # writer is actively writing its snapshot dir (fresh file mtimes)
+    claim = os.path.join(root, "_claim.1")
+    with open(claim, "w"):
+        pass
+    old = time.time() - 7200
+    os.utime(claim, (old, old))
+    inflight = os.path.join(root, "snapshot=1")
+    os.makedirs(inflight)
+    with open(os.path.join(inflight, "part.parquet"), "w") as fh:
+        fh.write("in-flight")
+    LH.vacuum_snapshots(root, keep=2, orphan_grace_sec=3600)
+    assert os.path.exists(claim), "live merge lost its claim"
+    assert os.path.exists(inflight)
+    # writer truly crashed: dir goes quiet too -> both reclaimed
+    os.utime(inflight, (old, old))
+    os.utime(os.path.join(inflight, "part.parquet"), (old, old))
+    LH.vacuum_snapshots(root, keep=2, orphan_grace_sec=3600)
+    assert not os.path.exists(claim)
+    assert not os.path.exists(inflight)
+
+
+def test_claim_backend_injectable_simulated_object_store(spark, root):
+    """Round-7 verdict Next #6: the commit CAS is a pluggable backend
+    (production: S3 If-None-Match PUT / GCS ifGenerationMatch=0 / ABFS
+    lease). A backend that always loses the CAS must surface as a clean
+    SnapshotConflict with the table untouched; a delegating backend
+    must actually be driven by the protocol."""
+    df = spark.createDataFrame([(1, 1.0)], "id long, v double")
+    calls = {"claim": 0, "release": 0}
+
+    def losing_claim(r, v):
+        calls["claim"] += 1
+        return False  # simulated lost conditional PUT (412)
+
+    prev = LH.set_claim_backend(losing_claim)
+    try:
+        with pytest.raises(LH.SnapshotConflict):
+            LH.write_snapshot(df, root, max_retries=2)
+    finally:
+        LH.set_claim_backend(*prev)
+    assert calls["claim"] == 2  # one per retry
+    assert LH.latest_version(root) is None  # table untouched
+
+    def counting_claim(r, v):
+        calls["claim"] += 1
+        return LH._posix_claim(r, v)
+
+    def counting_release(r, v):
+        calls["release"] += 1
+        LH._posix_release(r, v)
+
+    prev = LH.set_claim_backend(counting_claim, counting_release)
+    try:
+        assert LH.write_snapshot(df, root) == 0
+        assert LH.merge_into_snapshot(spark, root, df, ["id"]) == 1
+    finally:
+        LH.set_claim_backend(*prev)
+    assert calls["claim"] == 4 and calls["release"] == 2
+    assert rows(LH.read_snapshot(spark, root)) == [(1, 1.0)]
+
+
 def test_partitioned_merge_rejects_null_partition_values(spark, root):
     """ADVICE r5 (low): NULL partition values bypass the
     affected-partition machinery (semi-join and collected list drop

@@ -57,6 +57,31 @@ def test_oversize_chunks_become_singletons(spark):
     assert (3, 4) in by_ids  # small chunks pack together
 
 
+def test_zero_token_chunk_matches_cte_twin_semantics(spark):
+    """Round-7 ADVICE #4: the recursive-CTE twin models an oversize
+    singleton as rem=0, so a degenerate zero-token chunk JOINS that bin
+    (0 <= 0). The Python packer used remaining=-1 for oversize bins,
+    which would open a fresh bin instead — a latent hash-gate
+    divergence. Both policies must now pack the zero-token chunk into
+    the preceding full/oversize bin."""
+    rows = [(1, 600), (2, 0), (3, 512)]
+    df = spark.createDataFrame(rows, "chunk_id long, n_tokens long")
+    for policy in ("nextfit", "ffd"):
+        packed = pack_chunks(
+            df, id_col="chunk_id", tokens_col="n_tokens", budget=512,
+            groups=1, policy=policy,
+        ).collect()
+        by_ids = {tuple(sorted(r.chunk_ids)): r for r in packed}
+        # order within the group: 600, 512, 0 (tokens desc). nextfit:
+        # 600 opens bin rem=0; 512 doesn't fit -> new bin rem=0; 0 fits
+        # the LATEST bin (rem=0). ffd: 0 fits the FIRST rem>=0 bin.
+        if policy == "nextfit":
+            assert (2, 3) in by_ids, by_ids.keys()
+        else:
+            assert (1, 2) in by_ids, by_ids.keys()
+        assert len(packed) == 2
+
+
 def test_ffd_efficiency_bound(spark):
     chunks = _chunks(spark)
     groups = 8
