@@ -76,6 +76,7 @@ HEADLINE = [
     "reference_pipeline_matches",  # the reference's whole DAG, end to end (r6)
     "similarity_join_salted_top1",  # hot-block grid-salted fuzzy join (r7)
     "ngram_jaccard_pruned_near_dups",  # auto df-pruned exact Jaccard (r7)
+    "tfidf_cosine_simhash_top1",  # weighted sign-LSH cosine scale route (r8)
 ]
 
 # Iterations of the sentinel loop; the reference time was calibrated

@@ -475,6 +475,97 @@ def cosine_join_adaptive(
     )
 
 
+def weighted_simhash_candidates(
+    wt: DataFrame,
+    *,
+    id_col: str,
+    token_col: str,
+    weight_col: str,
+    block_cols: Sequence[str] = (),
+    n_bits: int = 31,
+    sig_bits: int = 32,
+    chunks: int = 4,
+) -> DataFrame:
+    """Sign-LSH candidate pairs for WEIGHTED cosine similarity
+    (Charikar, "Similarity Estimation Techniques from Rounding
+    Algorithms", STOC 2002): per signature bit b, hyperplane component
+    for token t is +1/-1 from bit b of the token's hash, so
+    bit_b(doc) = sign(sum_t w_t * (2*bit_b(h_t) - 1)) — an unbiased
+    random projection of the tf-idf vector. Docs with cosine c agree
+    per bit with probability 1 - acos(c)/pi; banding ``chunks`` chunks
+    of ``sig_bits/chunks`` bits turns that into the standard LSH
+    recall curve (1 - (1 - p^width)^chunks — DISCLOSED, like minhash
+    banding's 1-(1-j^b)^r), and candidates come from per-chunk
+    equi-self-joins within ``block_cols``: hash-join cost, bucketed by
+    (block, chunk_id, chunk), never all-pairs.
+
+    ``weight_col`` must be an INTEGER weight (e.g. (tf * 10^9) div df):
+    the bit is a SIGN of a sum, which no output rounding can mask, so
+    it must accumulate exactly and order-independently in every engine
+    — integer sums are, double sums are not. The cosine VERIFY that
+    follows uses the ordinary double weights; only the signature is
+    integer-exact.
+
+    This is the designated 100 TB route for cosine-threshold matching
+    on corpora where exact joins go quadratic (every token's df ∝ n —
+    see SCALING.md round-7/8): signature cost is one linear aggregate,
+    candidate cost is bucket-bounded, verify touches candidates only.
+    Returns (a_id, b_id, [blocks...]) with a_id < b_id, distinct.
+
+    reference scope: op22 scale path at the scale the reference never
+    reaches (entity_matching_optimized.py:122-191 scores all pairs
+    in-memory); SURVEY §4 custom work #4.
+    """
+    blocks = list(block_cols)
+    signed = [
+        F.sum(
+            F.col(weight_col)
+            * (
+                F.shiftright(F.col(token_col), b).bitwiseAND(F.lit(1)) * 2
+                - F.lit(1)
+            )
+        ).alias(f"__s{b}")
+        for b in range(n_bits)
+    ]
+    agg = wt.groupBy(id_col, *blocks).agg(*signed)
+    sig = None
+    for b in range(n_bits):
+        bit = F.shiftleft((F.col(f"__s{b}") > 0).cast("long"), b)
+        sig = bit if sig is None else sig.bitwiseOR(bit)
+    sigs = agg.select(id_col, *blocks, sig.alias("__sh"))
+    width = sig_bits // chunks
+    chunked = sigs.select(
+        F.col(id_col).alias("__id"),
+        *blocks,
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftright(F.col("__sh"), c * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for c in range(chunks)
+                ]
+            )
+        ).alias("chunk_id", "chunk"),
+    )
+    l, r = chunked.alias("l"), chunked.alias("r")
+    on = [
+        F.col("l.chunk_id") == F.col("r.chunk_id"),
+        F.col("l.chunk") == F.col("r.chunk"),
+        F.col("l.__id") < F.col("r.__id"),
+    ]
+    on += [F.col(f"l.{c}") == F.col(f"r.{c}") for c in blocks]
+    return (
+        l.join(r, on=on)
+        .select(
+            F.col("l.__id").alias("a_id"),
+            F.col("r.__id").alias("b_id"),
+            *[F.col(f"l.{c}") for c in blocks],
+        )
+        .distinct()
+    )
+
+
 def build_tfidf_index(
     wt: DataFrame,
     path: str,

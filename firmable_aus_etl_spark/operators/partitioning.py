@@ -223,6 +223,7 @@ def write_zordered(
     *cols: str,
     files: int = 8,
     bits: int = 8,
+    write_options: dict | None = None,
 ) -> None:
     """Persist clustered by the Z-order of ``cols``: range-partition on
     the Morton key (balanced files via range sampling), sort within
@@ -235,6 +236,11 @@ def write_zordered(
     test_zorder_layout_narrows_stats_on_all_dimensions). The min/max
     pass is a tiny all-agg job; at 100 TB use known domain bounds or
     sketch them.
+
+    ``write_options`` passes parquet writer options through (e.g.
+    ``{"parquet.block.size": "8192"}`` to pin row-group granularity —
+    layout tests use it so row-group-level pruning measurements can't
+    drift with the writer's default memory-based flush).
     """
     top = (1 << bits) - 1
     bounds = df.agg(
@@ -250,14 +256,16 @@ def write_zordered(
             F.floor((F.col(c).cast("double") - lo) * top / span).cast("long"),
         )
     zk = zorder_key(*[f"__n_{c}" for c in cols], bits=bits)
-    (
+    w = (
         scaled.withColumn("__zk", zk)
         .repartitionByRange(files, "__zk")
         .sortWithinPartitions("__zk")
         .drop("__zk", *[f"__n_{c}" for c in cols])
         .write.mode("overwrite")
-        .parquet(path)
     )
+    if write_options:
+        w = w.options(**write_options)
+    w.parquet(path)
 
 
 def compact_small_files(

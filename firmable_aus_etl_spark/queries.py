@@ -1998,6 +1998,182 @@ def q_tfidf_cosine_top1_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
 
 
+def _tfidf_simhash_oracle(chunks: int = 4, width: int = 8) -> str:
+    """DuckDB twin of the weighted-SimHash cosine route: md5 31-bit
+    token hashes, integer milli-weights (tf*10^9 div df) for the
+    exact sign sums, per-chunk candidate self-join within
+    (source, lang), double-weight cosine verify, top-1. Every stage
+    replays bit-for-bit — the signature sums are integers (a sign flip
+    is not maskable by output rounding), the verify reuses the
+    tf*(1.0/df) double weighting of _TFIDF_ORACLE with cosine rounded
+    to 6."""
+    p = dedup._MERSENNE_31
+    md5_sql = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS BIGINT))), "
+        f"(a, b) -> a * 16 + b) % {p}"
+    )
+    bit_terms = " + ".join(
+        f"(CASE WHEN sum(wi * (2 * ((t >> {b}) & 1) - 1)) > 0 "
+        f"THEN CAST({1 << b} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for b in range(31)
+    )
+    mask = (1 << width) - 1
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, lang, unnest({_TOKENS_SQL}) AS s FROM documents
+),
+tf AS (
+  SELECT doc_id, source, lang, s, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, source, lang, s
+),
+dfq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY s),
+w AS (
+  SELECT doc_id, source, lang, {md5_sql} AS t,
+         CAST(tf AS DOUBLE) * (1.0 / CAST(df AS DOUBLE)) AS wt,
+         (tf * 1000000000) // df AS wi
+  FROM tf JOIN dfq USING (s)
+),
+sig AS (
+  SELECT doc_id, source, lang, CAST({bit_terms} AS BIGINT) AS sh
+  FROM w GROUP BY doc_id, source, lang
+),
+chunked AS (
+  SELECT doc_id, source, lang, CAST(c.b AS BIGINT) AS chunk_id,
+         (sh >> (CAST(c.b AS BIGINT) * {width})) & {mask} AS chunk
+  FROM sig CROSS JOIN generate_series(0, {chunks - 1}) AS c(b)
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id, l.source, l.lang
+  FROM chunked l JOIN chunked r
+    ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
+   AND l.source = r.source AND l.lang = r.lang
+   AND l.doc_id < r.doc_id
+),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT c.a_id, c.b_id, sum(a.wt * b.wt) AS dp
+  FROM cand c
+  JOIN w a ON a.doc_id = c.a_id AND a.source = c.source AND a.lang = c.lang
+  JOIN w b ON b.doc_id = c.b_id AND b.source = c.source AND b.lang = c.lang
+          AND b.t = a.t
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT a_id, b_id, dp / (x.nrm * y.nrm) AS cosine
+  FROM dots JOIN nrm x ON a_id = x.doc_id JOIN nrm y ON b_id = y.doc_id
+),
+r AS (SELECT a_id, b_id, cosine,
+             row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+      FROM cos WHERE cosine >= 0.7)
+SELECT a_id, b_id, round(cosine, 6) AS cosine FROM r WHERE rn = 1
+"""
+
+
+def _tfidf_portable_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF term relation with the PORTABLE md5 31-bit token
+    hash and BOTH weight forms: ``wt`` = tf * (1.0/df) doubles (the
+    verify weighting _TFIDF_ORACLE uses) and ``wi`` = (tf * 10^9) div
+    df integer milli-weights — the signature-side weights, exact and
+    order-independent in every engine so a simhash sign bit can never
+    flip between Spark and the oracle. tf/df group on the token STRING
+    (hash applied after), so a 31-bit hash collision merges the same
+    two tokens in both engines — defined semantics, not drift."""
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ensure_parallelism(docs, "doc_id").select(
+        "doc_id", "source", "lang",
+        F.explode(F.split(normalize_name(F.col("text")), " ")).alias("s"),
+    )
+    tf = toks.groupBy("doc_id", "source", "lang", "s").agg(
+        F.count("*").alias("tf")
+    )
+    dfreq = tf.groupBy("s").agg(F.count("*").alias("df"))
+    return tf.join(dfreq, "s").select(
+        "doc_id", "source", "lang",
+        dedup.md5_base_hash(F.col("s")).alias("t"),
+        (
+            F.col("tf").cast("double")
+            * (F.lit(1.0) / F.col("df").cast("double"))
+        ).alias("wt"),
+        F.expr("(tf * 1000000000) div df").alias("wi"),
+    )
+
+
+@register("tfidf_cosine_simhash_top1", _tfidf_simhash_oracle())
+def q_tfidf_cosine_simhash_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op22 DESIGNATED SCALE ROUTE (round-7 verdict Next #2c) —
+    cosine-threshold top-1 via weighted sign-LSH (Charikar STOC 2002)
+    instead of an exact join: 31-bit weighted SimHash per doc (one
+    linear aggregate), banded 4x8-bit candidate buckets within
+    (source, lang), exact double-weight cosine verify on candidates
+    only, top-1.
+
+    Why this is the 100 TB route where the exact family is not: on
+    corpora where every token's df ∝ n (the uniform-vocab fixtures; or
+    the boilerplate head of a real crawl), ANY exact inverted-index
+    cosine join is inherently quadratic — Sum_t C(df_t, 2) pair rows
+    with df ∝ n — and the prefix filter cannot prune below the output
+    (measured: 99.6% of candidates survive on the fixture). The LSH
+    route's cost is signature (linear) + bucket-bounded candidates +
+    verify on candidates — never all-pairs. The price is recall
+    < 1 at the threshold boundary (per-bit agreement 1 - acos(c)/pi;
+    banding recall 1-(1-p^8)^4 ≈ 0.90 at c=0.95, lower near c=0.7),
+    DISCLOSED the same way minhash banding's recall curve is for the
+    Jaccard family — and the recall rule itself replays in the oracle,
+    which runs the identical pipeline. SCALING_r8 carries the fits.
+
+    reference: entity_matching.py:45-62 semantics at a scale the
+    reference's in-memory all-pairs scorer never reaches."""
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        weighted_simhash_candidates,
+    )
+
+    wt = _tfidf_portable_weight_frame(spark, sf_dir)
+    cand = weighted_simhash_candidates(
+        wt,
+        id_col="doc_id",
+        token_col="t",
+        weight_col="wi",
+        block_cols=["source", "lang"],
+    )
+    a_all = wt.select(
+        F.col("doc_id").alias("a_id"), "source", "lang", "t",
+        F.col("wt").alias("wa"),
+    )
+    b_all = wt.select(
+        F.col("doc_id").alias("b_id"), "source", "lang", "t",
+        F.col("wt").alias("wb"),
+    )
+    dots = (
+        cand.join(a_all, ["a_id", "source", "lang"])
+        .join(b_all, ["b_id", "source", "lang", "t"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nrm_b"))
+    cos = (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.7)
+    )
+    top1 = topk_per_group(
+        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
+    )
+    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
 # =========================================================================
 # Scalar-function coverage (SURVEY §2.9): f5-f10, f13-f17 as queries.
 # =========================================================================

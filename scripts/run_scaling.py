@@ -48,6 +48,24 @@ SYN3_SET = {
     "lsh_multiprobe_ann_top3",
     "ngram_jaccard_prefix_near_dups",
     "tfidf_cosine_top1",
+    # round-8 (verdict Next #2b/#2c/#4): the naive twin at syn3 shows
+    # whether adaptive's syn3 time IS the naive floor; the simhash LSH
+    # route is the designated escape; pruned Jaccard gets its 1.5-decade
+    # fit
+    "tfidf_cosine_top1_blocked",
+    "tfidf_cosine_simhash_top1",
+    "ngram_jaccard_pruned_near_dups",
+}
+
+# queries too expensive for min-of-N at their largest scale: one run,
+# disclosed (worst case ~190 s each at syn3; min-of-3 would triple a
+# number whose JIT spread is small relative to its magnitude)
+RUNS_ONCE_AT = {
+    ("tfidf_cosine_top1_blocked", "syn3"),
+    ("tfidf_cosine_top1", "syn3"),
+    # rule self-deactivates on the uniform vocab -> exact join + df pass,
+    # ~140 s/run at syn3 (the honest quadratic-with-rule-off point)
+    ("ngram_jaccard_pruned_near_dups", "syn3"),
 }
 
 # Zipf/boilerplate corpus (gen_zipfdocs.py): the df ∝ n regime the
@@ -57,10 +75,17 @@ ZIPF_SCALES = [
     ("zipf0.1", "/tmp/zipfdocs/sf0.1", 0.1),
     ("zipf0.3", "/tmp/zipfdocs/sf0.3", 0.3),
     ("zipf1", "/tmp/zipfdocs/sf1", 1.0),
+    ("zipf3", "/tmp/zipfdocs/sf3", 3.0),
 ]
 ZIPF_SET = [
     "ngram_jaccard_pruned_near_dups",
     "ngram_jaccard_prefix_near_dups",
+    # round-8 (verdict Next #2a): the cosine family on the corpus shape
+    # where df-separation exists — inverse-df weighting + the idf-ordered
+    # prefix should separate regimes the way df-prune does for Jaccard;
+    # the dispatch decision per scale is logged in tfidf_decisions
+    "tfidf_cosine_top1",
+    "tfidf_cosine_simhash_top1",
 ]
 # the UNPRUNED exact join is the quadratic contrast case on this
 # corpus (boilerplate df = 0.3n -> Sum C(df,2) candidate fan-out);
@@ -100,13 +125,47 @@ QUERY_SET = [
     # bound, measured in SKEW.md.
     "minhash_dedup_clusters",
     "ngram_jaccard_pruned_near_dups",
+    # round-8: the naive cosine twin (syn-only; zipf would cliff like
+    # the exact Jaccard join did) and the designated LSH cosine route
+    "tfidf_cosine_top1_blocked",
+    "tfidf_cosine_simhash_top1",
 ]
+
+
+def _tfidf_decisions() -> dict[str, dict]:
+    """Dump the memoized adaptive-dispatch decisions taken during this
+    run (verdict Next #2b: the routing story must be ON RECORD, not
+    asserted) — one entry per sf_dir the tfidf query planned against."""
+    from firmable_aus_etl_spark import queries as Q
+
+    out = {}
+    for (sf_dir, _mtime), dec in Q._TFIDF_PLAN_CACHE.items():
+        out[sf_dir] = {
+            k: dec[k]
+            for k in ("plan", "est_naive", "est_prefix", "cand_rows", "pair_rows")
+            if k in dec
+        }
+    return out
 
 
 def main() -> None:
     runs_n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    only = None
+    for a in sys.argv[2:]:
+        if a.startswith("--only="):
+            only = set(a.split("=", 1)[1].split(","))
     spark = get_session("scaling")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def timed(name: str, label: str, sf_dir: str) -> float:
+        n = 1 if (name, label) in RUNS_ONCE_AT else runs_n
+        best = math.inf
+        for _ in range(n):
+            t0 = time.time()
+            ALL[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        return best
+
     results: dict[str, dict[str, float]] = {}
     for label, sf_dir, _sf in SCALES:
         if not os.path.isdir(sf_dir):
@@ -115,11 +174,13 @@ def main() -> None:
         for name in QUERY_SET:
             if label == "syn3" and name not in SYN3_SET:
                 continue
-            best = math.inf
-            for _ in range(runs_n):
-                t0 = time.time()
-                ALL[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
+            if name == "tfidf_cosine_top1_blocked" and label not in (
+                "syn1", "syn3",
+            ):
+                continue  # the twin fit only needs the decade endpoints
+            if only is not None and name not in only:
+                continue
+            best = timed(name, label, sf_dir)
             results.setdefault(name, {})[label] = round(best, 3)
             print(f"  {label:8s} {name:32s} {best:7.3f}s", file=sys.stderr)
 
@@ -134,11 +195,9 @@ def main() -> None:
                 and _sf > ZIPF_EXACT_MAX_SF
             ):
                 continue
-            best = math.inf
-            for _ in range(runs_n):
-                t0 = time.time()
-                ALL[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-                best = min(best, time.time() - t0)
+            if only is not None and name not in only:
+                continue
+            best = timed(name, label, sf_dir)
             zipf_results.setdefault(name, {})[label] = round(best, 3)
             print(f"  {label:8s} {name:32s} {best:7.3f}s", file=sys.stderr)
 
@@ -161,8 +220,10 @@ def main() -> None:
 
     print(json.dumps({
         "runs": runs_n,
+        "runs_once_at": sorted(f"{n}@{lb}" for n, lb in RUNS_ONCE_AT),
         "results": fit(SCALES, "syn", results),
         "zipf": fit(ZIPF_SCALES, "zipf", zipf_results),
+        "tfidf_decisions": _tfidf_decisions(),
     }))
 
 

@@ -323,3 +323,83 @@ def test_adaptive_stats_cache_skips_stats_job(spark):
     assert dec2["plan"] == dec1["plan"]
     # the returned (lazy) frame still evaluates correctly
     assert out.count() >= 0
+
+
+def test_weighted_simhash_candidates_python_parity(spark):
+    """The weighted sign-LSH signature must match a direct Python
+    reference bit-for-bit (md5 31-bit token hash, integer milli-weight
+    sign sums) — the same exactness the DuckDB twin of
+    tfidf_cosine_simhash_top1 relies on — and exact-duplicate docs
+    must always be candidates (identical vectors -> identical
+    signatures -> every chunk collides)."""
+    import hashlib
+    from collections import Counter
+
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        weighted_simhash_candidates,
+    )
+    from firmable_aus_etl_spark.operators.dedup import (
+        _MERSENNE_31,
+        md5_base_hash,
+    )
+
+    corpus = [
+        (1, "acme steel supply co pty ltd"),
+        (2, "acme steel supply co pty ltd"),          # exact dup of 1
+        (3, "blue ocean shipping line international"),
+        (4, "green valley farms produce market fresh"),
+        (5, "quantum widget factory outlet store"),
+        (6, "blue ocean shipping line international"),  # exact dup of 3
+    ]
+
+    def h31(s: str) -> int:
+        return int(hashlib.md5(s.encode()).hexdigest()[:8], 16) % _MERSENNE_31
+
+    # python reference: tf/df -> integer milli-weights -> sign bits
+    df_counts: Counter = Counter()
+    tfs = []
+    for i, text in corpus:
+        tf = Counter(text.split())
+        tfs.append((i, tf))
+        for t in tf:
+            df_counts[t] += 1
+    expect_sig = {}
+    for i, tf in tfs:
+        sig = 0
+        for b in range(31):
+            s = sum(
+                (n * 1_000_000_000 // df_counts[t])
+                * (2 * ((h31(t) >> b) & 1) - 1)
+                for t, n in tf.items()
+            )
+            if s > 0:
+                sig |= 1 << b
+        expect_sig[i] = sig
+
+    rows = []
+    for i, text in corpus:
+        for t, n in Counter(text.split()).items():
+            rows.append((i, t, n, n * 1_000_000_000 // df_counts[t]))
+    wt = spark.createDataFrame(rows, "doc_id long, s string, tf long, wi long")
+    wt = wt.select("doc_id", md5_base_hash(F.col("s")).alias("t"), "wi")
+
+    # spark signatures via the operator's own aggregation (probe the
+    # internals through the candidate output: dup pairs MUST collide)
+    cand = weighted_simhash_candidates(
+        wt, id_col="doc_id", token_col="t", weight_col="wi"
+    )
+    got = {(r.a_id, r.b_id) for r in cand.collect()}
+    assert (1, 2) in got and (3, 6) in got, got
+    # identical signatures were the reason: confirm via the reference
+    assert expect_sig[1] == expect_sig[2]
+    assert expect_sig[3] == expect_sig[6]
+    # and unrelated docs with fully disjoint vocab should NOT be forced
+    # together unless a chunk genuinely collides — cross-check against
+    # the reference signatures chunk by chunk
+    def chunks_of(sig: int) -> set:
+        return {(c, (sig >> (c * 8)) & 0xFF) for c in range(4)}
+
+    for a in range(1, 7):
+        for b in range(a + 1, 7):
+            should = bool(chunks_of(expect_sig[a]) & chunks_of(expect_sig[b]))
+            assert ((a, b) in got) == should, (a, b, should)

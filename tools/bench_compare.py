@@ -80,6 +80,13 @@ COMPARE = [
     "source_vocab_overlap",
     "k_anonymity_audit_customers",
     "reference_pipeline_matches",
+    # round-7 headlines (verdict Wrong #2: regen on plan-affecting change)
+    "similarity_join_salted_top1",
+    "ngram_jaccard_pruned_near_dups",
+    "minhash_dedup_clusters",
+    "pack_chunks_512",
+    # round-8: the designated cosine scale route
+    "tfidf_cosine_simhash_top1",
 ]
 
 
