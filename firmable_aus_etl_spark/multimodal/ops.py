@@ -58,11 +58,11 @@ IMAGE_FEATURES_SCHEMA = StructType(
 
 class DecodeUnavailable(NotImplementedError):
     """Raised where a real codec would run and none exists for the
-    format. PNG, baseline AND progressive JPEG, animated GIF,
-    RIFF/WAVE PCM, and MJPEG-in-AVI video decode for REAL with the
-    stdlib codecs in this package; this gate remains for
-    arithmetic-coded JPEG, webp, mp3/aac, and non-MJPEG video codecs
-    (h264/vp9/...)."""
+    format. PNG, baseline AND progressive JPEG, animated GIF, lossless
+    WebP (VP8L), RIFF/WAVE PCM, and MJPEG-in-AVI video decode for REAL
+    with the stdlib codecs in this package; this gate remains for
+    arithmetic-coded JPEG, lossy (VP8) webp, mp3/aac, and non-MJPEG
+    video codecs (h264/vp9/...)."""
 
 
 def _decode_image(b: bytes) -> tuple[int, int, int, bytes]:
@@ -88,9 +88,17 @@ def _decode_image(b: bytes) -> tuple[int, int, int, bytes]:
         except _gif.GifUnsupported as e:
             raise DecodeUnavailable(f"GIF profile outside support: {e}") from e
         return w, h, 3, frames[0][1]  # first composed frame as the still
+    if b.startswith(b"RIFF") and b[8:12] == b"WEBP":
+        from firmable_aus_etl_spark.multimodal import webp as _webp
+
+        try:
+            return _webp.decode_webp(b)
+        except _webp.WebpUnsupported as e:
+            raise DecodeUnavailable(f"WebP profile unsupported: {e}") from e
     raise DecodeUnavailable(
         "image format requires codec libs absent from this container "
-        "(PNG, baseline/progressive JPEG, and GIF decode for real)"
+        "(PNG, baseline/progressive JPEG, GIF, and lossless WebP decode "
+        "for real)"
     )
 
 
