@@ -55,6 +55,10 @@ SYN3_SET = {
     "tfidf_cosine_top1_blocked",
     "tfidf_cosine_simhash_top1",
     "ngram_jaccard_pruned_near_dups",
+    # round-8: the auto-routed query — exact below 1024 cand/doc
+    # (real0.1, syn0.1), LSH above (syn0.3+, zipf1+): the fit should
+    # BEND where the route flips
+    "tfidf_cosine_routed",
 }
 
 # queries too expensive for min-of-N at their largest scale: one run,
@@ -86,6 +90,7 @@ ZIPF_SET = [
     # the dispatch decision per scale is logged in tfidf_decisions
     "tfidf_cosine_top1",
     "tfidf_cosine_simhash_top1",
+    "tfidf_cosine_routed",
 ]
 # the UNPRUNED exact join is the quadratic contrast case on this
 # corpus (boilerplate df = 0.3n -> Sum C(df,2) candidate fan-out);
@@ -126,9 +131,11 @@ QUERY_SET = [
     "minhash_dedup_clusters",
     "ngram_jaccard_pruned_near_dups",
     # round-8: the naive cosine twin (syn-only; zipf would cliff like
-    # the exact Jaccard join did) and the designated LSH cosine route
+    # the exact Jaccard join did), the designated LSH cosine route,
+    # and the auto-routed query whose curve should bend at the flip
     "tfidf_cosine_top1_blocked",
     "tfidf_cosine_simhash_top1",
+    "tfidf_cosine_routed",
 ]
 
 

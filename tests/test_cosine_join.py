@@ -403,3 +403,90 @@ def test_weighted_simhash_candidates_python_parity(spark):
         for b in range(a + 1, 7):
             should = bool(chunks_of(expect_sig[a]) & chunks_of(expect_sig[b]))
             assert ((a, b) in got) == should, (a, b, should)
+
+
+def _write_docs(tmp_path, rows):
+    """documents.parquet fixture with the driver schema."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+            "text": pa.array([r[1] for r in rows], pa.string()),
+            "lang": pa.array([r[2] for r in rows], pa.string()),
+            "source": pa.array([r[3] for r in rows], pa.string()),
+            "n_chars": pa.array([len(r[1]) for r in rows], pa.int64()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_routed_cosine_flips_to_lsh_and_duckdb_replays_the_decision(
+    spark, tmp_path
+):
+    """A boilerplate-quadratic corpus (every doc shares 40 tokens ->
+    cand mass 40*C(60,2) = 70,800 > 1024*60) must route to the LSH
+    pipeline, produce exactly the simhash query's rows, and the DuckDB
+    routed ORACLE must take the same branch and match — the decision
+    replay, not just the chosen plan."""
+    import duckdb
+
+    from firmable_aus_etl_spark import queries as Q
+
+    boiler = " ".join(f"tok{i}" for i in range(40))
+    # 30 identical-text pairs: the boilerplate puts the corpus deep in
+    # the quadratic regime (df=60 for 40 tokens), and identical pair
+    # texts give identical signatures, so the LSH route MUST surface
+    # every pair (cosine 1.0) — deterministic rows to compare engines on
+    rows = [
+        (i, f"{boiler} p{i // 2}_a p{i // 2}_b p{i // 2}_c", "en", "web")
+        for i in range(60)
+    ]
+    sf_dir = _write_docs(tmp_path, rows)
+
+    stats = Q._tfidf_route_stats(spark, sf_dir)
+    assert stats["n_docs"] == 60
+    assert stats["cand_mass"] > Q._COSINE_ROUTE_CAP * stats["n_docs"]
+
+    routed = Q.QUERIES["tfidf_cosine_routed"](spark, sf_dir)
+    lsh = Q.QUERIES["tfidf_cosine_simhash_top1"](spark, sf_dir)
+    routed_rows = sorted(map(tuple, routed.collect()))
+    assert routed_rows == sorted(map(tuple, lsh.collect()))
+    assert routed_rows, "near-identical docs must produce matches"
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    oracle_rows = sorted(
+        map(tuple, con.execute(Q.ORACLE["tfidf_cosine_routed"]).fetchall())
+    )
+    assert [(a, b) for a, b, _ in routed_rows] == [
+        (a, b) for a, b, _ in oracle_rows
+    ]
+    for (_, _, c1), (_, _, c2) in zip(routed_rows, oracle_rows):
+        assert abs(c1 - c2) < 1e-9
+
+
+def test_routed_cosine_takes_exact_branch_on_sparse_corpus(spark, tmp_path):
+    """Distinct-vocabulary docs sit far under the candidate budget ->
+    exact branch, rows equal to the exact adaptive query's."""
+    from firmable_aus_etl_spark import queries as Q
+
+    rows = []
+    for i in range(30):
+        base = " ".join(f"w{i}_{j}" for j in range(10))
+        rows.append((2 * i, base + " alpha beta", "en", "web"))
+        rows.append((2 * i + 1, base + " alpha gamma", "en", "web"))
+    sf_dir = _write_docs(tmp_path, rows)
+
+    stats = Q._tfidf_route_stats(spark, sf_dir)
+    assert stats["cand_mass"] <= Q._COSINE_ROUTE_CAP * stats["n_docs"]
+
+    routed = sorted(map(tuple, Q.QUERIES["tfidf_cosine_routed"](spark, sf_dir).collect()))
+    exact = sorted(map(tuple, Q.QUERIES["tfidf_cosine_top1"](spark, sf_dir).collect()))
+    assert routed == exact
+    assert routed, "paired docs share 11/12 tokens -> matches exist"
