@@ -158,9 +158,15 @@ def _tfidf_decisions() -> dict[str, dict]:
 def main() -> None:
     runs_n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
     only = None
+    scales = None
     for a in sys.argv[2:]:
         if a.startswith("--only="):
             only = set(a.split("=", 1)[1].split(","))
+        if a.startswith("--scales="):
+            # label filter (e.g. --scales=syn0.1,syn1): lets a patch
+            # pass re-measure one polluted block without burning the
+            # wall-clock of the scales that ran clean
+            scales = set(a.split("=", 1)[1].split(","))
     spark = get_session("scaling")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -175,6 +181,8 @@ def main() -> None:
 
     results: dict[str, dict[str, float]] = {}
     for label, sf_dir, _sf in SCALES:
+        if scales is not None and label not in scales:
+            continue
         if not os.path.isdir(sf_dir):
             print(f"SKIP {label}: {sf_dir} missing", file=sys.stderr)
             continue
@@ -193,6 +201,8 @@ def main() -> None:
 
     zipf_results: dict[str, dict[str, float]] = {}
     for label, sf_dir, _sf in ZIPF_SCALES:
+        if scales is not None and label not in scales:
+            continue
         if not os.path.isdir(sf_dir):
             print(f"SKIP {label}: {sf_dir} missing", file=sys.stderr)
             continue
