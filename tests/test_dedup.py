@@ -511,14 +511,23 @@ def test_reliable_checkpoint_cache_stays_bounded(spark, tmp_path):
     a multi-round CC run on the reliable path must end with the same
     number of persistent RDDs it started with (zero residual)."""
 
-    def n_persistent():
-        return spark.sparkContext._jsc.sc().getPersistentRDDs().size()
+    def persistent_ids():
+        # track IDS, not the count: in a shared test session the async
+        # ContextCleaner may release UNRELATED tests' residual
+        # localCheckpoint blocks mid-test (count would drop and a
+        # count-equality assert would misfire); the leak being tested
+        # is "this CC run left NEW entries behind"
+        it = spark.sparkContext._jsc.sc().getPersistentRDDs().keysIterator()
+        ids = set()
+        while it.hasNext():
+            ids.add(it.next())
+        return ids
 
     # chain graph: diameter 11 forces several label-propagation rounds
     chain = [(i, i + 1) for i in range(12)]
     edges = spark.createDataFrame(chain, "a_id long, b_id long")
     for algo in ("label", "star"):
-        before = n_persistent()
+        before = persistent_ids()
         stats: dict = {}
         out = dedup.connected_components(
             edges,
@@ -528,9 +537,9 @@ def test_reliable_checkpoint_cache_stays_bounded(spark, tmp_path):
         )
         assert out.count() == 13
         assert stats["rounds"] >= 2, "fixture must force a multi-round run"
-        after = n_persistent()
-        assert after == before, (
-            f"{algo}: {after - before} cache entries leaked over "
+        leaked = persistent_ids() - before
+        assert not leaked, (
+            f"{algo}: {len(leaked)} cache entries leaked over "
             f"{stats['rounds']} rounds (must be 0 — O(1) in rounds)"
         )
 
