@@ -77,6 +77,7 @@ HEADLINE = [
     "similarity_join_salted_top1",  # hot-block grid-salted fuzzy join (r7)
     "ngram_jaccard_pruned_near_dups",  # auto df-pruned exact Jaccard (r7)
     "tfidf_cosine_simhash_top1",  # weighted sign-LSH cosine scale route (r8)
+    "bm25_search_top10",          # BM25 top-k retrieval serving join (r8)
 ]
 
 # Iterations of the sentinel loop; the reference time was calibrated

@@ -2290,6 +2290,95 @@ def q_tfidf_cosine_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     return q_tfidf_cosine_simhash_top1(spark, sf_dir)
 
 
+_BM25_QUERIES = [
+    ("q1", "fast hash join"),
+    ("q2", "window agg stream"),
+    ("q3", "spark table scan"),
+    ("q4", "the value zzz"),  # 'zzz' hits no posting — dropped by join
+]
+
+_BM25_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+tok AS (
+  SELECT doc_id AS id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM d)
+  GROUP BY 1, 2
+),
+dl AS (SELECT id, sum(tf) AS dl FROM tok GROUP BY id),
+dfq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+q(query_id, qtext) AS (VALUES {", ".join(
+    f"('{qid}', '{qtext}')" for qid, qtext in _BM25_QUERIES
+)}),
+qterms AS (
+  SELECT DISTINCT query_id, t
+  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS t FROM q)
+),
+qt AS (
+  SELECT query_id, qterms.t,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+         n_docs, total_dl
+  FROM qterms JOIN dfq ON qterms.t = dfq.t CROSS JOIN stats
+),
+contrib AS (
+  SELECT query_id, id,
+         CAST(floor(idf * (tf * 2.2)
+              / (tf + 1.2 * (0.25 + 0.75
+                             * (CAST(dl * n_docs AS DOUBLE) / total_dl)))
+              * 1000000.0 + 0.5) AS BIGINT) AS units
+  FROM tok JOIN dl USING (id) JOIN qt ON tok.t = qt.t
+),
+scored AS (
+  SELECT query_id, id, CAST(sum(units) AS BIGINT) AS units
+  FROM contrib GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, id, units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY units DESC, id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id,
+       units / 1000000.0 AS score
+FROM r WHERE rank <= 10
+"""
+
+
+@register("bm25_search_top10", _BM25_ORACLE)
+def q_bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval of four fixed search queries against
+    the documents corpus (operators/retrieval.bm25_topk) — the
+    query-SERVING shape of the tf-idf family: RAG-style corpus search,
+    targeted decontamination probes, topic-conditioned sampling.
+
+    Scale shape: corpus side is the linear inverted index (persisted
+    at cluster scale — same layout build_tfidf_index writes); the
+    query-term frame gets df + corpus scalars attached FIRST and is
+    then broadcast, so the probe is a broadcast-hash join against the
+    postings — the corpus never shuffles for it. Per-(term, doc)
+    contributions floor to integer 1e-6 units BEFORE the sum (the
+    entropy/PMI integer-units precedent), and ranks order on the
+    integer units, so no FP boundary can flip a rank between engines.
+    Query 'q4' carries a term with no postings — dropped by the join
+    in both engines (standard BM25 missing-term semantics).
+
+    reference: the serving extension of entity_matching_tfidf.py's
+    corpus matcher; SURVEY §4 similarity-search family (text sibling
+    of ann_cosine_top3_per_label)."""
+    from firmable_aus_etl_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id string, qtext string"
+    )
+    return bm25_topk(
+        docs, queries,
+        id_col="doc_id", text_col="text",
+        qid_col="query_id", qtext_col="qtext",
+        k1=1.2, b=0.75, k=10,
+    )
+
+
 # =========================================================================
 # Scalar-function coverage (SURVEY §2.9): f5-f10, f13-f17 as queries.
 # =========================================================================

@@ -136,6 +136,10 @@ QUERY_SET = [
     "tfidf_cosine_top1_blocked",
     "tfidf_cosine_simhash_top1",
     "tfidf_cosine_routed",
+    # round-8b: BM25 retrieval — linear inverted-index build + broadcast
+    # probe; the fit documents that the serving join scales with the
+    # corpus scan, not with candidate fan-out
+    "bm25_search_top10",
 ]
 
 
