@@ -971,7 +971,7 @@ FROM r WHERE rank <= 3
 
 
 def _np_case_sql(
-    target: int = 16, min_planes: int = 6, max_planes: int = 12
+    target: int = 16, min_planes: int = 6, max_planes: int = 16
 ) -> str:
     """SQL CASE replaying vectors.auto_n_planes EXACTLY with integer
     threshold comparisons (np <= p iff n <= target * 2^p — no libm
@@ -987,7 +987,7 @@ def _np_case_sql(
 
 def _lsh_oracle_auto(
     dim: int, n_tables: int, seed: int,
-    *, target: int = 16, min_planes: int = 6, max_planes: int = 12,
+    *, target: int = 16, min_planes: int = 6, max_planes: int = 16,
 ) -> str:
     """Auto-sized sign-LSH oracle: planes baked at max_planes (the LCG
     stream is prefix-stable, so the first np of them ARE the np-plane
@@ -1046,7 +1046,7 @@ def q_lsh_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
     corpus = emb.select("vec_id", "embedding")
     out = V.lsh_topk_auto(
-        queries, corpus, dim=64, k=3, n_tables=6, max_planes=12
+        queries, corpus, dim=64, k=3, n_tables=6, max_planes=16
     )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
@@ -1208,7 +1208,7 @@ LEFT JOIN cand a
 
 def _multiprobe_lsh_oracle_auto(
     dim: int, n_tables: int, probes: int, seed: int,
-    *, target: int = 16, min_planes: int = 6, max_planes: int = 12,
+    *, target: int = 16, min_planes: int = 6, max_planes: int = 16,
 ) -> str:
     """Auto-sized multi-probe oracle: planes + flip sets baked at
     max_planes, np from count(*) (integer CASE), signatures and the
@@ -1296,7 +1296,18 @@ def q_lsh_multiprobe_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     (integer CASE over count(*)), dots, signatures, flip costs, probe
     ranking, AND the candidate join bit-for-bit. Candidates stay an
     equi-join on (table, signature); the probe budget multiplies only
-    the query side."""
+    the query side.
+
+    max_planes=16 (round-8b): the second-decade measurement caught the
+    previous oracle-motivated clamp of 12 SATURATING at syn10 — with
+    2^12 buckets a 500k corpus runs at occupancy ~122 vs target 16,
+    and the candidate join went quadratic (287.7 s vs ~45 s expected;
+    SCALING.md round-8b). 16 planes hold the target to ~1M vectors;
+    the OPERATOR default (max_planes=20, vectors.py) carries ~16M, and
+    beyond that the IVF route with cell_cap salting is the designated
+    path. The clamp exists only to bound the oracle's baked plane
+    literals — sizing below it is unchanged, so small-SF results are
+    bit-identical."""
     from firmable_aus_etl_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1304,7 +1315,7 @@ def q_lsh_multiprobe_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.select("vec_id", "embedding")
     out = V.lsh_multiprobe_topk_auto(
         queries, corpus, dim=64, k=3, n_tables=6, probes=10, seed=42,
-        max_planes=12,
+        max_planes=16,
     )
     return out.select(
         "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
@@ -2377,6 +2388,102 @@ def q_bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
         qid_col="query_id", qtext_col="qtext",
         k1=1.2, b=0.75, k=10,
     )
+
+
+def _hll_oracle(rows_sql: str) -> str:
+    """Oracle assembler for the portable-HLL queries: a rows CTE
+    (source, t) + the shared estimator fragment (the SAME literals the
+    Spark plan folds — see cardinality.hll_estimator_sql) + the exact
+    count for the accuracy exhibit."""
+    from firmable_aus_etl_spark.operators.cardinality import (
+        hll_estimator_sql,
+    )
+
+    frag = hll_estimator_sql("rows_", ["source"], "t")
+    return f"""
+WITH d AS (SELECT source, {_TOKENS_SQL} AS w FROM documents),
+rows_ AS ({rows_sql}),{frag},
+exact AS (
+  SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS exact_distinct
+  FROM rows_ GROUP BY source
+)
+SELECT h.source, est_distinct, buckets_used, exact_distinct
+FROM hll_out h JOIN exact ON h.source = exact.source
+"""
+
+
+@register(
+    "hll_distinct_tokens_by_source",
+    _hll_oracle("SELECT source, unnest(w) AS t FROM d"),
+)
+def q_hll_distinct_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL distinct-token cardinality per source
+    (operators/cardinality.hll_distinct, b=8 -> 256 registers) next to
+    the exact count as the accuracy exhibit — the corpus-governance
+    profile question ("how big is each source's vocabulary?") answered
+    with bounded state: registers collapse map-side to <= 256 rows per
+    group before the shuffle, where the exact column's count(DISTINCT)
+    shuffles every distinct value (drop it at 100 TB; it rides along
+    here so the sketch's error is VISIBLE and the estimator itself is
+    hash-gated, corrections and all — the small vocabulary lands in the
+    linear-counting branch). reference: data_quality_checks.py profiles
+    distincts exactly in pandas; SURVEY §4 governance family."""
+    from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.cardinality import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.tokens("text")).alias("t")
+    )
+    est = hll_distinct(toks, ["source"], "t")
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("t").alias("exact_distinct")
+    )
+    return est.join(exact, "source")
+
+
+@register(
+    "hll_distinct_bigrams_by_source",
+    _hll_oracle(
+        """
+    SELECT source, bg[1] || ' ' || bg[2] AS t
+    FROM (SELECT source,
+                 unnest(list_zip(w[: len(w) - 1], w[2:])) AS bg
+          FROM d)
+    """
+    ),
+)
+def q_hll_distinct_bigrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL distinct-BIGRAM cardinality per source — the
+    higher-cardinality sibling of hll_distinct_tokens_by_source
+    (~900 bigrams over the 30-word vocabulary vs ~30 tokens), so the
+    raw-estimator branch is exercised under the oracle gate where the
+    token query exercises linear counting. Same register pipeline,
+    same literals, same exact-count exhibit."""
+    from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.cardinality import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", T.tokens("text").alias("w"))
+    n = F.size("w")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = toks.select(
+        "source", F.explode(idx).alias("i"), "w"
+    ).select(
+        "source",
+        F.concat(
+            F.element_at("w", F.col("i")),
+            F.lit(" "),
+            F.element_at("w", F.col("i") + 1),
+        ).alias("t"),
+    )
+    est = hll_distinct(bg, ["source"], "t")
+    exact = bg.groupBy("source").agg(
+        F.count_distinct("t").alias("exact_distinct")
+    )
+    return est.join(exact, "source")
 
 
 # =========================================================================
@@ -6702,9 +6809,15 @@ def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cheapest EUROPE supplier by observed unit price (lineitem is
     this testdata's partsupp; unit price rounds to integer cents first
     so the arg-min and its tie-break are exact). Region filter prunes
-    the supplier dim BEFORE the fact join (broadcast); the arg-min is
-    one window over the pre-aggregated (part, supplier) frame, and the
-    part filter broadcasts onto the result."""
+    the supplier dim BEFORE the fact join (broadcast), and the p_size
+    filter prunes the fact scan BEFORE the aggregation + window: the
+    per-part arg-min commutes with any filter on the window's own
+    partition key, so joining the filtered part dim first (broadcast)
+    drops ~98% of the (part, supplier) aggregation and window work —
+    a semi-join pushdown through the window that Catalyst does not
+    derive on its own (it only pushes literal predicates through
+    Window, not join-sourced ones). Round-8b: previously the part
+    filter applied AFTER the arg-min; same rows, measured faster."""
     # region/nation are fixed-size (hinted); the supplier-derived frame
     # scales with SF — stats/AQE elect its broadcast
     eu_supp = (
@@ -6724,12 +6837,18 @@ def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("s_suppkey", "s_name", "s_acctbal")
     )
+    part = (
+        load_table(spark, sf_dir, "part")
+        .filter(F.col("p_size") == 15)
+        .select("p_partkey", "p_name")
+    )
     li = load_table(spark, sf_dir, "lineitem").select(
         "l_partkey", "l_suppkey", "l_extendedprice", "l_quantity"
     )
     costs = (
-        li.join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
-        .groupBy("l_partkey", "l_suppkey")
+        li.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        .join(eu_supp, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("l_partkey", "p_name", "l_suppkey")
         .agg(
             F.min(
                 _cents(F.col("l_extendedprice") / F.col("l_quantity"), 2)
@@ -6744,16 +6863,11 @@ def q_min_cost_supplier_per_part(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.col("unit_c").asc(), F.col("l_suppkey").asc()],
         k=1,
     )
-    part = (
-        load_table(spark, sf_dir, "part")
-        .filter(F.col("p_size") == 15)
-        .select("p_partkey", "p_name")
-    )
     supp_names = load_table(spark, sf_dir, "supplier").select(
         "s_suppkey", "s_name", "s_acctbal"
     )
     return (
-        best.join(part, F.col("l_partkey") == F.col("p_partkey"))
+        best.withColumn("p_partkey", F.col("l_partkey"))
         .join(supp_names, F.col("l_suppkey") == F.col("s_suppkey"))
         .select(
             "p_partkey",

@@ -36,7 +36,22 @@ SCALES = [
     ("syn0.3", "/tmp/scaledata/sf0.3", 0.3),
     ("syn1", "/tmp/scaledata/sf1", 1.0),
     ("syn3", "/tmp/scaledata/sf3", 3.0),
+    ("syn10", "/tmp/scaledata/sf10", 10.0),
 ]
+
+# syn10 (round-8b): a FULL second decade (0.1 -> 10) for the designated
+# sub-linear routes only. The exact-join family is excluded by design:
+# its syn3 quadratic wall is measured and argued inherent (SCALING.md
+# round-7/8 — uniform vocab => df ∝ n => any exact inverted-index join
+# is pair-bound, and at syn3 even true pair DENSITY grows ~n^2), so a
+# syn10 point would spend ~an hour re-proving a disclosed cliff.
+SYN10_SET = {
+    "minhash_dedup_clusters",      # designated Jaccard-dedup DAG
+    "lsh_multiprobe_ann_top3",     # designated ANN route
+    "minhash_verified_near_dups",  # LSH+verify pipeline
+    "reference_pipeline_matches",  # the whole reference DAG
+    "bm25_search_top10",           # retrieval serving join (linear index)
+}
 
 # syn3 (round-7): 1.5-decade fits for the designated scale paths only —
 # the full set at 3x data would spend most of its wall time re-proving
@@ -59,6 +74,8 @@ SYN3_SET = {
     # (real0.1, syn0.1), LSH above (syn0.3+, zipf1+): the fit should
     # BEND where the route flips
     "tfidf_cosine_routed",
+    # round-8b: retrieval stays linear even where the join families cliff
+    "bm25_search_top10",
 }
 
 # queries too expensive for min-of-N at their largest scale: one run,
@@ -80,7 +97,19 @@ ZIPF_SCALES = [
     ("zipf0.3", "/tmp/zipfdocs/sf0.3", 0.3),
     ("zipf1", "/tmp/zipfdocs/sf1", 1.0),
     ("zipf3", "/tmp/zipfdocs/sf3", 3.0),
+    ("zipf10", "/tmp/zipfdocs/sf10", 10.0),
 ]
+
+# zipf10 (round-8b): second-decade points on the realistic corpus
+# shape, scale routes only — the EXACT cosine join is excluded (its
+# zipf tail is 1.69 and accelerating, measured through zipf3; a zipf10
+# point is ~10 min of re-proving the regime the router already avoids).
+ZIPF10_SET = {
+    "ngram_jaccard_pruned_near_dups",  # designated exact-Jaccard default
+    "tfidf_cosine_simhash_top1",       # designated cosine scale route
+    "tfidf_cosine_routed",             # auto-router (takes LSH here)
+    "bm25_search_top10",               # retrieval serving join
+}
 ZIPF_SET = [
     "ngram_jaccard_pruned_near_dups",
     "ngram_jaccard_prefix_near_dups",
@@ -91,6 +120,11 @@ ZIPF_SET = [
     "tfidf_cosine_top1",
     "tfidf_cosine_simhash_top1",
     "tfidf_cosine_routed",
+    # round-8b: retrieval on the boilerplate-df corpus — the broadcast
+    # probe touches every posting of a query term, so zipf's df = 0.3n
+    # head terms are the adversarial case for it; the fit shows whether
+    # the serving join stays scan-bound there
+    "bm25_search_top10",
 ]
 # the UNPRUNED exact join is the quadratic contrast case on this
 # corpus (boilerplate df = 0.3n -> Sum C(df,2) candidate fan-out);
@@ -193,6 +227,8 @@ def main() -> None:
         for name in QUERY_SET:
             if label == "syn3" and name not in SYN3_SET:
                 continue
+            if label == "syn10" and name not in SYN10_SET:
+                continue
             if name == "tfidf_cosine_top1_blocked" and label not in (
                 "syn1", "syn3",
             ):
@@ -215,6 +251,8 @@ def main() -> None:
                 name == "ngram_jaccard_prefix_near_dups"
                 and _sf > ZIPF_EXACT_MAX_SF
             ):
+                continue
+            if label == "zipf10" and name not in ZIPF10_SET:
                 continue
             if only is not None and name not in only:
                 continue

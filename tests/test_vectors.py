@@ -578,14 +578,17 @@ def test_auto_n_planes_integer_rule_matches_log2():
         )
         got = auto_n_planes(n)
         assert got == expect, (n, got, expect)
-        # SQL CASE equivalence at max_planes=12
-        got12 = auto_n_planes(n, max_planes=12)
-        case = 12
-        for p in range(6, 12):
-            if n <= 16 * (1 << p):
-                case = p
-                break
-        assert got12 == case, (n, got12, case)
+        # SQL CASE equivalence at the oracle clamps (12 = pre-r8b, 16 =
+        # the current oracle bake — raised after syn10 caught 12
+        # saturating at 500k vectors)
+        for cap in (12, 16):
+            got_c = auto_n_planes(n, max_planes=cap)
+            case = cap
+            for p in range(6, cap):
+                if n <= 16 * (1 << p):
+                    case = p
+                    break
+            assert got_c == case, (n, cap, got_c, case)
 
 
 def test_make_planes_prefix_stable():
