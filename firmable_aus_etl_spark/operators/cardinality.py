@@ -114,20 +114,72 @@ def hll_distinct(
     Plan shape: groupBy(group, bucket).max(rho) — map-side combine
     bounds every partition's contribution at m rows per group — then
     one <=m-row-per-group aggregation applies the estimator. Nothing
-    driver-side; registers stay mergeable frames.
+    driver-side; registers stay mergeable frames (hll_registers /
+    hll_merge_registers expose that seam for incremental and
+    streaming rollups).
     """
+    regs = hll_registers(df, group_cols, value_col, b=b)
+    return hll_estimate_from_registers(
+        regs, group_cols, b=b, est_col=est_col
+    )
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: Sequence[str],
+    value_col: str,
+    *,
+    b: int = DEFAULT_B,
+) -> DataFrame:
+    """The register frame (group_cols..., __bkt, __m) — the sketch
+    STATE. <= 2^b rows per group regardless of input size, and
+    max-mergeable: registers of a union == per-bucket max of the
+    parts' registers (test-proven), which is what makes incremental /
+    streaming cardinality a plain unionByName + max instead of a
+    rescan."""
+    groups = list(group_cols)
+    bucket, rho = hll_register_columns(F.col(value_col), b=b)
+    return (
+        df.select(*groups, bucket.alias("__bkt"), rho.alias("__rho"))
+        .groupBy(*groups, "__bkt")
+        .agg(F.max("__rho").alias("__m"))
+    )
+
+
+def hll_merge_registers(
+    state: DataFrame, batch: DataFrame, group_cols: Sequence[str]
+) -> DataFrame:
+    """MAX-merge two register frames (the HLL union operation): the
+    merged sketch is EXACTLY the sketch of the concatenated inputs —
+    no approximation stacks up across merges, so a register frame
+    maintained over N micro-batches equals the from-scratch recompute
+    frame row-for-row (the streaming/incremental.py recompute-equality
+    discipline, applied to sketch state)."""
+    groups = list(group_cols)
+    return (
+        state.unionByName(batch)
+        .groupBy(*groups, "__bkt")
+        .agg(F.max("__m").alias("__m"))
+    )
+
+
+def hll_estimate_from_registers(
+    regs: DataFrame,
+    group_cols: Sequence[str],
+    *,
+    b: int = DEFAULT_B,
+    est_col: str = "est_distinct",
+) -> DataFrame:
+    """Estimator tail over a register frame — shared by the one-shot
+    hll_distinct and the incremental path, so a merged state frame
+    yields the identical estimate expression (same folded literals as
+    the SQL twin)."""
     m = _m(b)
     alpha = hll_alpha(b)
     # pre-folded numerator: alpha_m * m^2 * 2^33 (same decimal literal
     # lands in the SQL twin via hll_estimator_sql)
     c_num = alpha * m * m * float(_POW2_33)
     groups = list(group_cols)
-    bucket, rho = hll_register_columns(F.col(value_col), b=b)
-    regs = (
-        df.select(*groups, bucket.alias("__bkt"), rho.alias("__rho"))
-        .groupBy(*groups, "__bkt")
-        .agg(F.max("__rho").alias("__m"))
-    )
     per_group = regs.groupBy(*groups).agg(
         F.count("*").cast("long").alias("__present"),
         F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), 33 - __m)")).alias(

@@ -157,3 +157,55 @@ def test_plan_is_two_aggregations_no_python(spark):
     )
     assert "BatchEvalPython" not in plan and "PythonUDF" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_incremental_register_merge_equals_recompute(spark):
+    # maintain registers across 3 "micro-batches"; the merged state
+    # must equal the from-scratch register frame ROW-FOR-ROW, and the
+    # estimate over it must equal the one-shot estimate exactly
+    from firmable_aus_etl_spark.operators.cardinality import (
+        hll_estimate_from_registers,
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    batches = [
+        [f"a{i}" for i in range(300)],
+        [f"b{i}" for i in range(300)] + [f"a{i}" for i in range(50)],
+        [f"c{i}" for i in range(200)],
+    ]
+    state = hll_registers(_vals(spark, batches[0]), ["g"], "v")
+    for batch in batches[1:]:
+        state = hll_merge_registers(
+            state, hll_registers(_vals(spark, batch), ["g"], "v"), ["g"]
+        )
+    full = hll_registers(
+        _vals(spark, [v for b in batches for v in b]), ["g"], "v"
+    )
+    assert sorted(tuple(r) for r in state.collect()) == sorted(
+        tuple(r) for r in full.collect()
+    )
+    est_inc = hll_estimate_from_registers(state, ["g"]).collect()[0]
+    est_full = hll_distinct(
+        _vals(spark, [v for b in batches for v in b]), ["g"], "v"
+    ).collect()[0]
+    assert est_inc.asDict() == est_full.asDict()
+
+
+def test_merge_is_idempotent_and_commutative(spark):
+    from firmable_aus_etl_spark.operators.cardinality import (
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    ra = hll_registers(_vals(spark, [f"a{i}" for i in range(100)]), ["g"], "v")
+    rb = hll_registers(_vals(spark, [f"b{i}" for i in range(100)]), ["g"], "v")
+    ab = sorted(tuple(r) for r in hll_merge_registers(ra, rb, ["g"]).collect())
+    ba = sorted(tuple(r) for r in hll_merge_registers(rb, ra, ["g"]).collect())
+    aa = sorted(
+        tuple(r)
+        for r in hll_merge_registers(
+            hll_merge_registers(ra, rb, ["g"]), ra, ["g"]
+        ).collect()
+    )
+    assert ab == ba == aa

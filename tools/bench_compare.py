@@ -89,6 +89,9 @@ COMPARE = [
     "tfidf_cosine_simhash_top1",
     # round-8: BM25 top-k retrieval serving join
     "bm25_search_top10",
+    # round-8b: portable-HLL cardinality sketches
+    "hll_distinct_tokens_by_source",
+    "hll_distinct_bigrams_by_source",
 ]
 
 
