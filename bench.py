@@ -78,6 +78,8 @@ HEADLINE = [
     "ngram_jaccard_pruned_near_dups",  # auto df-pruned exact Jaccard (r7)
     "tfidf_cosine_simhash_top1",  # weighted sign-LSH cosine scale route (r8)
     "bm25_search_top10",          # BM25 top-k retrieval serving join (r8)
+    "bloom_decontaminate_documents",  # broadcast-bloom decontamination (r8)
+    "cms_gram_counts_top50",      # count-min frequency sketch (r8)
 ]
 
 # Iterations of the sentinel loop; the reference time was calibrated

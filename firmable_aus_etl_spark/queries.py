@@ -2486,6 +2486,208 @@ def q_hll_distinct_bigrams_by_source(spark: SparkSession, sf_dir: str) -> DataFr
     return est.join(exact, "source")
 
 
+def _bloom_decon_oracle() -> str:
+    from firmable_aus_etl_spark.operators.bloomfilter import (
+        bloom_positions_sql,
+    )
+
+    pos_list = bloom_positions_sql("g")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, array_to_string(w[i : i + 7], ' ') AS g
+  FROM (SELECT doc_id, source, w,
+               unnest(generate_series(1, len(w) - 7)) AS i
+        FROM toks WHERE len(w) >= 8)
+),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+train AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'),
+positions AS (
+  SELECT DISTINCT pos
+  FROM (SELECT unnest({pos_list}) AS pos FROM eval_g)
+),
+tg AS (SELECT DISTINCT g FROM train),
+probe AS (
+  SELECT g, pos
+  FROM (SELECT g, unnest({pos_list}) AS pos FROM tg)
+),
+pos_g AS (
+  SELECT g FROM probe JOIN positions USING (pos)
+  GROUP BY g HAVING count(*) = 3
+),
+flagged AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_flagged_grams
+  FROM train t JOIN pos_g p ON t.g = p.g GROUP BY t.doc_id
+),
+exact AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_true_grams
+  FROM train t JOIN eval_g e ON t.g = e.g GROUP BY t.doc_id
+)
+SELECT f.doc_id, n_flagged_grams,
+       coalesce(n_true_grams, CAST(0 AS BIGINT)) AS n_true_grams
+FROM flagged f LEFT JOIN exact ON f.doc_id = exact.doc_id
+"""
+
+
+@register("bloom_decontaminate_documents", _bloom_decon_oracle())
+def q_bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a PORTABLE broadcast Bloom filter
+    (operators/bloomfilter.py) — the scale twin of
+    decontaminate_documents: instead of shuffling every training
+    8-gram into an equi-join against the eval set, the eval set's
+    bloom positions broadcast and the corpus grams probe MAP-SIDE;
+    only per-gram hit counts and per-doc rollups go wide. False
+    positives flag clean docs (the conservative direction) at the
+    designed (1 - e^(-k n / m))^k rate, and because every bit position
+    is an md5 slice the FP SET ITSELF is deterministic — the DuckDB
+    twin reproduces it gram-for-gram, so the oracle gates the filter's
+    error behavior, not just its happy path. n_true_grams (the exact
+    join) rides along as the FP exhibit — at 100 TB you drop that
+    column; here it makes every false flag visible
+    (n_flagged > n_true = bloom FP, identical in both engines).
+    reference scope: extract/clean governance next to
+    q_decontaminate_documents (same eval fixture: source src0)."""
+    from firmable_aus_etl_spark.operators.bloomfilter import (
+        bloom_build,
+        bloom_contains,
+    )
+    from firmable_aus_etl_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower(F.trim("text")), " ").alias("w")
+    ).filter(F.size("w") >= 8)
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 7),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 8)),
+            )
+        ).alias("g"),
+    )
+    eval_g = grams.filter(F.col("source") == "src0").select("g").distinct()
+    train = (
+        grams.filter(F.col("source") != "src0")
+        .select("doc_id", "g")
+        .distinct()
+    )
+    positions = bloom_build(eval_g, "g")
+    pos_g = bloom_contains(train.select("g").distinct(), "g", positions)
+    flagged = (
+        train.join(pos_g, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_flagged_grams"))
+    )
+    exact = (
+        train.join(eval_g, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_true_grams"))
+    )
+    return flagged.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_flagged_grams",
+        F.coalesce(F.col("n_true_grams"), F.lit(0).cast("long")).alias(
+            "n_true_grams"
+        ),
+    )
+
+
+def _cms_oracle() -> str:
+    from firmable_aus_etl_spark.operators.countmin import (
+        DEFAULT_D,
+        cms_buckets_sql,
+    )
+
+    bl = cms_buckets_sql("t")
+    pair_rows = " UNION ALL ".join(
+        f"SELECT t, {r} AS row_, b[{r + 1}] AS bucket FROM tb"
+        for r in range(DEFAULT_D)
+    )
+    return f"""
+WITH d AS (SELECT {_TOKENS_SQL} AS w FROM documents),
+tok AS (
+  SELECT array_to_string(w[i : i + 3], ' ') AS t
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 3)) AS i
+        FROM d WHERE len(w) >= 4)
+),
+tb AS (SELECT t, {bl} AS b FROM tok),
+pairs AS ({pair_rows}),
+counters AS (
+  SELECT row_, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY row_, bucket
+),
+exact AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS exact_count
+  FROM tok GROUP BY t
+  ORDER BY exact_count DESC, t LIMIT 50
+),
+probe AS ({" UNION ALL ".join(
+    f"SELECT e.t, {r} AS row_, {cms_buckets_sql('e.t')}[{r + 1}] AS bucket, "
+    f"exact_count FROM exact e"
+    for r in range(DEFAULT_D)
+)}),
+est AS (
+  SELECT p.t, min(exact_count) AS exact_count,
+         CAST(min(cnt) AS BIGINT) AS est_count
+  FROM probe p JOIN counters c
+    ON p.row_ = c.row_ AND p.bucket = c.bucket
+  GROUP BY p.t HAVING count(*) = {DEFAULT_D}
+)
+SELECT t, exact_count, est_count FROM est
+"""
+
+
+@register("cms_gram_counts_top50", _cms_oracle())
+def q_cms_gram_counts_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-estimated frequencies of the 50 most frequent token
+    4-GRAMS next to their exact counts (operators/countmin.py) — the
+    frequency-sketch sibling of the HLL/Bloom queries, completing the
+    portable sketch family under the oracle gate. 4-grams (not
+    unigrams) so the counter load is real: ~12 values per bucket at
+    sf0.01, which makes the sketch's allowed OVER-estimates
+    (est >= exact, never below) actually occur — and because every
+    counter is an integer sum over md5-derived buckets, the over-count
+    on each gram is deterministic and hash-matches the SQL twin. The
+    counter frame is d x 4096 integer sums (map-side combined to
+    sketch size before the shuffle, addition-mergeable across
+    batches); estimates are integer MINs over broadcast counters.
+    exact_count rides along as the error exhibit — at 100 TB you keep
+    the sketch and drop the exact groupBy.
+    reference scope: the profiling counts of data_quality_checks.py at
+    sketch cost; SURVEY §4 governance family."""
+    from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.countmin import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(T.tokens("text").alias("w")).filter(F.size("w") >= 4)
+    tok = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 3),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 4)),
+            )
+        ).alias("t")
+    )
+    counters = cms_build(tok, "t")
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "t")
+        .limit(50)
+    )
+    est = cms_estimate(exact.select("t"), "t", counters)
+    return exact.join(est, "t").select("t", "exact_count", "est_count")
+
+
 # =========================================================================
 # Scalar-function coverage (SURVEY §2.9): f5-f10, f13-f17 as queries.
 # =========================================================================

@@ -566,6 +566,77 @@ def read_distinct_view(spark: SparkSession, state_dir: str) -> DataFrame:
     )
 
 
+def incremental_portable_distinct_stream(
+    stream: DataFrame,
+    state_dir: str,
+    *,
+    keys: list[str],
+    value_col: str,
+    checkpoint: str,
+    b: int = 8,
+):
+    """The PORTABLE-register twin of incremental_distinct_stream:
+    state is the operators/cardinality register FRAME
+    (keys..., __bkt, __m) instead of Spark's engine-private
+    hll_sketch binary — so the maintained state is (a) readable by any
+    engine, (b) hash-comparable against the oracle-gated batch
+    estimator, and (c) EXACTLY equal to the from-scratch register
+    frame after any number of micro-batches (max-merge is lossless —
+    proven in tests/test_cardinality.py), where the binary-sketch
+    variant can only promise estimate-level agreement. Same
+    batch-id-versioned parent scheme as incremental_agg_stream, so
+    foreachBatch replays re-derive from the same parent and stay
+    idempotent. <= 2^b rows per key regardless of stream volume."""
+    from firmable_aus_etl_spark.operators.cardinality import (
+        hll_merge_registers,
+        hll_registers,
+    )
+
+    def on_batch(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        part = hll_registers(batch, keys, value_col, b=b)
+        parents = [
+            v
+            for d in glob.glob(os.path.join(state_dir, "v*"))
+            if (m := re.fullmatch(r"v(\d+)", os.path.basename(d)))
+            and (v := int(m.group(1))) < batch_id
+            and os.path.exists(os.path.join(d, "_SUCCESS"))
+        ]
+        if parents:
+            prev = spark.read.parquet(
+                os.path.join(state_dir, f"v{max(parents)}")
+            )
+            merged = hll_merge_registers(prev, part, keys)
+        else:
+            merged = part
+        merged.write.mode("overwrite").parquet(
+            os.path.join(state_dir, f"v{batch_id}")
+        )
+
+    return (
+        stream.writeStream.foreachBatch(on_batch)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )
+
+
+def read_portable_distinct_view(
+    spark: SparkSession, state_dir: str, *, b: int = 8
+) -> DataFrame:
+    """Latest portable-register distinct view: per-key estimate via
+    the SAME estimator expression the oracle-gated batch queries use
+    (cardinality.hll_estimate_from_registers) — streaming and batch
+    answers are bit-identical, not merely close."""
+    from firmable_aus_etl_spark.operators.cardinality import (
+        hll_estimate_from_registers,
+    )
+
+    regs = read_agg_view(spark, state_dir)
+    keys = [c for c in regs.columns if c not in ("__bkt", "__m")]
+    return hll_estimate_from_registers(regs, keys, b=b)
+
+
 # ------------------------------------------------------------------
 # Incrementally-maintained corpus composition report
 # ------------------------------------------------------------------

@@ -658,3 +658,50 @@ def test_span_view_replay_idempotent(spark, tmp_path):
     after = sorted(map(tuple, read_span_view(spark, state).collect()))
     assert after == before
     assert before == _span_recompute(spark, batches[0] + batches[1])
+
+
+def test_incremental_portable_distinct_equals_batch_exactly(spark, tmp_path):
+    """The portable-register twin's promise is STRONGER than the
+    binary-sketch view's: after any number of micro-batches the state
+    frame equals the from-scratch register frame row-for-row, so the
+    streaming estimate is bit-identical to the oracle-gated batch
+    estimator — not merely within sketch error."""
+    import time
+
+    from firmable_aus_etl_spark.operators.cardinality import hll_distinct
+    from firmable_aus_etl_spark.streaming.incremental import (
+        incremental_portable_distinct_stream,
+        read_portable_distinct_view,
+    )
+
+    ev = load_table(spark, SF, "events").select("event_type", "user_id")
+    src = str(tmp_path / "pdsrc")
+    # overlapping batches: same (type, user) pairs recur, so a
+    # sum-based or append-based merge would drift
+    for i in range(3):
+        ev.filter(F.pmod(F.xxhash64("user_id") + i, F.lit(3)) != 0).coalesce(
+            1
+        ).write.mode("append").parquet(src)
+        time.sleep(1.1)
+
+    state = str(tmp_path / "pdstate")
+    q = incremental_portable_distinct_stream(
+        spark.readStream.schema("event_type string, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src),
+        state,
+        keys=["event_type"],
+        value_col="user_id",
+        checkpoint=str(tmp_path / "pdckpt"),
+    )
+    q.awaitTermination(180)
+
+    got = sorted(
+        tuple(r)
+        for r in read_portable_distinct_view(spark, state).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in hll_distinct(ev, ["event_type"], "user_id").collect()
+    )
+    assert got == want

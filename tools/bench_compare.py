@@ -92,6 +92,11 @@ COMPARE = [
     # round-8b: portable-HLL cardinality sketches
     "hll_distinct_tokens_by_source",
     "hll_distinct_bigrams_by_source",
+    # round-8b: broadcast-bloom decontamination (scale twin of the
+    # exact-join decontaminate)
+    "bloom_decontaminate_documents",
+    # round-8b: count-min frequency sketch
+    "cms_gram_counts_top50",
 ]
 
 
