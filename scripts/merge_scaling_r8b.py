@@ -13,7 +13,10 @@ Inputs (idle-box passes, run in sequence — no concurrent JVMs):
    RE-MEASURED after the max_planes clamp was raised 12 -> 16 (the
    first syn10 pass caught the 12-plane clamp saturating: occupancy
    ~122 vs target 16, 287.7 s — that number is preserved in the note
-   below as the counterfactual; this pass's row replaces it).
+   below as the counterfactual; this pass's row replaces it);
+5. /tmp/scaling_r8b_sketches.out — the round-8b sketch family
+   (bloom decontamination, count-min, portable HLL) across the full
+   syn decade pair.
 
 Merge rule: start from SCALING_r8.json rows verbatim (those points
 were measured on the SAME box this round — the corpora are
@@ -95,9 +98,10 @@ def main() -> None:
     zipf10 = last_json("/tmp/scaling_r8b_zipf10.out")
     bm25 = last_json("/tmp/scaling_r8b_bm25.out")
     lsh16 = last_json("/tmp/scaling_r8b_lsh16.out")
+    sketches = last_json("/tmp/scaling_r8b_sketches.out")
 
     syn_extra: dict = {}
-    for src in (syn10, bm25, lsh16):
+    for src in (syn10, bm25, lsh16, sketches):
         for name, rows in src.get("results", {}).items():
             syn_extra.setdefault(name, {}).update(
                 {k: v for k, v in rows.items() if k != "alpha"}

@@ -51,6 +51,10 @@ SYN10_SET = {
     "minhash_verified_near_dups",  # LSH+verify pipeline
     "reference_pipeline_matches",  # the whole reference DAG
     "bm25_search_top10",           # retrieval serving join (linear index)
+    # round-8b sketches: bounded-state governance ops, expected ~linear
+    "bloom_decontaminate_documents",
+    "cms_gram_counts_top50",
+    "hll_distinct_tokens_by_source",
 }
 
 # syn3 (round-7): 1.5-decade fits for the designated scale paths only —
@@ -76,6 +80,10 @@ SYN3_SET = {
     "tfidf_cosine_routed",
     # round-8b: retrieval stays linear even where the join families cliff
     "bm25_search_top10",
+    # round-8b sketch family: full curves through syn3
+    "bloom_decontaminate_documents",
+    "cms_gram_counts_top50",
+    "hll_distinct_tokens_by_source",
 }
 
 # queries too expensive for min-of-N at their largest scale: one run,
@@ -174,6 +182,14 @@ QUERY_SET = [
     # probe; the fit documents that the serving join scales with the
     # corpus scan, not with candidate fan-out
     "bm25_search_top10",
+    # round-8b sketch family (ivf_ann_top3 deliberately NOT fitted at
+    # depth: its FIXED 16 cells make candidates ∝ nprobe*n^2/k_cells by
+    # construction — the oracle-literal clamp law of SCALING.md
+    # round-8b Finding 1; the measured deep-scale ANN route is the
+    # occupancy-sized multiprobe LSH)
+    "bloom_decontaminate_documents",
+    "cms_gram_counts_top50",
+    "hll_distinct_tokens_by_source",
 ]
 
 
