@@ -80,6 +80,7 @@ HEADLINE = [
     "bm25_search_top10",          # BM25 top-k retrieval serving join (r8)
     "bloom_decontaminate_documents",  # broadcast-bloom decontamination (r8)
     "cms_gram_counts_top50",      # count-min frequency sketch (r8)
+    "nb_language_confusion",      # trained NB classifier, oracle-gated (r8)
 ]
 
 # Iterations of the sentinel loop; the reference time was calibrated

@@ -2688,6 +2688,114 @@ def q_cms_gram_counts_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
     return exact.join(est, "t").select("t", "exact_count", "est_count")
 
 
+_NB_ORACLE = f"""
+WITH d AS (SELECT doc_id, lang, {_TOKENS_SQL} AS w FROM documents),
+tok AS (SELECT doc_id, lang, unnest(w) AS t FROM d),
+tr AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+te AS (SELECT * FROM tok WHERE doc_id % 5 = 0),
+cnt AS (SELECT lang, t, count(*) AS c FROM tr GROUP BY 1, 2),
+model AS (
+  SELECT lang, t,
+         CAST(floor(ln(CAST(c AS DOUBLE) + 1.0) * 1000000.0 + 0.5)
+              AS BIGINT) AS u_tok
+  FROM cnt
+),
+totals AS (
+  SELECT lang, count(*) AS tc, count(DISTINCT doc_id) AS n_docs
+  FROM tr GROUP BY lang
+),
+vocab AS (
+  SELECT count(DISTINCT t) AS v, count(DISTINCT doc_id) AS docs_total
+  FROM tr
+),
+classes AS (
+  SELECT lang,
+         CAST(floor(ln(CAST(n_docs AS DOUBLE) / docs_total)
+              * 1000000.0 + 0.5) AS BIGINT) AS u_prior,
+         CAST(floor(ln(CAST(tc + v AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS u_den
+  FROM totals CROSS JOIN vocab
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM te GROUP BY 1, 2),
+ntok AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+partial AS (
+  SELECT tf.doc_id, m.lang, CAST(sum(tf * u_tok) AS BIGINT) AS u_part
+  FROM tf JOIN model m ON tf.t = m.t GROUP BY 1, 2
+),
+grid AS (
+  SELECT doc_id, n, lang, u_prior, u_den FROM ntok CROSS JOIN classes
+),
+scored AS (
+  SELECT g.doc_id, g.lang,
+         coalesce(u_part, CAST(0 AS BIGINT)) - n * u_den + u_prior
+           AS score_units
+  FROM grid g
+  LEFT JOIN partial p ON g.doc_id = p.doc_id AND g.lang = p.lang
+),
+pred AS (
+  SELECT doc_id, lang AS predicted FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_units DESC, lang) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+truth AS (SELECT DISTINCT doc_id, lang AS true_lang FROM te)
+SELECT true_lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM truth JOIN pred ON truth.doc_id = pred.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("nb_language_confusion", _NB_ORACLE)
+def q_nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRAINED model under the oracle gate: multinomial Naive Bayes
+    (operators/nbayes.py) learns P(token|lang) from an 80% doc-id
+    split of the corpus and predicts the held-out 20%; output is the
+    (true_lang, predicted, n_docs) confusion matrix. NB training is
+    counting, so the trained parameters, the per-class integer-unit
+    scores, and every argmax decision replay in DuckDB bit-for-bit —
+    the engine's proof that in-pipeline ML need not leave the
+    correctness gate (heuristic language-ID lives in
+    language_id_confusion; the injectable LLM stage in pipelines.py).
+    On this fixture text is language-independent by construction, so
+    the learned model predicts near-priors — the GATE checks the
+    machinery, and tests/test_nbayes.py proves the same code reaches
+    100% accuracy on separable classes. Scale shape: training is one
+    linear pass (groupBy class,token + tiny aggregates); the sparse
+    model broadcasts to the scoring join; scored docs never shuffle
+    for the model."""
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+    from firmable_aus_etl_spark.operators.nbayes import (
+        nb_predict,
+        nb_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(normalize_name(F.col("text")), " ")).alias("t"),
+    )
+    tr = tok.filter(F.col("doc_id") % 5 != 0)
+    te = tok.filter(F.col("doc_id") % 5 == 0)
+    model, classes = nb_train(tr, class_col="lang", token_col="t")
+    pred = nb_predict(
+        te.select("doc_id", "t"),
+        model,
+        classes,
+        doc_col="doc_id",
+        token_col="t",
+        class_col="lang",
+    )
+    truth = te.select("doc_id", F.col("lang").alias("true_lang")).distinct()
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", F.col("predicted"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
+
 # =========================================================================
 # Scalar-function coverage (SURVEY §2.9): f5-f10, f13-f17 as queries.
 # =========================================================================

@@ -97,6 +97,8 @@ COMPARE = [
     "bloom_decontaminate_documents",
     # round-8b: count-min frequency sketch
     "cms_gram_counts_top50",
+    # round-8b: trained multinomial NB under the oracle gate
+    "nb_language_confusion",
 ]
 
 
