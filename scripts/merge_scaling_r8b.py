@@ -16,7 +16,9 @@ Inputs (idle-box passes, run in sequence — no concurrent JVMs):
    below as the counterfactual; this pass's row replaces it);
 5. /tmp/scaling_r8b_sketches.out — the round-8b sketch family
    (bloom decontamination, count-min, portable HLL) across the full
-   syn decade pair.
+   syn decade pair;
+6. /tmp/scaling_r8b_nb.out — the trained NB confusion query across
+   the same scales.
 
 Merge rule: start from SCALING_r8.json rows verbatim (those points
 were measured on the SAME box this round — the corpora are
@@ -99,9 +101,10 @@ def main() -> None:
     bm25 = last_json("/tmp/scaling_r8b_bm25.out")
     lsh16 = last_json("/tmp/scaling_r8b_lsh16.out")
     sketches = last_json("/tmp/scaling_r8b_sketches.out")
+    nb = last_json("/tmp/scaling_r8b_nb.out")
 
     syn_extra: dict = {}
-    for src in (syn10, bm25, lsh16, sketches):
+    for src in (syn10, bm25, lsh16, sketches, nb):
         for name, rows in src.get("results", {}).items():
             syn_extra.setdefault(name, {}).update(
                 {k: v for k, v in rows.items() if k != "alpha"}

@@ -55,6 +55,8 @@ SYN10_SET = {
     "bloom_decontaminate_documents",
     "cms_gram_counts_top50",
     "hll_distinct_tokens_by_source",
+    # round-8b: NB training+scoring — one counting pass + broadcast probe
+    "nb_language_confusion",
 }
 
 # syn3 (round-7): 1.5-decade fits for the designated scale paths only —
@@ -84,6 +86,7 @@ SYN3_SET = {
     "bloom_decontaminate_documents",
     "cms_gram_counts_top50",
     "hll_distinct_tokens_by_source",
+    "nb_language_confusion",
 }
 
 # queries too expensive for min-of-N at their largest scale: one run,
@@ -190,6 +193,7 @@ QUERY_SET = [
     "bloom_decontaminate_documents",
     "cms_gram_counts_top50",
     "hll_distinct_tokens_by_source",
+    "nb_language_confusion",
 ]
 
 
