@@ -204,7 +204,16 @@ def hll_estimate_from_registers(
         )
         .when(
             raw > F.lit(_POW2_32F / 30.0),
-            -F.lit(_POW2_32F) * F.log(F.lit(1.0) - raw / F.lit(_POW2_32F)),
+            # clamp raw strictly below 2^32: the 32-bit correction's
+            # domain is raw < 2^32 (ln of a non-positive otherwise);
+            # alpha*m^2*2^33/min_sum can exceed it in principle, and a
+            # silent NaN would replay in BOTH engines — same least()
+            # literal in the SQL twin (round-8 ADVICE)
+            -F.lit(_POW2_32F)
+            * F.log(
+                F.lit(1.0)
+                - F.least(raw, F.lit(_POW2_32F - 1.0)) / F.lit(_POW2_32F)
+            ),
         )
         .otherwise(raw)
     )
@@ -276,7 +285,7 @@ hll_out AS (
            WHEN raw <= {lin_gate} AND zeros > 0
              THEN {mf} * ln({mf} / zeros)
            WHEN raw > {large_gate}
-             THEN -{p32} * ln(1.0 - raw / {p32})
+             THEN -{p32} * ln(1.0 - least(raw, {repr(_POW2_32F - 1.0)}) / {p32})
            ELSE raw
          END, 4) AS {est_col},
          present AS buckets_used

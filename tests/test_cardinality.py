@@ -209,3 +209,34 @@ def test_merge_is_idempotent_and_commutative(spark):
         ).collect()
     )
     assert ab == ba == aa
+
+
+def test_large_range_correction_domain_is_clamped(spark):
+    # adversarial register state: every bucket present at the maximum
+    # rho (33), so sum_int collapses to m and raw = alpha*m^2*2^33/m
+    # >> 2^32 — outside the 32-bit correction's ln(1 - raw/2^32)
+    # domain. Before the round-8 ADVICE clamp this produced ln of a
+    # negative number (NaN) in BOTH engines identically, which the
+    # oracle gate can never catch; the least(raw, 2^32-1) clamp keeps
+    # the estimate finite. Expected value recomputed with the same
+    # double arithmetic here.
+    from firmable_aus_etl_spark.operators.cardinality import (
+        hll_alpha,
+        hll_estimate_from_registers,
+        hll_estimator_sql,
+    )
+
+    m = 1 << 8  # DEFAULT_B = 8
+    regs = spark.createDataFrame(
+        [("a", i, 33) for i in range(m)], "g string, __bkt int, __m int"
+    )
+    row = hll_estimate_from_registers(regs, ["g"]).collect()[0]
+    est = row["est_distinct"]
+    assert est is not None and not math.isnan(est) and est > 0
+    p32 = float(1 << 32)
+    raw = hll_alpha(8) * m * m * float(1 << 33) / m
+    assert raw > p32  # the fixture really is outside the domain
+    want = -p32 * math.log(1.0 - min(raw, p32 - 1.0) / p32)
+    assert est == pytest.approx(round(want, 4), rel=1e-9)
+    # the SQL twin carries the identical clamp literal
+    assert "least(raw, 4294967295.0)" in hll_estimator_sql("r", ["g"], "v")

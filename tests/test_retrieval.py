@@ -53,8 +53,11 @@ def test_scores_match_hand_computed_bm25(spark):
         # engine floors each contribution to 1e-6 units
         assert abs(rows[doc]["score"] - want) <= 1e-6
     # longer doc with higher tf: ranking is a genuine comparison,
-    # assert it rather than assuming
-    assert rows[1]["rank"] == 1 if rows[1]["score"] > rows[2]["score"] else 2
+    # assert BOTH docs' ranks under whichever score order holds
+    if rows[1]["score"] > rows[2]["score"]:
+        assert rows[1]["rank"] == 1 and rows[2]["rank"] == 2
+    else:
+        assert rows[2]["rank"] == 1 and rows[1]["rank"] == 2
 
 
 def test_multi_term_scores_sum_per_term(spark):
