@@ -86,6 +86,8 @@ def write_webdataset(
     cols = list(members)
     exts = dict(members)
     key_f = F.col(key_col)
+    from pyspark import TaskContext
+
     staged = (
         df.select(
             key_f.cast("string").alias("__key"),
@@ -104,9 +106,19 @@ def write_webdataset(
         .repartition(n_shards, "__shard")
         .sortWithinPartitions("__shard", "__key")
     )
-    os.makedirs(path, exist_ok=True)
-
     def write_partition(rows) -> Iterator[str]:
+        # task-commit protocol (round-8 ADVICE): each shard is staged
+        # to a temp name carrying the TaskContext attempt id, fsynced,
+        # then os.rename'd to its final name — atomic on a POSIX
+        # shared FS. A retried or speculative attempt therefore never
+        # interleaves bytes with another attempt's write (each attempt
+        # owns its temp file), an attempt killed mid-write leaves only
+        # a `.tmp*` file the reader's `shard-*.tar` glob ignores, and
+        # the last rename wins with IDENTICAL bytes (the shard content
+        # is a pure function of its rows — byte-determinism test).
+        ctx = TaskContext.get()
+        attempt = ctx.taskAttemptId() if ctx is not None else 0
+        os.makedirs(path, exist_ok=True)  # executor-side, not driver
         cur_shard = None
         tar = None
         buf = None
@@ -117,8 +129,13 @@ def write_webdataset(
                 return None
             tar.close()
             name = f"shard-{cur_shard:05d}.tar"
-            with open(os.path.join(path, name), "wb") as f:
+            tmp = os.path.join(path, f".{name}.tmp-{attempt}")
+            final = os.path.join(path, name)
+            with open(tmp, "wb") as f:
                 f.write(buf.getvalue())
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, final)
             tar = buf = None
             return name
 
@@ -154,19 +171,42 @@ def write_webdataset(
             lambda rows: write_partition(rows)
         ).collect()
     )
+    # job-level commit marker, written only after every task committed
+    # its shards (the Spark file-sink convention); readers MAY gate on
+    # it, and read_webdataset's glob independently ignores temp files.
+    os.makedirs(path, exist_ok=True)
+    with open(os.path.join(path, "_SUCCESS"), "w") as f:
+        f.write("\n".join(names))
     return names
 
 
 def read_webdataset(
-    spark: SparkSession, path: str, *, members: dict[str, str]
+    spark: SparkSession,
+    path: str,
+    *,
+    members: dict[str, str],
+    on_corrupt: str = "fail",
 ) -> DataFrame:
     """Read tar shards back into one row per sample key. ``members``
     is the same column->extension map the writer took; missing members
     come back null. Tar walking is stdlib-in-executor (binaryFile +
     mapInPandas, the warc.py fetchless pattern) — shards stream
-    through Arrow batches, never the driver."""
+    through Arrow batches, never the driver.
+
+    Only COMMITTED shards are read: the glob matches the writer's
+    final ``shard-*.tar`` names, so in-flight ``.tmp-{attempt}``
+    stage files from a concurrent or failed write are invisible
+    (temp-and-rename commit protocol on the write side).
+
+    ``on_corrupt``: ``"fail"`` (default) raises on a truncated or
+    corrupted tar; ``"skip"`` drops the WHOLE damaged shard — never a
+    partial sample set from it, so a salvage read sees only shards
+    whose every member parsed (samples are per-shard by construction:
+    the writer maps each key to exactly one shard)."""
     import pandas as pd
 
+    if on_corrupt not in ("fail", "skip"):
+        raise ValueError(f"on_corrupt must be 'fail' or 'skip': {on_corrupt}")
     ext_to_col = {v: k for k, v in members.items()}
     binary_cols = set(members)
     fields = ", ".join(f"{c} binary" for c in members)
@@ -177,16 +217,40 @@ def read_webdataset(
             out: list[dict] = []
             for blob in pdf["content"]:
                 samples: dict[str, dict] = {}
-                with tarfile.open(fileobj=io.BytesIO(bytes(blob))) as tar:
-                    for info in tar:
-                        if not info.isfile() or "." not in info.name:
-                            continue
-                        key, ext = info.name.rsplit(".", 1)
-                        col = ext_to_col.get(ext)
-                        if col is None:
-                            continue
-                        data = tar.extractfile(info).read()
-                        samples.setdefault(key, {})[col] = data
+                try:
+                    raw = bytes(blob)
+                    # stdlib tarfile treats a mid-archive EOF as end
+                    # of archive (SILENT sample loss), so integrity is
+                    # checked structurally first: every committed
+                    # shard is 512-aligned and ends with the two-zero-
+                    # block terminator (tarfile.close() guarantees it)
+                    if (
+                        len(raw) < 1024
+                        or len(raw) % 512
+                        or raw[-1024:] != b"\x00" * 1024
+                    ):
+                        raise tarfile.ReadError(
+                            "truncated tar: missing end-of-archive marker"
+                        )
+                    with tarfile.open(fileobj=io.BytesIO(raw)) as tar:
+                        for info in tar:
+                            if not info.isfile() or "." not in info.name:
+                                continue
+                            key, ext = info.name.rsplit(".", 1)
+                            col = ext_to_col.get(ext)
+                            if col is None:
+                                continue
+                            data = tar.extractfile(info).read()
+                            if len(data) != info.size:
+                                raise tarfile.ReadError(
+                                    f"truncated member {info.name}"
+                                )
+                            samples.setdefault(key, {})[col] = data
+                except (tarfile.TarError, EOFError) as exc:
+                    if on_corrupt == "fail":
+                        raise
+                    samples = {}  # drop the whole damaged shard
+                    _ = exc
                 for key in sorted(samples):
                     row = {"key": key}
                     for c in binary_cols:
@@ -200,7 +264,7 @@ def read_webdataset(
 
     blobs = (
         spark.read.format("binaryFile")
-        .option("pathGlobFilter", "*.tar")
+        .option("pathGlobFilter", "shard-*.tar")
         .load(path)
         .select("content")
     )

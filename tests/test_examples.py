@@ -103,3 +103,17 @@ def test_multimodal_pipeline_demo(spark, tmp_path):
     assert len([f for f in files if f.endswith(".jpg")]) == 1
     assert len([f for f in files if f.endswith(".gif")]) == 1
     assert len([f for f in files if f.endswith(".avi")]) == 1
+
+
+def test_webdataset_loader_demo(spark, tmp_path):
+    mod = _load("/root/repo/examples/run_webdataset_loader.py", "wds_demo")
+    old = sys.argv
+    sys.argv = [
+        "run_webdataset_loader.py",
+        "/root/testdata/sf0.001",
+        str(tmp_path / "wds_out"),
+    ]
+    try:
+        mod.main()  # asserts loader/spark-reader sample-set equality
+    finally:
+        sys.argv = old

@@ -125,3 +125,66 @@ def test_null_members_skipped(spark, tmp_path):
     assert back["k1"][1] is None
     assert back["k2"][0] is None
     assert bytes(back["k2"][1]) == b"\x01\x02"
+
+
+def test_commit_protocol_success_marker_and_no_temp_files(spark, tmp_path):
+    import glob
+    import os
+
+    out = str(tmp_path / "wds")
+    names = write_webdataset(
+        _docs(spark), out, key_col="doc_id", members=MEMBERS, n_shards=4
+    )
+    # no stage files survive a successful write; _SUCCESS lists shards
+    assert not glob.glob(os.path.join(out, ".*.tmp-*"))
+    marker = os.path.join(out, "_SUCCESS")
+    assert os.path.exists(marker)
+    assert open(marker).read().splitlines() == names
+
+
+def test_reader_ignores_inflight_temp_files(spark, tmp_path):
+    # a concurrent/killed attempt's stage file (garbage bytes under a
+    # .tmp-<attempt> name) must be invisible to the shard-*.tar glob
+    out = str(tmp_path / "wds")
+    write_webdataset(
+        _docs(spark, 30), out, key_col="doc_id", members=MEMBERS, n_shards=2
+    )
+    with open(f"{out}/.shard-00001.tar.tmp-99", "wb") as f:
+        f.write(b"\x00garbage not a tar\x00" * 10)
+    got = read_webdataset(spark, out, members=MEMBERS)
+    assert got.count() == 30  # garbage neither read nor fatal
+
+
+def test_corrupt_shard_fails_loud_by_default_and_skips_whole_shard(
+    spark, tmp_path
+):
+    import glob
+    import os
+
+    import pytest
+
+    out = str(tmp_path / "wds")
+    write_webdataset(
+        _docs(spark, 60), out, key_col="doc_id", members=MEMBERS, n_shards=3
+    )
+    shards = sorted(glob.glob(os.path.join(out, "shard-*.tar")))
+    assert len(shards) == 3
+    # truncate one shard mid-member (the killed-mid-write shape that
+    # the commit protocol prevents for OUR writer, but a foreign or
+    # pre-protocol shard can still present)
+    victim = shards[1]
+    blob = open(victim, "rb").read()
+    with open(victim, "wb") as f:
+        f.write(blob[: len(blob) // 2 + 7])
+    intact_keys = set()
+    for p in (shards[0], shards[2]):
+        with tarfile.open(p) as tar:
+            intact_keys |= {m.name.rsplit(".", 1)[0] for m in tar}
+    with pytest.raises(Exception, match="truncated tar"):
+        read_webdataset(spark, out, members=MEMBERS).count()
+    got = read_webdataset(spark, out, members=MEMBERS, on_corrupt="skip")
+    rows = got.collect()
+    # salvage read: every surviving sample is complete and comes from
+    # an intact shard only — never a partial sample set of the victim
+    assert {r["key"] for r in rows} == intact_keys
+    assert all(r["text"] is not None and r["payload"] is not None for r in rows)
