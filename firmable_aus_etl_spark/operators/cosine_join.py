@@ -475,6 +475,108 @@ def cosine_join_adaptive(
     )
 
 
+# Seed for the simhash plane-family affine hashes (distinct from the
+# minhash default so the two signature families are independent).
+SIMHASH_FAMILY_SEED = 0xC051E9A1
+
+# Widest banding the SQL twins bake their sizing CASE matrix for:
+# w = 24 covers corpora up to target_occupancy * 2^24 docs (268M at
+# the default 16) — an ORACLE-CAPACITY literal, not a tuning clamp.
+# auto_simhash_bands itself is unbounded; oracle-gated queries raise
+# LOUD past this instead of silently saturating (the round-8
+# constant-clamp lesson: a silent clamp on a size-derived rule is a
+# future cliff — tests/test_cosine_join.py pins the raise).
+SIMHASH_ORACLE_MAX_WIDTH = 24
+
+
+def simhash_plane_family(n_planes: int) -> list[tuple[int, int]]:
+    """Carter-Wegman (a, b) pairs defining the EXTENDED hyperplane
+    universe: plane i's +1/-1 component for token hash t is bit
+    (i mod 31) of (a_j * t + b_j) mod p with j = i div 31. Family 0
+    is the identity (1, 0) — bits of the raw md5 token hash, the
+    original 31-plane universe — and families j >= 1 re-hash the same
+    31-bit base (dedup's minhash move) so the plane count is unbounded
+    while every value stays < 2^62 under ANSI mode. PREFIX-STABLE in
+    n_planes (like vectors.make_planes): auto-sizing only chooses how
+    many of the same deterministic planes participate, which is what
+    lets the SQL twin bake the family once and filter planes < w*c."""
+    from firmable_aus_etl_spark.operators.dedup import _hash_family
+
+    n_fams = -(-n_planes // 31)
+    fams = [(1, 0)]
+    if n_fams > 1:
+        fams += _hash_family(n_fams - 1, seed=SIMHASH_FAMILY_SEED)
+    return fams
+
+
+def auto_simhash_bands(
+    n: int,
+    *,
+    target_occupancy: int = 16,
+    min_width: int = 8,
+    design_cosine: float = 0.95,
+    recall_target: float = 0.9,
+) -> tuple[int, int]:
+    """Occupancy-and-recall-sized (width, chunks) for the sign-LSH
+    banding — the SCALING.md round-8b law made executable (round-8
+    verdict Next #1; fixed 4x8 banding is a constant-factor 2^8
+    candidate reducer that saturates in its second decade, measured
+    zipf10 tail 1.87):
+
+      * width w grows with log2(n): the smallest w with expected
+        bucket width n / 2^w <= target_occupancy, the same pure
+        integer arithmetic as vectors.auto_n_planes (ceil-log2 via
+        bit_length — no libm, so an SQL CASE over integer thresholds
+        re-derives it exactly). Constant occupancy keeps the
+        per-chunk candidate join output ~linear in n instead of
+        quadratic. UNBOUNDED above — no clamp to saturate.
+      * chunks c restores recall at the design point: per-bit
+        agreement p = 1 - acos(design_cosine)/pi, banding recall
+        1 - (1 - p^w)^c, so c = ceil(ln(1-recall_target)/ln(1-p^w))
+        — the standard LSH amplification, c ~ n^(log2(1/p)) when
+        2^w ~ n (sublinear; total work ~ n^(1+rho), the published
+        sign-LSH exponent). Computed driver-side in Python floats and
+        BAKED as integer literals into the SQL twin's w -> c CASE, so
+        both engines run the identical (w, c).
+
+    Cost model at the default design point (0.95 / 0.9):
+    w=8 -> c=5, w=12 -> c=8, w=16 -> c=12, w=20 -> c=19 — signature
+    work n * w * c stays ~n^1.2, candidate work c * n * occupancy/2
+    ~n^1.2. Recall at cosines below design_cosine is lower (the
+    disclosed LSH trade); callers needing recall AT a low threshold
+    tau should size with design_cosine=tau and route to embedding-ANN
+    when the returned chunks exceed their budget (queries.py
+    tfidf_cosine_tau_routed)."""
+    raw = (max(1, -(-n // max(1, target_occupancy))) - 1).bit_length()
+    width = max(min_width, raw)
+    return width, simhash_chunks_for_width(
+        width, design_cosine=design_cosine, recall_target=recall_target
+    )
+
+
+def simhash_chunks_for_width(
+    width: int,
+    *,
+    design_cosine: float = 0.95,
+    recall_target: float = 0.9,
+) -> int:
+    """c = ceil(ln(1-recall)/ln(1-p^w)) at p = 1 - acos(design)/pi —
+    the amplification count that holds banding recall at the design
+    cosine for a given band width. Pure function of its arguments
+    (driver-side floats), shared by auto_simhash_bands and the SQL
+    twin generator so the w -> c literals baked into the oracle CASE
+    are the ones the Spark plan uses."""
+    import math
+
+    p = 1.0 - math.acos(design_cosine) / math.pi
+    return max(
+        1,
+        math.ceil(
+            math.log(1.0 - recall_target) / math.log(1.0 - p**width)
+        ),
+    )
+
+
 def weighted_simhash_candidates(
     wt: DataFrame,
     *,
@@ -482,22 +584,31 @@ def weighted_simhash_candidates(
     token_col: str,
     weight_col: str,
     block_cols: Sequence[str] = (),
-    n_bits: int = 31,
-    sig_bits: int = 32,
+    width: int = 8,
     chunks: int = 4,
 ) -> DataFrame:
     """Sign-LSH candidate pairs for WEIGHTED cosine similarity
     (Charikar, "Similarity Estimation Techniques from Rounding
-    Algorithms", STOC 2002): per signature bit b, hyperplane component
-    for token t is +1/-1 from bit b of the token's hash, so
-    bit_b(doc) = sign(sum_t w_t * (2*bit_b(h_t) - 1)) — an unbiased
+    Algorithms", STOC 2002): plane i's hyperplane component for token
+    t is +1/-1 from bit (i mod 31) of affine re-hash (i div 31) of
+    the token's 31-bit hash (simhash_plane_family), so
+    bit_i(doc) = sign(sum_t w_t * (2*bit_i(h(t)) - 1)) — an unbiased
     random projection of the tf-idf vector. Docs with cosine c agree
-    per bit with probability 1 - acos(c)/pi; banding ``chunks`` chunks
-    of ``sig_bits/chunks`` bits turns that into the standard LSH
-    recall curve (1 - (1 - p^width)^chunks — DISCLOSED, like minhash
-    banding's 1-(1-j^b)^r), and candidates come from per-chunk
-    equi-self-joins within ``block_cols``: hash-join cost, bucketed by
-    (block, chunk_id, chunk), never all-pairs.
+    per bit with probability 1 - acos(c)/pi; banding ``chunks`` bands
+    of ``width`` bits turns that into the standard LSH recall curve
+    1 - (1 - p^width)^chunks (DISCLOSED, like minhash banding), and
+    candidates come from per-band equi-self-joins within
+    ``block_cols``: hash-join cost, bucketed by (block, chunk_id,
+    chunk), never all-pairs.
+
+    (width, chunks) should come from :func:`auto_simhash_bands` at
+    scale — width widens with log2(n) so bucket occupancy (hence
+    candidate fan-out) stays constant, chunks restore recall at the
+    design cosine. The fixed default (8, 4) is the small-corpus
+    floor. Each band is its own value column (no packing into one
+    64-bit word), so the plane universe is unbounded; band values
+    need width <= 62 bits — i.e. corpora under occupancy * 2^62 docs,
+    unreachable.
 
     ``weight_col`` must be an INTEGER weight (e.g. (tf * 10^9) div df):
     the bit is a SIGN of a sum, which no output rounding can mask, so
@@ -516,37 +627,38 @@ def weighted_simhash_candidates(
     reaches (entity_matching_optimized.py:122-191 scores all pairs
     in-memory); SURVEY §4 custom work #4.
     """
+    if width > 62:
+        raise ValueError(f"band width {width} exceeds 62-bit band values")
     blocks = list(block_cols)
-    signed = [
-        F.sum(
-            F.col(weight_col)
-            * (
-                F.shiftright(F.col(token_col), b).bitwiseAND(F.lit(1)) * 2
-                - F.lit(1)
-            )
-        ).alias(f"__s{b}")
-        for b in range(n_bits)
-    ]
+    n_planes = width * chunks
+    fams = simhash_plane_family(n_planes)
+    p = F.lit(2147483647).cast("long")  # dedup._MERSENNE_31
+    t = F.col(token_col).cast("long")
+    signed = []
+    for i in range(n_planes):
+        j, b = divmod(i, 31)
+        a_j, b_j = fams[j]
+        hv = t if j == 0 else F.pmod(F.lit(a_j) * t + F.lit(b_j), p)
+        signed.append(
+            F.sum(
+                F.col(weight_col)
+                * (F.shiftright(hv, b).bitwiseAND(F.lit(1)) * 2 - F.lit(1))
+            ).alias(f"__s{i}")
+        )
     agg = wt.groupBy(id_col, *blocks).agg(*signed)
-    sig = None
-    for b in range(n_bits):
-        bit = F.shiftleft((F.col(f"__s{b}") > 0).cast("long"), b)
-        sig = bit if sig is None else sig.bitwiseOR(bit)
-    sigs = agg.select(id_col, *blocks, sig.alias("__sh"))
-    width = sig_bits // chunks
-    chunked = sigs.select(
+    band_vals = []
+    for c in range(chunks):
+        val = None
+        for b in range(width):
+            bit = F.shiftleft(
+                (F.col(f"__s{c * width + b}") > 0).cast("long"), b
+            )
+            val = bit if val is None else val.bitwiseOR(bit)
+        band_vals.append(val)
+    chunked = agg.select(
         F.col(id_col).alias("__id"),
         *blocks,
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright(F.col("__sh"), c * width).bitwiseAND(
-                        F.lit((1 << width) - 1)
-                    )
-                    for c in range(chunks)
-                ]
-            )
-        ).alias("chunk_id", "chunk"),
+        F.posexplode(F.array(*band_vals)).alias("chunk_id", "chunk"),
     )
     l, r = chunked.alias("l"), chunked.alias("r")
     on = [

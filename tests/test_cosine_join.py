@@ -327,15 +327,16 @@ def test_adaptive_stats_cache_skips_stats_job(spark):
 
 def test_weighted_simhash_candidates_python_parity(spark):
     """The weighted sign-LSH signature must match a direct Python
-    reference bit-for-bit (md5 31-bit token hash, integer milli-weight
-    sign sums) — the same exactness the DuckDB twin of
-    tfidf_cosine_simhash_top1 relies on — and exact-duplicate docs
-    must always be candidates (identical vectors -> identical
+    reference bit-for-bit (md5 31-bit token hash, affine plane family,
+    integer milli-weight sign sums) — the same exactness the DuckDB
+    twin of tfidf_cosine_simhash_top1 relies on — and exact-duplicate
+    docs must always be candidates (identical vectors -> identical
     signatures -> every chunk collides)."""
     import hashlib
     from collections import Counter
 
     from firmable_aus_etl_spark.operators.cosine_join import (
+        simhash_plane_family,
         weighted_simhash_candidates,
     )
     from firmable_aus_etl_spark.operators.dedup import (
@@ -363,17 +364,25 @@ def test_weighted_simhash_candidates_python_parity(spark):
         tfs.append((i, tf))
         for t in tf:
             df_counts[t] += 1
+    fams = simhash_plane_family(32)  # default width=8, chunks=4
+
+    def plane_bit(t: str, i: int) -> int:
+        j, b = divmod(i, 31)
+        a_j, b_j = fams[j]
+        hv = h31(t) if j == 0 else (a_j * h31(t) + b_j) % _MERSENNE_31
+        return (hv >> b) & 1
+
     expect_sig = {}
     for i, tf in tfs:
         sig = 0
-        for b in range(31):
+        for pl in range(32):
             s = sum(
                 (n * 1_000_000_000 // df_counts[t])
-                * (2 * ((h31(t) >> b) & 1) - 1)
+                * (2 * plane_bit(t, pl) - 1)
                 for t, n in tf.items()
             )
             if s > 0:
-                sig |= 1 << b
+                sig |= 1 << pl
         expect_sig[i] = sig
 
     rows = []
@@ -490,3 +499,120 @@ def test_routed_cosine_takes_exact_branch_on_sparse_corpus(spark, tmp_path):
     exact = sorted(map(tuple, Q.QUERIES["tfidf_cosine_top1"](spark, sf_dir).collect()))
     assert routed == exact
     assert routed, "paired docs share 11/12 tokens -> matches exist"
+
+
+def test_auto_simhash_bands_sizing_rule():
+    """The occupancy half is exact integer arithmetic (the SQL CASE
+    thresholds n <= 16*2^k must agree at every boundary), the
+    amplification half holds the design recall, and NOTHING clamps
+    the width (round-8 constant-clamp lesson: the rule is unbounded;
+    only oracle-gated queries carry a LOUD capacity raise)."""
+    import math
+
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        SIMHASH_ORACLE_MAX_WIDTH,
+        auto_simhash_bands,
+        simhash_chunks_for_width,
+    )
+
+    # boundary exactness: n = 16*2^k is the LAST n at width k
+    for k in range(9, 20):
+        assert auto_simhash_bands(16 * 2**k)[0] == k
+        assert auto_simhash_bands(16 * 2**k + 1)[0] == k + 1
+    # floor: tiny corpora stay at the small-corpus default width
+    assert auto_simhash_bands(1)[0] == 8
+    assert auto_simhash_bands(4096)[0] == 8
+    # occupancy target holds: expected bucket width <= 16
+    for n in (100, 4097, 65537, 10**6, 10**9):
+        w, c = auto_simhash_bands(n)
+        assert n / (1 << w) <= 16
+        assert c >= 1
+    # recall at the design point is restored by the chunk count
+    p = 1.0 - math.acos(0.95) / math.pi
+    for w in range(8, 25):
+        c = simhash_chunks_for_width(w)
+        assert 1 - (1 - p**w) ** c >= 0.9, (w, c)
+        # and c-1 would NOT suffice (c is minimal)
+        if c > 1:
+            assert 1 - (1 - p**w) ** (c - 1) < 0.9, (w, c)
+    # UNBOUNDED: no clamp at any scale
+    assert auto_simhash_bands(16 * 2**40)[0] == 40
+    # chunks monotone nondecreasing in width
+    cs = [simhash_chunks_for_width(w) for w in range(8, 30)]
+    assert all(a <= b for a, b in zip(cs, cs[1:]))
+    # the oracle matrix has real headroom over every driver fixture
+    # (saturation-guard: if testdata ever grows past 16*2^23 docs this
+    # fails before the capacity raise ever could)
+    assert auto_simhash_bands(10**7)[0] <= SIMHASH_ORACLE_MAX_WIDTH - 1
+
+
+def test_simhash_query_raises_loud_past_oracle_matrix(spark):
+    """Past the baked CASE matrix the registered query must RAISE, not
+    clamp — a silent clamp is the exact cliff class round 8 measured
+    (max_planes 12 -> 287.7 s at syn10)."""
+    import pytest
+
+    from firmable_aus_etl_spark import queries as Q
+
+    key = Q._tfidf_cache_key("/root/testdata/sf0.001")
+    old = Q._DOCS_COUNT_CACHE.get(key)
+    Q._DOCS_COUNT_CACHE[key] = 16 * 2**30  # past the 2^24 matrix
+    try:
+        with pytest.raises(RuntimeError, match="exceeds the"):
+            Q.q_tfidf_cosine_simhash_top1(spark, "/root/testdata/sf0.001")
+    finally:
+        if old is None:
+            Q._DOCS_COUNT_CACHE.pop(key, None)
+        else:
+            Q._DOCS_COUNT_CACHE[key] = old
+
+
+def test_simhash_banding_recall_on_planted_near_dups(spark):
+    """End-to-end recall property at the design point: planted
+    near-duplicate pairs (cosine >= ~0.95) must be recovered by the
+    auto-sized banding at well above the 0.9 design recall on this
+    fixture (exact dups collide with probability 1; the planted
+    one-token edits sit near cosine 0.97)."""
+    from collections import Counter
+
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        auto_simhash_bands,
+        weighted_simhash_candidates,
+    )
+    from firmable_aus_etl_spark.operators.dedup import md5_base_hash
+
+    # the pair-identifying token{i} (df=2) carries ~0.5 inv-df weight
+    # and dominates both vectors; the edited token flips between kappa
+    # and lambda (both df=40 -> weight 0.025), so each planted pair
+    # sits at cosine ~0.9975 — ABOVE the 0.95 design point
+    base = [
+        f"alpha beta gamma delta epsilon zeta eta theta token{i} iota"
+        for i in range(40)
+    ]
+    corpus = []
+    for i, text in enumerate(base):
+        corpus.append((2 * i, text + " kappa"))
+        corpus.append((2 * i + 1, text + " lambda"))
+    df_counts: Counter = Counter()
+    tfs = []
+    for i, text in corpus:
+        tf = Counter(text.split())
+        tfs.append((i, tf))
+        for t in tf:
+            df_counts[t] += 1
+    rows = [
+        (i, t, n * 1_000_000_000 // df_counts[t])
+        for i, tf in tfs
+        for t, n in tf.items()
+    ]
+    wt = spark.createDataFrame(rows, "doc_id long, s string, wi long")
+    wt = wt.select("doc_id", md5_base_hash(F.col("s")).alias("t"), "wi")
+    w, c = auto_simhash_bands(len(corpus))
+    cand = weighted_simhash_candidates(
+        wt, id_col="doc_id", token_col="t", weight_col="wi",
+        width=w, chunks=c,
+    )
+    got = {(r.a_id, r.b_id) for r in cand.collect()}
+    planted = {(2 * i, 2 * i + 1) for i in range(40)}
+    recall = len(got & planted) / len(planted)
+    assert recall >= 0.9, recall
