@@ -2056,7 +2056,8 @@ def _simhash_c_case_sql(
 
 
 def _simhash_fam_values_sql(
-    *, design_cosine: float = 0.95, recall_target: float = 0.9
+    *, design_cosine: float = 0.95, recall_target: float = 0.9,
+    max_width: int | None = None,
 ) -> str:
     """The affine plane-family (j, a, b) rows, baked for the LARGEST
     configuration the oracle matrix covers (prefix-stability: smaller
@@ -2067,8 +2068,9 @@ def _simhash_fam_values_sql(
         simhash_plane_family,
     )
 
-    max_planes = SIMHASH_ORACLE_MAX_WIDTH * simhash_chunks_for_width(
-        SIMHASH_ORACLE_MAX_WIDTH,
+    mw = SIMHASH_ORACLE_MAX_WIDTH if max_width is None else max_width
+    max_planes = mw * simhash_chunks_for_width(
+        mw,
         design_cosine=design_cosine,
         recall_target=recall_target,
     )
@@ -2086,6 +2088,7 @@ def _tfidf_simhash_oracle(
     design_cosine: float = 0.95,
     recall_target: float = 0.9,
     threshold: float = 0.7,
+    max_width: int | None = None,
 ) -> str:
     """DuckDB twin of the AUTO-SIZED weighted-SimHash cosine route
     (round-8 verdict Next #1): md5 31-bit token hashes, integer
@@ -2106,24 +2109,27 @@ def _tfidf_simhash_oracle(
         "i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS BIGINT))), "
         f"(a, b) -> a * 16 + b) % {p}"
     )
-    w_case = _simhash_w_case_sql(target, min_width)
+    w_case = _simhash_w_case_sql(target, min_width, max_width)
     c_case = _simhash_c_case_sql(
-        min_width, design_cosine=design_cosine, recall_target=recall_target
+        min_width, max_width,
+        design_cosine=design_cosine, recall_target=recall_target,
     )
     fam_vals = _simhash_fam_values_sql(
-        design_cosine=design_cosine, recall_target=recall_target
+        design_cosine=design_cosine, recall_target=recall_target,
+        max_width=max_width,
     )
     from firmable_aus_etl_spark.operators.cosine_join import (
         SIMHASH_ORACLE_MAX_WIDTH,
         simhash_chunks_for_width,
     )
 
+    mw = SIMHASH_ORACLE_MAX_WIDTH if max_width is None else max_width
     # constant series bound (DuckDB generate_series takes no subquery):
     # the largest plane universe the matrix covers, filtered to w*c
     max_planes_minus1 = (
-        SIMHASH_ORACLE_MAX_WIDTH
+        mw
         * simhash_chunks_for_width(
-            SIMHASH_ORACLE_MAX_WIDTH,
+            mw,
             design_cosine=design_cosine,
             recall_target=recall_target,
         )
@@ -2443,6 +2449,371 @@ def q_tfidf_cosine_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
     if stats["cand_mass"] <= _COSINE_ROUTE_CAP * stats["n_docs"]:
         return q_tfidf_cosine_top1(spark, sf_dir)
     return q_tfidf_cosine_simhash_top1(spark, sf_dir)
+
+
+# ---- tau~0.7 third routing branch (round-8 verdict Next #2) --------
+#
+# Amplification budget for the sign-LSH banding when recall is sized
+# AT the match threshold itself (design_cosine = tau): chunks grow as
+# ~(1/p)^w with p = 1-acos(tau)/pi, so at tau 0.7 (p ~ 0.747) the
+# required chunk count explodes with width — w=8 needs 23 chunks,
+# w=9 already 31. Past _TAU_CHUNK_BUDGET chunks the signature stage
+# (w*c sign sums per doc per plane) costs more than projecting the
+# tf-idf vector into a fixed 64-dim feature-hashed embedding and
+# running the measured deep-scale ANN champion (multiprobe sign-LSH,
+# 31.7 s / tail 0.66 at syn10 — SCALING_r8b), so the router dispatches
+# text -> embedding -> multiprobe-LSH there. 24 = the largest chunk
+# count where banding work w*c stays under ~200 planes, the point the
+# r8b curves put signature cost level with the embedding route's
+# projection+probe cost.
+_TAU_CHUNK_BUDGET = 24
+
+
+def _tau_budget_width(tau: float = 0.7) -> int:
+    """Largest band width whose tau-designed chunk count fits the
+    budget — bounds the simhash sub-oracle's baked matrix (beyond it
+    the branch is never taken, so its CASE rows would be dead SQL)."""
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        SIMHASH_ORACLE_MAX_WIDTH,
+        simhash_chunks_for_width,
+    )
+
+    ws = [
+        w
+        for w in range(8, SIMHASH_ORACLE_MAX_WIDTH + 1)
+        if simhash_chunks_for_width(w, design_cosine=tau) <= _TAU_CHUNK_BUDGET
+    ]
+    return ws[-1] if ws else 8
+
+
+def _tfidf_embed_ann_oracle(threshold: float = 0.7) -> str:
+    """DuckDB twin of the text->embedding->multiprobe-LSH branch: the
+    tf-idf term relation is feature-hashed into a dense 64-dim vector
+    with INTEGER milli-weight components (dim = t mod 64, sign = bit 6
+    of t — exact and order-independent in both engines, the simhash
+    integer-weights discipline), then the full multiprobe sign-LSH
+    candidate machinery of _multiprobe_lsh_oracle_auto replays (planes
+    and flip sets baked at max_planes=16, np from count(*) by integer
+    CASE, query-directed probe ranking with sig tie-break), candidate
+    pairs symmetrize via least/greatest, and the verify is the EXACT
+    tf-idf cosine over shared tokens — cross-block pairs drop out
+    because the token join requires equal (source, lang)."""
+    from firmable_aus_etl_spark.functions.vectors import (
+        make_planes,
+        multiprobe_flipsets,
+    )
+
+    p31 = dedup._MERSENNE_31
+    md5_sql = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS BIGINT))), "
+        f"(a, b) -> a * 16 + b) % {p31}"
+    )
+    rows = [
+        (t, i, p)
+        for t in range(6)
+        for i, p in enumerate(make_planes(64, 16, seed=42 + 1000 * t))
+    ]
+    fs_rows = []
+    for fs in multiprobe_flipsets(16, 2):
+        mask = sum(1 << b for b in fs)
+        b1 = fs[0] if len(fs) >= 1 else "NULL"
+        b2 = fs[1] if len(fs) >= 2 else "NULL"
+        fs_rows.append(f"(CAST({mask} AS BIGINT), {b1}, {b2})")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, lang, unnest({_TOKENS_SQL}) AS s FROM documents
+),
+tf AS (
+  SELECT doc_id, source, lang, s, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, source, lang, s
+),
+dfq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY s),
+w AS (
+  SELECT doc_id, source, lang, {md5_sql} AS t,
+         CAST(tf AS DOUBLE) * (1.0 / CAST(df AS DOUBLE)) AS wt,
+         (tf * 1000000000) // df AS wi
+  FROM tf JOIN dfq USING (s)
+),
+fh AS (
+  SELECT doc_id, CAST(t % 64 AS INTEGER) AS d,
+         CAST(sum(CASE WHEN ((t >> 6) & 1) = 1 THEN wi ELSE -wi END) AS BIGINT) AS val
+  FROM w GROUP BY 1, 2
+),
+dims AS (SELECT CAST(g.i AS INTEGER) AS d FROM generate_series(0, 63) AS g(i)),
+ids AS (SELECT DISTINCT doc_id FROM w),
+e AS (
+  SELECT ids.doc_id AS vec_id,
+         list(CAST(coalesce(fh.val, 0) AS DOUBLE) ORDER BY dims.d) AS v
+  FROM ids CROSS JOIN dims
+  LEFT JOIN fh ON fh.doc_id = ids.doc_id AND fh.d = dims.d
+  GROUP BY ids.doc_id
+),
+p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
+fs_all(mask, b1, b2) AS (VALUES {", ".join(fs_rows)}),
+np AS (SELECT {_np_case_sql(16, 6, 16)} AS np
+       FROM (SELECT count(*) AS n FROM documents)),
+fs AS (SELECT mask, b1, b2 FROM fs_all CROSS JOIN np
+       WHERE (b1 IS NULL OR b1 < np.np) AND (b2 IS NULL OR b2 < np.np)),
+d AS (SELECT e.vec_id, p.tbl, p.plane, list_dot_product(e.v, p.pvec) AS dot
+      FROM e CROSS JOIN p CROSS JOIN np WHERE p.plane < np.np),
+sig AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << plane)
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM d GROUP BY 1, 2
+),
+qc AS (
+  SELECT s.vec_id, s.tbl,
+         coalesce(abs(d1.dot), 0.0) + coalesce(abs(d2.dot), 0.0) AS cost,
+         xor(s.sig, fs.mask) AS probe_sig
+  FROM sig s
+  CROSS JOIN fs
+  LEFT JOIN d d1 ON d1.vec_id = s.vec_id AND d1.tbl = s.tbl AND d1.plane = fs.b1
+  LEFT JOIN d d2 ON d2.vec_id = s.vec_id AND d2.tbl = s.tbl AND d2.plane = fs.b2
+),
+pr AS (
+  SELECT vec_id, tbl, probe_sig FROM (
+    SELECT vec_id, tbl, probe_sig,
+           row_number() OVER (PARTITION BY vec_id, tbl
+                              ORDER BY cost, probe_sig) AS rnk
+    FROM qc) WHERE rnk <= 10
+),
+cand AS (
+  SELECT DISTINCT pr.vec_id AS qid, c.vec_id AS nid
+  FROM pr JOIN sig c ON pr.tbl = c.tbl AND pr.probe_sig = c.sig
+  WHERE c.vec_id <> pr.vec_id
+),
+pairs AS (
+  SELECT DISTINCT least(qid, nid) AS a_id, greatest(qid, nid) AS b_id
+  FROM cand
+),
+dots AS (
+  SELECT c.a_id, c.b_id, sum(a.wt * b.wt) AS dp
+  FROM pairs c
+  JOIN w a ON a.doc_id = c.a_id
+  JOIN w b ON b.doc_id = c.b_id AND b.t = a.t
+          AND b.source = a.source AND b.lang = a.lang
+  GROUP BY 1, 2
+),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+cos AS (
+  SELECT a_id, b_id, dp / (x.nrm * y.nrm) AS cosine
+  FROM dots JOIN nrm x ON a_id = x.doc_id JOIN nrm y ON b_id = y.doc_id
+),
+r AS (SELECT a_id, b_id, cosine,
+             row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+      FROM cos WHERE cosine >= {threshold})
+SELECT a_id, b_id, round(cosine, 6) AS cosine FROM r WHERE rn = 1
+"""
+
+
+def _tfidf_tau_routed_oracle() -> str:
+    """DuckDB twin of the tau-threshold ROUTE DECISION plus whichever
+    pipeline it picks (the third routing branch, round-8 Next #2):
+    the gate CTE re-derives the identical (width, required-chunks)
+    sizing — width from count(*) by integer CASE, chunks from the
+    baked tau-designed amplification table — and compares the chunk
+    count against the same _TAU_CHUNK_BUDGET literal. Both FULL
+    pipelines are embedded as gated subqueries, so a Spark/DuckDB
+    routing disagreement is a row-level mismatch."""
+    wb = _tau_budget_width(0.7)
+    simhash_body = _tfidf_simhash_oracle(
+        design_cosine=0.7, threshold=0.7, max_width=wb
+    ).strip().rstrip(";")
+    embed_body = _tfidf_embed_ann_oracle(0.7).strip().rstrip(";")
+    w_case = _simhash_w_case_sql(16, 8)
+    c_case = _simhash_c_case_sql(8, design_cosine=0.7, recall_target=0.9)
+    return f"""
+WITH feas AS (
+  SELECT ({c_case.replace("w =", "w0.w =")}) <= {_TAU_CHUNK_BUDGET} AS simhash_ok
+  FROM (SELECT {w_case} AS w
+        FROM (SELECT count(*) AS n FROM documents)) w0
+)
+SELECT * FROM ({simhash_body})
+WHERE (SELECT simhash_ok FROM feas)
+UNION ALL
+SELECT * FROM ({embed_body})
+WHERE NOT (SELECT simhash_ok FROM feas)
+"""
+
+
+def _embedding_ann_cosine_top1(
+    spark: SparkSession, sf_dir: str, *, threshold: float = 0.7
+) -> DataFrame:
+    """text -> 64-dim feature-hashed embedding -> occupancy-sized
+    multiprobe sign-LSH candidates -> exact tf-idf cosine verify ->
+    top-1: the deep-scale branch for low-tau cosine matching, built
+    on the measured ANN champion (vectors.lsh_multiprobe_topk,
+    SCALING_r8b syn10 tail 0.66). The embedding components are INTEGER
+    milli-weight sums (dim = t mod 64, sign = bit 6 of t) so both
+    engines build bit-identical vectors; every downstream double is a
+    fixed-order 64-element fold the ANN oracle family already proves
+    portable."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    n_docs = _docs_count(spark, sf_dir)
+    wt = _tfidf_portable_weight_frame(spark, sf_dir)
+    sign = F.shiftright(F.col("t"), 6).bitwiseAND(F.lit(1)) * 2 - F.lit(1)
+    fh = wt.groupBy(
+        "doc_id", F.pmod(F.col("t"), F.lit(64)).cast("int").alias("d")
+    ).agg(F.sum(sign * F.col("wi")).alias("val"))
+    vecs = (
+        fh.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("d", "val"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 63), "
+                "i -> CAST(coalesce(element_at(m, i), 0L) AS DOUBLE))"
+            ).alias("embedding"),
+        )
+    )
+    cand = V.lsh_multiprobe_topk(
+        vecs,
+        vecs,
+        dim=64,
+        query_id="doc_id",
+        corpus_id="doc_id",
+        vec_col="embedding",
+        k=None,
+        n_planes=V.auto_n_planes(
+            n_docs, target_occupancy=16, min_planes=6, max_planes=16
+        ),
+        n_tables=6,
+        probes=10,
+        seed=42,
+    )
+    pairs = cand.select(
+        F.least("query_id", "neighbor_id").alias("a_id"),
+        F.greatest("query_id", "neighbor_id").alias("b_id"),
+    ).distinct()
+    a_all = wt.select(
+        F.col("doc_id").alias("a_id"), "source", "lang", "t",
+        F.col("wt").alias("wa"),
+    )
+    b_all = wt.select(
+        F.col("doc_id").alias("b_id"), "source", "lang", "t",
+        F.col("wt").alias("wb"),
+    )
+    dots = (
+        pairs.join(a_all, "a_id")
+        .join(b_all, ["b_id", "source", "lang", "t"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nrm_b"))
+    cos = (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    top1 = topk_per_group(
+        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
+    )
+    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register("tfidf_cosine_tau_routed", _tfidf_tau_routed_oracle())
+def q_tfidf_cosine_tau_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op22 THIRD ROUTING BRANCH (round-8 verdict Next #2) — cosine
+    matching AT tau=0.7 with recall designed at the threshold itself,
+    not at the near-dup point. The sizing rule answers "what would
+    banding cost to hold 0.9 recall at cosine 0.7?":
+
+    - chunks(width, tau) <= 24 (_TAU_CHUNK_BUDGET): banding is still
+      affordable — run the weighted-SimHash pipeline with the
+      tau-designed (width, chunks);
+    - past the budget (p^w collapses at low tau, chunks ~ (1/p)^w):
+      banding cannot reach the threshold at acceptable amplification
+      (the SCALING.md round-8b consequence) — dispatch
+      text -> feature-hashed 64-dim embedding -> multiprobe sign-LSH
+      (the measured deep-scale ANN champion) -> exact tf-idf cosine
+      verify at tau -> top-1.
+
+    On the driver fixtures the route genuinely flips: 500 docs
+    (sf0.001/sf0.01) size to width 8 / 23 chunks -> simhash; 5000
+    docs (sf0.1) size to width 9 / 31 chunks -> embedding-ANN. The
+    oracle replays the DECISION (same integer CASE sizing, same
+    budget literal) and both FULL pipelines, so routing disagreements
+    are row-level mismatches. Recall < 1 near the threshold is the
+    disclosed LSH trade in BOTH branches.
+
+    reference: entity_matching_optimized.py:312's matcher dispatch,
+    third arm; SURVEY §4 custom work #4 at the tau regime the
+    reference's in-memory scorer never parameterizes."""
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        SIMHASH_ORACLE_MAX_WIDTH,
+        auto_simhash_bands,
+        simhash_chunks_for_width,
+        weighted_simhash_candidates,
+    )
+
+    n_docs = _docs_count(spark, sf_dir)
+    width, c_req = auto_simhash_bands(n_docs, design_cosine=0.7)
+    if width > SIMHASH_ORACLE_MAX_WIDTH:
+        raise RuntimeError(
+            f"tau-routed banding width {width} (n={n_docs}) exceeds the "
+            f"oracle matrix cap {SIMHASH_ORACLE_MAX_WIDTH}; widen the "
+            "baked CASE matrix — do NOT clamp (round-8 lesson)"
+        )
+    if c_req > _TAU_CHUNK_BUDGET:
+        return _embedding_ann_cosine_top1(spark, sf_dir, threshold=0.7)
+    wt = _tfidf_portable_weight_frame(spark, sf_dir)
+    cand = weighted_simhash_candidates(
+        wt,
+        id_col="doc_id",
+        token_col="t",
+        weight_col="wi",
+        block_cols=["source", "lang"],
+        width=width,
+        chunks=c_req,
+    )
+    a_all = wt.select(
+        F.col("doc_id").alias("a_id"), "source", "lang", "t",
+        F.col("wt").alias("wa"),
+    )
+    b_all = wt.select(
+        F.col("doc_id").alias("b_id"), "source", "lang", "t",
+        F.col("wt").alias("wb"),
+    )
+    dots = (
+        cand.join(a_all, ["a_id", "source", "lang"])
+        .join(b_all, ["b_id", "source", "lang", "t"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nrm_b"))
+    cos = (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.7)
+    )
+    top1 = topk_per_group(
+        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
+    )
+    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
 
 
 _BM25_QUERIES = [

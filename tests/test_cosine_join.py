@@ -616,3 +616,48 @@ def test_simhash_banding_recall_on_planted_near_dups(spark):
     planted = {(2 * i, 2 * i + 1) for i in range(40)}
     recall = len(got & planted) / len(planted)
     assert recall >= 0.9, recall
+
+
+def test_tau_routed_decision_and_branches(spark, tmp_path):
+    """The tau~0.7 third routing branch (round-8 Next #2): the
+    decision is a pure function of corpus size (chunks required to
+    hold 0.9 recall AT tau vs the budget), the fixture sizes really
+    straddle it, the simhash side of the flip reproduces the
+    tau-designed banding pipeline, and the embedding-ANN branch
+    hash-matches its DuckDB twin on a fresh fixture."""
+    import duckdb
+
+    from firmable_aus_etl_spark import queries as Q
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        auto_simhash_bands,
+    )
+
+    # decision arithmetic: 500 docs -> (8, 23) affordable; 5000 docs
+    # -> (9, 31) past the budget -> embedding-ANN
+    assert auto_simhash_bands(500, design_cosine=0.7) == (8, 23)
+    w5k, c5k = auto_simhash_bands(5000, design_cosine=0.7)
+    assert (w5k, c5k) == (9, 31) and c5k > Q._TAU_CHUNK_BUDGET
+
+    # embedding branch engine parity on a corpus with planted tau-level
+    # matches (pairs share ~8/12 tokens -> cosine around 0.7-0.9)
+    rows = []
+    for i in range(40):
+        base = " ".join(f"w{i}_{j}" for j in range(8))
+        rows.append((2 * i, base + " alpha beta gamma delta", "en", "web"))
+        rows.append((2 * i + 1, base + " alpha beta epsilon zeta", "en", "web"))
+    sf_dir = _write_docs(tmp_path, rows)
+    got = sorted(
+        map(tuple, Q._embedding_ann_cosine_top1(spark, sf_dir).collect())
+    )
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    want = sorted(
+        map(tuple, con.execute(Q._tfidf_embed_ann_oracle(0.7)).fetchall())
+    )
+    assert [(a, b) for a, b, _ in got] == [(a, b) for a, b, _ in want]
+    for (_, _, c1), (_, _, c2) in zip(got, want):
+        assert abs(c1 - c2) < 1e-9
+    assert got, "planted tau-level pairs must match"
