@@ -463,17 +463,43 @@ def multiprobe_flipsets(n_planes: int, max_flip: int = 2) -> list[list[int]]:
 
 def auto_n_planes(
     n: int, *, target_occupancy: int = 16, min_planes: int = 6,
-    max_planes: int = 20,
+    max_planes: int | None = None,
 ) -> int:
     """Occupancy-targeted plane count: the smallest ``np`` with expected
-    bucket width ``n / 2^np <= target_occupancy``, clamped — i.e.
+    bucket width ``n / 2^np <= target_occupancy`` — i.e.
     ceil(log2(n / target)), computed in PURE INTEGER arithmetic
     (``(ceil(n/target) - 1).bit_length()``) so an SQL oracle can
     re-derive the identical count with integer threshold comparisons
     and no libm log2 whose last-ulp rounding could differ between
-    engines at exact power-of-two boundaries."""
+    engines at exact power-of-two boundaries.
+
+    UNBOUNDED above by default (round-8 lesson: any silent clamp on a
+    size-derived rule is a future cliff — the max_planes=12 bake cost
+    287.7 s at syn10 before it was caught). Two bounds remain, both
+    LOUD and law-derived, never silent:
+
+      * 62 planes — the BIGINT signature word (1 << plane); reachable
+        only past target * 2^62 vectors. Raises.
+      * ``max_planes`` when a caller passes one — the capacity of an
+        oracle-side baked plane matrix, NOT a tuning knob. Sizing past
+        it raises (the SQL twin's CASE mirrors with ELSE NULL), so a
+        saturating configuration fails a run instead of silently
+        running quadratic."""
     raw = (max(1, -(-n // max(1, target_occupancy))) - 1).bit_length()
-    return min(max_planes, max(min_planes, raw))
+    np_ = max(min_planes, raw)
+    if np_ > 62:
+        raise ValueError(
+            f"auto_n_planes: {np_} planes (n={n}) exceeds the 62-bit "
+            "signature word"
+        )
+    if max_planes is not None and np_ > max_planes:
+        raise ValueError(
+            f"auto_n_planes saturated: occupancy-sized count {np_} "
+            f"(n={n}, target={target_occupancy}) exceeds the baked "
+            f"oracle-matrix capacity {max_planes}; widen the matrix — "
+            "do NOT clamp (round-8 lesson)"
+        )
+    return np_
 
 
 def lsh_topk_auto(
@@ -483,7 +509,7 @@ def lsh_topk_auto(
     dim: int,
     target_occupancy: int = 16,
     min_planes: int = 6,
-    max_planes: int = 20,
+    max_planes: int | None = None,
     **kwargs,
 ) -> DataFrame:
     """Occupancy-targeted single-probe sign-LSH: sizes ``n_planes``
@@ -513,7 +539,7 @@ def lsh_multiprobe_topk_auto(
     dim: int,
     target_occupancy: int = 16,
     min_planes: int = 6,
-    max_planes: int = 20,
+    max_planes: int | None = None,
     **kwargs,
 ) -> DataFrame:
     """Occupancy-targeted multi-probe LSH: sizes ``n_planes`` from the

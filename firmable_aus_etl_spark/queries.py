@@ -980,9 +980,13 @@ def _np_case_sql(
     oracle-checkable."""
     whens = " ".join(
         f"WHEN n <= {target * (1 << p)} THEN {p}"
-        for p in range(min_planes, max_planes)
+        for p in range(min_planes, max_planes + 1)
     )
-    return f"CASE {whens} ELSE {max_planes} END"
+    # ELSE NULL mirrors the Spark side's saturation RAISE (round-8
+    # constant-clamp lesson): past the baked matrix neither engine
+    # silently clamps — Spark errors first, and the NULL would empty
+    # the signature CTE rather than fake a 2^max_planes bucketing.
+    return f"CASE {whens} ELSE NULL END"
 
 
 def _lsh_oracle_auto(

@@ -563,32 +563,43 @@ def test_multiprobe_auto_recall_on_clustered_corpus(spark):
 
 
 def test_auto_n_planes_integer_rule_matches_log2():
-    """Round-6 verdict #2: the occupancy sizing rule is pure integer
-    arithmetic; it must equal ceil(log2(n/target)) clamped, and the
-    SQL CASE thresholds replay it exactly (np <= p iff
-    n <= target*2^p)."""
+    """Round-6 verdict #2 + round-8 Next #3: the occupancy sizing rule
+    is pure integer arithmetic equal to ceil(log2(n/target)) floored
+    at min_planes, UNBOUNDED above by default (no silent clamp — the
+    cliff class the r8b syn10 measurement caught), and a caller-passed
+    max_planes is an ORACLE-MATRIX CAPACITY that RAISES on saturation
+    instead of clamping (the SQL CASE mirrors with ELSE NULL)."""
     import math
+
+    import pytest
 
     from firmable_aus_etl_spark.functions.vectors import auto_n_planes
 
     for n in [0, 1, 5, 16, 17, 255, 256, 1024, 1025, 2000, 2048, 2049,
               4096, 20000, 10**6, 10**9]:
-        expect = min(
-            20, max(6, math.ceil(math.log2(max(n, 1) / 16))) if n else 6
-        )
+        expect = max(6, math.ceil(math.log2(max(n, 1) / 16))) if n else 6
         got = auto_n_planes(n)
         assert got == expect, (n, got, expect)
-        # SQL CASE equivalence at the oracle clamps (12 = pre-r8b, 16 =
-        # the current oracle bake — raised after syn10 caught 12
-        # saturating at 500k vectors)
+        # SQL CASE equivalence inside the matrix; saturation-guard
+        # RAISE past it (12 = pre-r8b bake that cost 287.7 s at syn10
+        # as a silent clamp; 16 = the current bake)
         for cap in (12, 16):
-            got_c = auto_n_planes(n, max_planes=cap)
-            case = cap
-            for p in range(6, cap):
+            case = None
+            for p in range(6, cap + 1):
                 if n <= 16 * (1 << p):
                     case = p
                     break
-            assert got_c == case, (n, cap, got_c, case)
+            if case is None:
+                with pytest.raises(ValueError, match="saturated"):
+                    auto_n_planes(n, max_planes=cap)
+            else:
+                assert auto_n_planes(n, max_planes=cap) == case, (n, cap)
+    # the 62-plane BIGINT signature-word law also raises, never wraps
+    with pytest.raises(ValueError, match="62-bit"):
+        auto_n_planes(16 * 2**63)
+    # syn10-scale corpora (~500k vectors) sit INSIDE the current
+    # matrix with headroom — the guard that catches the third decade
+    assert auto_n_planes(500_000, max_planes=16) == 15
 
 
 def test_make_planes_prefix_stable():
