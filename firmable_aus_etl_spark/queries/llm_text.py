@@ -1,0 +1,2712 @@
+"""Query-registry part: see section header below.
+
+Split from the monolithic queries.py (round-9, verdict Next #6);
+registration order preserved by the package __init__ import order.
+"""
+
+from __future__ import annotations
+
+from firmable_aus_etl_spark.queries._base import *  # noqa: F401,F403
+
+# =========================================================================
+# LLM-data-pipeline family (SURVEY.md §7.2 M6): text analysis, dedup,
+# similarity search — instantiated on documents/embeddings fixtures.
+# =========================================================================
+
+_NORM_SQL = "regexp_replace(lower(trim(text)), ' +', ' ', 'g')"
+_TOKENS_SQL = f"string_split({_NORM_SQL}, ' ')"
+
+
+@register(
+    "doc_token_stats",
+    f"""
+    WITH d AS (
+      SELECT lang, {_TOKENS_SQL} AS w,
+             regexp_extract_all({_NORM_SQL}, '[a-z]+|[0-9]+|[^a-z0-9\\s]') AS bpe
+      FROM documents
+    )
+    SELECT lang, count(*) AS cnt,
+           CAST(sum(len(w)) AS BIGINT)   AS sum_tokens,
+           round(avg(len(w)), 2)         AS avg_tokens,
+           CAST(sum(len(bpe)) AS BIGINT) AS sum_bpe_tokens
+    FROM d GROUP BY lang
+    """,
+)
+def q_doc_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: whitespace + BPE-ish token counting per language."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            "lang",
+            T.token_count("text").alias("n_tok"),
+            T.bpe_ish_token_count("text").alias("n_bpe"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("cnt"),
+            F.sum("n_tok").cast("long").alias("sum_tokens"),
+            F.round(F.avg("n_tok"), 2).alias("avg_tokens"),
+            F.sum("n_bpe").cast("long").alias("sum_bpe_tokens"),
+        )
+    )
+
+
+def _lang_scores_sql() -> dict[str, str]:
+    from firmable_aus_etl_spark.functions.text import STOPWORDS
+
+    out = {}
+    for lang, words in STOPWORDS.items():
+        lst = ", ".join(f"'{w}'" for w in words)
+        out[lang] = (
+            f"CAST(len(list_filter(w, t -> t IN ({lst}))) AS DOUBLE)"
+            f" / CAST(greatest(len(w), 1) AS DOUBLE)"
+        )
+    return out
+
+
+def _langid_oracle() -> str:
+    s = _lang_scores_sql()
+    langs = sorted(s)
+    mx = "greatest(" + ", ".join(f"s_{la}" for la in langs) + ")"
+    whens = "\n".join(
+        f"WHEN s_{la} >= {mx} AND {mx} >= 0.05 THEN '{la}'" for la in langs
+    )
+    score_cols = ",\n".join(f"{expr} AS s_{la}" for la, expr in s.items())
+    return f"""
+    WITH d AS (SELECT lang, {_TOKENS_SQL} AS w FROM documents),
+    s AS (SELECT lang, {score_cols} FROM d),
+    c AS (SELECT lang, CASE {whens} ELSE 'und' END AS detected FROM s)
+    SELECT lang, detected, count(*) AS cnt FROM c GROUP BY lang, detected
+    """
+
+
+@register("language_id_confusion", _langid_oracle())
+def q_language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: deterministic stopword-ratio language ID, tallied
+    against the fixture's lang column (confusion-matrix counts)."""
+    from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    return (
+        docs.select("lang", T.language_id("text").alias("detected"))
+        .groupBy("lang", "detected")
+        .agg(F.count("*").alias("cnt"))
+    )
+
+
+_QUALITY_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+s AS (
+  SELECT doc_id,
+         CAST(len(w) AS DOUBLE) AS n,
+         CAST(list_sum(list_transform(w, t -> length(t))) AS DOUBLE) AS total_chars,
+         CAST(len(list_filter(w, t -> t IN ('the','a','and','of','to','in','is'))) AS DOUBLE)
+         + CAST(len(list_filter(w, t -> t IN ('el','la','de','que','y','en','un'))) AS DOUBLE)
+         + CAST(len(list_filter(w, t -> t IN ('der','die','und','das','ist','von','ein'))) AS DOUBLE)
+         + CAST(len(list_filter(w, t -> t IN ('le','la','et','les','des','un','une'))) AS DOUBLE) AS sw
+  FROM d
+)
+SELECT doc_id,
+       CAST(n AS BIGINT) AS word_count,
+       0.4 * least(n / 100.0, 1.0)
+       + 0.3 * (CASE WHEN total_chars / greatest(n, 1.0) >= 3.0
+                      AND total_chars / greatest(n, 1.0) <= 10.0 THEN 1.0 ELSE 0.0 END)
+       + 0.3 * least(5.0 * (sw / greatest(n, 1.0)), 1.0) AS quality
+FROM s
+"""
+
+
+@register("quality_score_documents", _QUALITY_ORACLE)
+def q_quality_score_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: per-doc quality score (length band + word-length
+    band + stopword ratio). Pure expressions -> bit-identical doubles."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("word_count"),
+        T.quality_score("text").alias("quality"),
+    )
+
+
+_FINGERPRINT_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_NORM_SQL} AS t FROM documents)
+SELECT doc_id,
+       md5(t) AS fp_md5,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(generate_series(1, length(t)), i -> CAST(ascii(t[i]) AS BIGINT))),
+         (a, b) -> (a * 31 + b) % 1000003
+       ) AS fp_roll
+FROM d
+"""
+
+
+@register("fingerprint_documents", _FINGERPRINT_ORACLE)
+def q_fingerprint_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text analysis: md5 + polynomial rolling-hash fingerprints."""
+    from firmable_aus_etl_spark.functions import text as T
+
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        T.fingerprint_md5("text").alias("fp_md5"),
+        T.fingerprint_rolling("text").alias("fp_roll"),
+    )
+
+
+@register(
+    "dedup_exact_text_documents",
+    f"""
+    WITH d AS (SELECT doc_id, source, md5({_NORM_SQL}) AS fp FROM documents),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY fp ORDER BY doc_id) AS rn
+          FROM d)
+    SELECT doc_id, source FROM r WHERE rn = 1
+    """,
+)
+def q_dedup_exact_text_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact near-dup dedup: md5 fingerprint, keep lowest doc_id."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    return dedup.dedup_exact_text(docs, "text", "doc_id").drop("text")
+
+
+_JACCARD_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS sh
+  FROM d
+),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       CAST(shared AS DOUBLE) / CAST(x.sz + y.sz - shared AS DOUBLE) AS jaccard
+FROM shared JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
+WHERE CAST(shared AS DOUBLE) / CAST(x.sz + y.sz - shared AS DOUBLE) >= 0.5
+"""
+
+
+@register("ngram_jaccard_near_dups", _JACCARD_ORACLE)
+def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection: exact 3-gram-shingle Jaccard >= 0.5 via
+    inverted-index self-join (the verify stage of MinHash-LSH)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs(docs, "doc_id", "text", shingle_n=3, threshold=0.5)
+
+
+# The twin replays the DATA-DEPENDENT prune rule itself (round-7, the
+# auto_n_planes pattern): bound = greatest(8, isqrt(count(*))) — sqrt
+# is correctly rounded in both engines and n << 2^52, so
+# floor(sqrt(n)+1e-9) == math.isqrt(n) bit-for-bit — then drops
+# over-bound shingles from every document's shingle SET before the
+# exact Jaccard. On the driver fixtures the bound sits above every df
+# (uniform 30-word vocab: df ~ n/27k << sqrt(n)), so the rule
+# self-deactivates and the result equals the unpruned exact set — but
+# the SQL still computes the rule, so the sizing logic itself is under
+# the hash gate at every scale factor. Spark counts df over xxhash64'd
+# shingles, the twin over strings: identical up to the fingerprint
+# family's 2^-64 collision caveat.
+_JACCARD_PRUNED_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+sh0 AS (
+  SELECT doc_id, unnest(list_distinct(
+    list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                   i -> array_to_string(w[i:i+2], ' ')))) AS sh
+  FROM d
+),
+rule AS (
+  SELECT greatest(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) + 1e-9) AS BIGINT)) AS bound
+  FROM documents
+),
+keep AS (
+  SELECT sh FROM (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh)
+  WHERE df <= (SELECT bound FROM rule)
+),
+sh AS (SELECT s.doc_id, s.sh FROM sh0 s JOIN keep USING (sh)),
+sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id),
+shared AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, count(*) AS shared
+  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT a_id, b_id,
+       CAST(shared AS DOUBLE) / CAST(x.sz + y.sz - shared AS DOUBLE) AS jaccard
+FROM shared JOIN sz x ON a_id = x.doc_id JOIN sz y ON b_id = y.doc_id
+WHERE CAST(shared AS DOUBLE) / CAST(x.sz + y.sz - shared AS DOUBLE) >= 0.5
+"""
+
+
+# Same oracle as the naive inverted-index join: prefix filtering is an
+# exact optimization (Vernica SIGMOD'10), so the hash gate doubles as a
+# proof that the pruned plan loses no pairs.
+@register("ngram_jaccard_prefix_near_dups", _JACCARD_ORACLE)
+def q_ngram_jaccard_prefix_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup detection, scale path for the EXACT answer: Jaccard >=
+    0.5 with Vernica-style prefix + length filtering — only each doc's
+    rarest |s|-ceil(t|s|)+1 shingles enter the inverted index, so the
+    frequent-shingle fan-out that dominates the naive join at 100 TB
+    never reaches the shuffle. Kept EXACT deliberately: sharing
+    _JACCARD_ORACLE with the naive join is the standing proof that the
+    pruned PLAN loses no pairs; the df-prune scale lever lives in
+    q_ngram_jaccard_pruned_near_dups (round-7)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5
+    )
+
+
+@register("ngram_jaccard_pruned_near_dups", _JACCARD_PRUNED_ORACLE)
+def q_ngram_jaccard_pruned_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB default for exact near-dup pairs: prefix join over
+    AUTO df-pruned shingle sets (dedup.auto_prune_df = max(8, isqrt(n))
+    — shingle-level stopwording that removes df ∝ n boilerplate before
+    the join, self-deactivating on corpora with no boilerplate regime,
+    like this fixture). The twin replays the RULE itself (integer
+    floor(sqrt(count(*))+1e-9) == isqrt), so the data-dependent sizing
+    is oracle-gated at every scale factor, the round-6 auto_n_planes
+    pattern. Kept as its own query so ngram_jaccard_prefix_near_dups
+    stays the exactness proof against the naive join."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", shingle_n=3, threshold=0.5, prune_df="auto"
+    )
+
+
+_ANN_ORACLE = """
+WITH q AS (SELECT vec_id, embedding, label FROM embeddings WHERE vec_id % 10 = 0),
+cand AS (
+  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         list_cosine_similarity(CAST(q.embedding AS DOUBLE[]),
+                                CAST(c.embedding AS DOUBLE[])) AS cosine
+  FROM q JOIN embeddings c ON q.label = c.label AND q.vec_id <> c.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM cand)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
+@register("ann_cosine_top3_per_label", _ANN_ORACLE)
+def q_ann_cosine_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search baseline: exact cosine top-3 within label
+    (brute force; the LSH variant is the rows-only scale path)."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select(
+        "vec_id", "embedding", F.col("label").alias("qlabel")
+    )
+    corpus = emb.select("vec_id", "embedding", F.col("label").alias("clabel"))
+    out = V.brute_force_topk(
+        queries, corpus, k=3, partition_cond=F.col("qlabel") == F.col("clabel")
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+def _planes_values_sql(tagged: list[tuple[int, int, list[float]]]) -> str:
+    """(tag, idx, vector) rows as a DuckDB VALUES list. repr() floats
+    round-trip exactly, so both engines see bit-identical literals."""
+    return ", ".join(
+        f"({t}, {i}, [" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[])"
+        for t, i, v in tagged
+    )
+
+
+def _lsh_oracle(dim: int, n_planes: int, n_tables: int, seed: int) -> str:
+    """Sign-LSH is fully deterministic given the hyperplane literals, so
+    the EXACT same candidate set is SQL-expressible: re-derive each
+    table's signature as a bit-sum of dot-product signs. Dot products
+    fold left-to-right in double on both engines -> bit-identical, so
+    the sign (and hence every bucket) matches."""
+    from firmable_aus_etl_spark.functions.vectors import make_planes
+
+    rows = [
+        (t, i, p)
+        for t in range(n_tables)
+        for i, p in enumerate(make_planes(dim, n_planes, seed=seed + 1000 * t))
+    ]
+    return f"""
+WITH p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+sig AS (
+  SELECT e.vec_id, p.tbl,
+         CAST(sum(CASE WHEN list_dot_product(e.v, p.pvec) >= 0
+                       THEN (CAST(1 AS BIGINT) << p.plane) ELSE 0 END) AS BIGINT) AS sig
+  FROM e CROSS JOIN p GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.sig = c.sig AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % 10 = 0
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(eq.v, ec.v) AS cosine
+  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+            JOIN e ec ON cand.neighbor_id = ec.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
+def _np_case_sql(
+    target: int = 16, min_planes: int = 6, max_planes: int = 16
+) -> str:
+    """SQL CASE replaying vectors.auto_n_planes EXACTLY with integer
+    threshold comparisons (np <= p iff n <= target * 2^p — no libm
+    log2 anywhere): the count-derived plane count both engines agree
+    on, the piece that makes the occupancy-targeted production rule
+    oracle-checkable."""
+    whens = " ".join(
+        f"WHEN n <= {target * (1 << p)} THEN {p}"
+        for p in range(min_planes, max_planes + 1)
+    )
+    # ELSE NULL mirrors the Spark side's saturation RAISE (round-8
+    # constant-clamp lesson): past the baked matrix neither engine
+    # silently clamps — Spark errors first, and the NULL would empty
+    # the signature CTE rather than fake a 2^max_planes bucketing.
+    return f"CASE {whens} ELSE NULL END"
+
+
+def _lsh_oracle_auto(
+    dim: int, n_tables: int, seed: int,
+    *, target: int = 16, min_planes: int = 6, max_planes: int = 16,
+) -> str:
+    """Auto-sized sign-LSH oracle: planes baked at max_planes (the LCG
+    stream is prefix-stable, so the first np of them ARE the np-plane
+    set), np derived from count(*) by integer CASE, signatures summed
+    over planes < np only."""
+    from firmable_aus_etl_spark.functions.vectors import make_planes
+
+    rows = [
+        (t, i, p)
+        for t in range(n_tables)
+        for i, p in enumerate(make_planes(dim, max_planes, seed=seed + 1000 * t))
+    ]
+    return f"""
+WITH p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+np AS (SELECT {_np_case_sql(target, min_planes, max_planes)} AS np
+       FROM (SELECT count(*) AS n FROM e)),
+sig AS (
+  SELECT e.vec_id, p.tbl,
+         CAST(sum(CASE WHEN list_dot_product(e.v, p.pvec) >= 0
+                       THEN (CAST(1 AS BIGINT) << p.plane) ELSE 0 END) AS BIGINT) AS sig
+  FROM e CROSS JOIN p CROSS JOIN np WHERE p.plane < np.np GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.sig = c.sig AND q.vec_id <> c.vec_id
+  WHERE q.vec_id % 10 = 0
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(eq.v, ec.v) AS cosine
+  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+            JOIN e ec ON cand.neighbor_id = ec.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
+@register("lsh_ann_top3", _lsh_oracle_auto(64, 6, 42))
+def q_lsh_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search scale path: sign-LSH bucketed candidates +
+    exact re-rank, with the OCCUPANCY-TARGETED plane count as the
+    default (round-6 verdict #2 — the SCALING.md production rule:
+    n_planes grows with log2(corpus) so expected bucket width stays
+    ~16 and candidate fan-out stays ~linear in n). Sizing is pure
+    integer arithmetic from count(*), planes are prefix-stable seeded
+    literals, so the oracle re-derives the identical plane count,
+    buckets, and result in SQL; tests/test_vectors.py additionally
+    asserts recall >= 0.8 against brute force."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding")
+    out = V.lsh_topk_auto(
+        queries, corpus, dim=64, k=3, n_tables=6, max_planes=16
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+# default corpus CTE: the raw embeddings table as doubles. The
+# clustered-fixture queries swap this for a deterministic clustered
+# transform (see _CLUSTERED_E_CTES) — everything downstream (planes,
+# signatures, probes, exact top-3) is corpus-agnostic.
+_DEFAULT_E_CTES = "e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+# Deterministic PLANTED-CLUSTER corpus derived from the embeddings
+# table (round-4 verdict "Next round #5"): the first 50 vectors with
+# vec_id % 10 = 1 act as cluster centroids (ck = (vec_id-1)/10 in
+# 0..49); every vector blends 0.85*centroid((vec_id mod 50)) +
+# 0.15*self elementwise — 50 tight Gaussian-ish clusters with the
+# same cardinality as the input. Per-element double arithmetic in
+# identical order on both engines -> bit-identical vectors; no
+# normalization needed (signatures are scale-invariant, probe-cost
+# ranking is per-query uniformly scaled, and cosine normalizes
+# internally).
+_CLUSTERED_E_CTES = """base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         FROM embeddings),
+cent AS (SELECT CAST((vec_id - 1) // 10 AS BIGINT) AS ck, v AS cv
+         FROM base WHERE vec_id % 10 = 1 AND vec_id < 500),
+e AS (
+  SELECT b.vec_id,
+         list_transform(range(1, 65), i -> 0.85 * c.cv[i] + 0.15 * b.v[i]) AS v
+  FROM base b JOIN cent c ON (b.vec_id % 50) = c.ck
+)"""
+
+
+def _exact_top3_cte(e_ctes: str = _DEFAULT_E_CTES) -> str:
+    return f"""
+  WITH {e_ctes},
+  s AS (
+    SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+           list_cosine_similarity(q.v, c.v) AS cosine
+    FROM e q JOIN e c ON q.vec_id % 10 = 0 AND q.vec_id <> c.vec_id
+  ),
+  r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                     ORDER BY cosine DESC, neighbor_id) AS rk
+        FROM s)
+  SELECT query_id, neighbor_id FROM r WHERE rk <= 3
+"""
+
+
+_EXACT_TOP3_CTE = _exact_top3_cte()
+
+
+def _multiprobe_ctes(
+    dim: int, n_planes: int, n_tables: int, probes: int, seed: int,
+    e_ctes: str = _DEFAULT_E_CTES,
+) -> str:
+    """Shared CTE chain replaying query-directed multi-probe sign-LSH
+    (functions.vectors.lsh_multiprobe_topk) bit-for-bit: dot products,
+    signatures, flip-set costs (|dot| of each flipped bit, summed in
+    fixed a<b order), probe ranking by (cost, probe_sig), and the
+    candidate equi-join. Ends with the ``cand`` CTE."""
+    from firmable_aus_etl_spark.functions.vectors import make_planes, multiprobe_flipsets
+
+    rows = [
+        (t, i, p)
+        for t in range(n_tables)
+        for i, p in enumerate(make_planes(dim, n_planes, seed=seed + 1000 * t))
+    ]
+    fs_rows = []
+    for fs in multiprobe_flipsets(n_planes, 2):
+        mask = sum(1 << b for b in fs)
+        b1 = fs[0] if len(fs) >= 1 else "NULL"
+        b2 = fs[1] if len(fs) >= 2 else "NULL"
+        fs_rows.append(f"(CAST({mask} AS BIGINT), {b1}, {b2})")
+    return f"""p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
+fs(mask, b1, b2) AS (VALUES {", ".join(fs_rows)}),
+{e_ctes},
+d AS (SELECT e.vec_id, p.tbl, p.plane, list_dot_product(e.v, p.pvec) AS dot
+      FROM e CROSS JOIN p),
+sig AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << plane)
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM d GROUP BY 1, 2
+),
+qc AS (
+  SELECT s.vec_id, s.tbl,
+         coalesce(abs(d1.dot), 0.0) + coalesce(abs(d2.dot), 0.0) AS cost,
+         xor(s.sig, fs.mask) AS probe_sig
+  FROM sig s
+  CROSS JOIN fs
+  LEFT JOIN d d1 ON d1.vec_id = s.vec_id AND d1.tbl = s.tbl AND d1.plane = fs.b1
+  LEFT JOIN d d2 ON d2.vec_id = s.vec_id AND d2.tbl = s.tbl AND d2.plane = fs.b2
+  WHERE s.vec_id % 10 = 0
+),
+pr AS (
+  SELECT vec_id, tbl, probe_sig FROM (
+    SELECT vec_id, tbl, probe_sig,
+           row_number() OVER (PARTITION BY vec_id, tbl
+                              ORDER BY cost, probe_sig) AS rnk
+    FROM qc) WHERE rnk <= {probes}
+),
+cand AS (
+  SELECT DISTINCT pr.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM pr JOIN sig c ON pr.tbl = c.tbl AND pr.probe_sig = c.sig
+  WHERE c.vec_id <> pr.vec_id
+)"""
+
+
+def _multiprobe_lsh_oracle(
+    dim: int, n_planes: int, n_tables: int, probes: int, seed: int
+) -> str:
+    """Multi-probe candidates + exact cosine re-rank, top-3."""
+    return f"""
+WITH {_multiprobe_ctes(dim, n_planes, n_tables, probes, seed)},
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(eq.v, ec.v) AS cosine
+  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+            JOIN e ec ON cand.neighbor_id = ec.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
+def _ann_recall_oracle(
+    dim: int = 64,
+    n_planes: int = 7,
+    n_tables: int = 6,
+    probes: int = 10,
+    seed: int = 42,
+    e_ctes: str = _DEFAULT_E_CTES,
+) -> str:
+    """Recall@3 of the multi-probe sign-LSH path vs exact brute force,
+    WITH candidate telemetry — both sides deterministic, so the QUALITY
+    METRIC of the approximate path is oracle-checkable. A candidate
+    containing an exact top-3 neighbor necessarily ranks it in the
+    re-ranked top-3 (nothing can outscore a global top-3 inside a
+    subset), so hits are counted against the candidate set directly —
+    one evaluation instead of two."""
+    return f"""
+WITH {_multiprobe_ctes(dim, n_planes, n_tables, probes, seed, e_ctes)},
+exact AS ({_exact_top3_cte(e_ctes)})
+SELECT CAST(count(DISTINCT x.query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_hits,
+       CAST(floor(1000000.0
+                  * sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+                  / count(*)) AS BIGINT) AS recall_e6,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidates
+FROM exact x
+LEFT JOIN cand a
+  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+"""
+
+
+def _multiprobe_lsh_oracle_auto(
+    dim: int, n_tables: int, probes: int, seed: int,
+    *, target: int = 16, min_planes: int = 6, max_planes: int = 16,
+) -> str:
+    """Auto-sized multi-probe oracle: planes + flip sets baked at
+    max_planes, np from count(*) (integer CASE), signatures and the
+    flip universe filtered to planes < np — the same prefix-stability
+    argument as _lsh_oracle_auto extended to the probe machinery (a
+    flip-set row is valid under np iff every flipped bit is < np; its
+    xor mask then touches live bits only)."""
+    from firmable_aus_etl_spark.functions.vectors import (
+        make_planes,
+        multiprobe_flipsets,
+    )
+
+    rows = [
+        (t, i, p)
+        for t in range(n_tables)
+        for i, p in enumerate(make_planes(dim, max_planes, seed=seed + 1000 * t))
+    ]
+    fs_rows = []
+    for fs in multiprobe_flipsets(max_planes, 2):
+        mask = sum(1 << b for b in fs)
+        b1 = fs[0] if len(fs) >= 1 else "NULL"
+        b2 = fs[1] if len(fs) >= 2 else "NULL"
+        fs_rows.append(f"(CAST({mask} AS BIGINT), {b1}, {b2})")
+    return f"""
+WITH p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
+fs_all(mask, b1, b2) AS (VALUES {", ".join(fs_rows)}),
+{_DEFAULT_E_CTES},
+np AS (SELECT {_np_case_sql(target, min_planes, max_planes)} AS np
+       FROM (SELECT count(*) AS n FROM e)),
+fs AS (SELECT mask, b1, b2 FROM fs_all CROSS JOIN np
+       WHERE (b1 IS NULL OR b1 < np.np) AND (b2 IS NULL OR b2 < np.np)),
+d AS (SELECT e.vec_id, p.tbl, p.plane, list_dot_product(e.v, p.pvec) AS dot
+      FROM e CROSS JOIN p CROSS JOIN np WHERE p.plane < np.np),
+sig AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << plane)
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM d GROUP BY 1, 2
+),
+qc AS (
+  SELECT s.vec_id, s.tbl,
+         coalesce(abs(d1.dot), 0.0) + coalesce(abs(d2.dot), 0.0) AS cost,
+         xor(s.sig, fs.mask) AS probe_sig
+  FROM sig s
+  CROSS JOIN fs
+  LEFT JOIN d d1 ON d1.vec_id = s.vec_id AND d1.tbl = s.tbl AND d1.plane = fs.b1
+  LEFT JOIN d d2 ON d2.vec_id = s.vec_id AND d2.tbl = s.tbl AND d2.plane = fs.b2
+  WHERE s.vec_id % 10 = 0
+),
+pr AS (
+  SELECT vec_id, tbl, probe_sig FROM (
+    SELECT vec_id, tbl, probe_sig,
+           row_number() OVER (PARTITION BY vec_id, tbl
+                              ORDER BY cost, probe_sig) AS rnk
+    FROM qc) WHERE rnk <= {probes}
+),
+cand AS (
+  SELECT DISTINCT pr.vec_id AS query_id, c.vec_id AS neighbor_id
+  FROM pr JOIN sig c ON pr.tbl = c.tbl AND pr.probe_sig = c.sig
+  WHERE c.vec_id <> pr.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(eq.v, ec.v) AS cosine
+  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+            JOIN e ec ON cand.neighbor_id = ec.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
+@register("lsh_multiprobe_ann_top3", _multiprobe_lsh_oracle_auto(64, 6, 10, 42))
+def q_lsh_multiprobe_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search scale path, recall-recovered (round-3 verdict
+    item #2) and OCCUPANCY-SIZED by default (round-6 verdict #2):
+    query-directed multi-probe sign-LSH — each query probes its own
+    bucket plus the 9 cheapest boundary-flip buckets per table (flip
+    cost = |dot| of the flipped plane), then exact cosine re-ranks.
+    n_planes comes from the corpus count (vectors.auto_n_planes:
+    expected occupancy ~16, the SCALING.md rule that keeps candidate
+    fan-out ~linear at 100 TB). The DuckDB twin replays the sizing
+    (integer CASE over count(*)), dots, signatures, flip costs, probe
+    ranking, AND the candidate join bit-for-bit. Candidates stay an
+    equi-join on (table, signature); the probe budget multiplies only
+    the query side.
+
+    max_planes=16 (round-8b): the second-decade measurement caught the
+    previous oracle-motivated clamp of 12 SATURATING at syn10 — with
+    2^12 buckets a 500k corpus runs at occupancy ~122 vs target 16,
+    and the candidate join went quadratic (287.7 s vs ~45 s expected;
+    SCALING.md round-8b). 16 planes hold the target to ~1M vectors;
+    the OPERATOR default (max_planes=20, vectors.py) carries ~16M, and
+    beyond that the IVF route with cell_cap salting is the designated
+    path. The clamp exists only to bound the oracle's baked plane
+    literals — sizing below it is unchanged, so small-SF results are
+    bit-identical."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding")
+    out = V.lsh_multiprobe_topk_auto(
+        queries, corpus, dim=64, k=3, n_tables=6, probes=10, seed=42,
+        max_planes=16,
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+def _clustered_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of _CLUSTERED_E_CTES: deterministic planted-cluster
+    corpus from the embeddings table — 50 centroids (vec_id % 10 = 1,
+    vec_id < 500), every vector pulled 85% toward centroid
+    (vec_id mod 50). zip_with evaluates per element in array order,
+    matching DuckDB's list_transform over range(1,65) bit for bit."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cent = base.filter((F.col("vec_id") % 10 == 1) & (F.col("vec_id") < 500)).select(
+        ((F.col("vec_id") - 1) / F.lit(10)).cast("long").alias("ck"),
+        F.col("v").alias("cv"),
+    )
+    return base.join(F.broadcast(cent), (F.col("vec_id") % 50) == F.col("ck")).select(
+        "vec_id",
+        F.zip_with(
+            "cv", "v", lambda c, x: c * F.lit(0.85) + x * F.lit(0.15)
+        ).alias("embedding"),
+    )
+
+
+@register(
+    "ann_recall_clustered",
+    _ann_recall_oracle(probes=2, e_ctes=_CLUSTERED_E_CTES),
+)
+def q_ann_recall_clustered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN recall audit on a PLANTED-CLUSTER corpus (round-4 verdict
+    "Next round #5"): real embedding corpora are clustered, and the
+    near-uniform driver fixture is LSH's worst case — this query
+    measures the same multi-probe sign-LSH path on a deterministic
+    50-cluster transform of the same table, with the recall metric
+    itself oracle-checked like ann_recall_report.
+
+    Measured frontier at sf0.01 (see PERF.md): probes=2 -> recall
+    1.000 at 3,142 candidates, vs the uniform fixture's 0.833 at
+    9,987 candidates with probes=10 — on cluster-structured data the
+    same index family needs ~1/5 the probe budget and ~1/3 the
+    candidate volume for perfect recall@3, which is the behavior a
+    production corpus actually sees. Even single-probe (plain LSH)
+    measures 1.000 here (1,661 candidates) vs 0.347 on uniform."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    clustered = _clustered_corpus(spark, sf_dir).localCheckpoint()
+    queries = clustered.filter(F.col("vec_id") % 10 == 0)
+    exact = V.brute_force_topk(queries, clustered, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    cand = V.lsh_multiprobe_topk(
+        queries, clustered, dim=64, k=None, n_planes=7, n_tables=6, probes=2,
+        seed=42,
+    )
+    ncand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    joined = exact.join(
+        cand.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    report = joined.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        F.floor(
+            1000000.0
+            * F.sum(F.coalesce("__hit", F.lit(0)))
+            / F.count("*")
+        ).cast("long").alias("recall_e6"),
+    )
+    # 1-row scalar attachment (benign IdentityBroadcastMode pattern)
+    return report.crossJoin(F.broadcast(ncand))
+
+
+@register("ann_recall_report", _ann_recall_oracle())
+def q_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN quality audit: recall@3 of the multi-probe sign-LSH scale
+    path against GLOBAL exact brute force (self excluded on both
+    sides) — the measurement a production similarity-search deployment
+    runs before trusting an approximate index. One row: (n_queries,
+    n_exact, n_hits, recall_e6, n_candidates). Deterministic end to
+    end, so the DuckDB twin re-derives BOTH sides and checks the
+    metric itself; recall is floor-scaled integer micro-units (no FP
+    division drift between engines).
+
+    Round-3 history: single-bucket probing measured recall 0.347 here
+    (2,625 candidates) — the near-uniform fixture is LSH's worst case,
+    with true neighbors sitting near the median cosine. Query-directed
+    multi-probe (planes=7, tables=6, probes=10, chosen by simulating
+    the recall/candidate frontier on this fixture) measures 0.833 at
+    9,987 candidates — 3.8x the candidate volume for 2.4x the recall,
+    and still ~2.4x better recall-per-candidate than random sampling
+    (9,987 of 24,950 possible pairs). n_candidates IS the cost knob:
+    on clustered real-world embeddings the same budget yields far
+    higher recall, and that trade being MEASURABLE per corpus is what
+    this query is for. Hits are counted against the candidate set —
+    equivalent to counting against the re-ranked top-3, since a
+    candidate set containing an exact top-3 neighbor necessarily
+    ranks it in the output top-3."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding")
+    exact = V.brute_force_topk(queries, corpus, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    cand = V.lsh_multiprobe_topk(
+        queries, corpus, dim=64, k=None, n_planes=7, n_tables=6, probes=10,
+        seed=42,
+    )
+    ncand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    joined = exact.join(
+        cand.withColumn("__hit", F.lit(1)), ["query_id", "neighbor_id"], "left"
+    )
+    report = joined.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+        F.sum(F.coalesce("__hit", F.lit(0))).alias("n_hits"),
+        F.floor(
+            1000000.0
+            * F.sum(F.coalesce("__hit", F.lit(0)))
+            / F.count("*")
+        ).cast("long").alias("recall_e6"),
+    )
+    # 1-row scalar attachment (benign IdentityBroadcastMode pattern)
+    return report.crossJoin(F.broadcast(ncand))
+
+
+def _ivf_fixed_oracle(dim: int, n_cells: int, nprobe: int, seed: int) -> str:
+    """IVF probe with FIXED unit centroids (ivf_topk's untrained
+    default) — assignment is an argmax over centroid literals, so the
+    whole probe is SQL-expressible exactly."""
+    from firmable_aus_etl_spark.functions.vectors import make_planes
+
+    raw = make_planes(dim, n_cells, seed=seed)
+    cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw]
+    rows = [(0, i, c) for i, c in enumerate(cents)]
+    values = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[])"
+        for _, i, v in rows
+    )
+    return f"""
+WITH cent(cell, cvec) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dots AS (
+  SELECT e.vec_id, cent.cell, list_dot_product(e.v, cent.cvec) AS d
+  FROM e CROSS JOIN cent
+),
+ranked AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY d DESC, cell) AS rn
+           FROM dots),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+probe AS (SELECT vec_id, cell FROM ranked WHERE rn <= {nprobe} AND vec_id % 10 = 0),
+cand AS (
+  SELECT DISTINCT p.vec_id AS query_id, a.vec_id AS neighbor_id
+  FROM probe p JOIN assign a ON p.cell = a.cell AND p.vec_id <> a.vec_id
+),
+scored AS (
+  SELECT query_id, neighbor_id, list_cosine_similarity(eq.v, ec.v) AS cosine
+  FROM cand JOIN e eq ON cand.query_id = eq.vec_id
+            JOIN e ec ON cand.neighbor_id = ec.vec_id
+),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, neighbor_id) AS rank
+      FROM scored)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank, cosine
+FROM r WHERE rank <= 3
+"""
+
+
+@register("ivf_ann_top3", _ivf_fixed_oracle(64, 16, 4, 7))
+@register("ivf_ann_top3_fixed", _ivf_fixed_oracle(64, 16, 4, 7))
+def q_ivf_ann_top3_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF probe with fixed deterministic centroids (the untrained
+    default of ivf_topk): corpus lives in its nearest cell, queries
+    probe 4 cells, exact cosine re-ranks. The SQL twin re-derives the
+    identical cell assignment from the same centroid literals — the
+    exactness proof for the probe machinery; the TRAINED variant
+    (ivf_ann_top3_trained) differs only in where the centroids come
+    from. Registered under BOTH names: ``ivf_ann_top3`` is the
+    driver-sampled default (round-3 verdict item #1 — the sampled
+    name must carry the oracle); ``ivf_ann_top3_fixed`` is kept as a
+    stable alias so prior-round artifacts remain comparable."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    out = V.ivf_topk(
+        queries, corpus, dim=64, k=3, n_cells=16, nprobe=4, seed=7
+    )
+    return out.select(
+        "query_id", "neighbor_id", F.col("rank").cast("long").alias("rank"), "cosine"
+    )
+
+
+def _ivf_recall_oracle(dim: int, n_cells: int, seed: int) -> str:
+    """Recall@3 of the fixed-centroid IVF probe vs exact brute force,
+    with nprobe AUTO-TUNED from the recall distribution itself (round-3
+    verdict item #2): for each exact top-3 pair, ``cellrank`` = the
+    position of the neighbor's home cell in the query's best-first cell
+    ranking; recall(np) = frac(cellrank <= np); tuned nprobe = the
+    smallest np with recall >= 0.8 (exact integer test 5*hits >=
+    4*total — no FP threshold drift). Every stage is deterministic
+    from the centroid literals, so the tuning decision itself is
+    oracle-checked. Candidate telemetry counts the (query, corpus)
+    pairs the tuned probe would score."""
+    from firmable_aus_etl_spark.functions.vectors import make_planes
+
+    raw = make_planes(dim, n_cells, seed=seed)
+    cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw]
+    values = ", ".join(
+        f"({i}, [" + ", ".join(repr(float(x)) for x in v) + "]::DOUBLE[])"
+        for i, v in enumerate(cents)
+    )
+    return f"""
+WITH cent(cell, cvec) AS (VALUES {values}),
+e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+dots AS (
+  SELECT e.vec_id, cent.cell, list_dot_product(e.v, cent.cvec) AS d
+  FROM e CROSS JOIN cent
+),
+ranked AS (SELECT vec_id, cell, row_number() OVER (PARTITION BY vec_id
+                                                   ORDER BY d DESC, cell) AS rn
+           FROM dots),
+assign AS (SELECT vec_id, cell FROM ranked WHERE rn = 1),
+exact AS ({_EXACT_TOP3_CTE}),
+cr AS (
+  SELECT x.query_id, x.neighbor_id, r.rn AS cellrank
+  FROM exact x
+  JOIN assign a ON a.vec_id = x.neighbor_id
+  JOIN ranked r ON r.vec_id = x.query_id AND r.cell = a.cell
+),
+tuned AS (
+  SELECT min(np) AS np FROM (
+    SELECT g.np,
+           sum(CASE WHEN cr.cellrank <= g.np THEN 1 ELSE 0 END) AS h,
+           count(*) AS tot
+    FROM cr CROSS JOIN generate_series(1, {n_cells}) AS g(np)
+    GROUP BY g.np)
+  WHERE 5 * h >= 4 * tot
+),
+nc AS (
+  SELECT CAST(count(*) AS BIGINT) AS n_candidates
+  FROM ranked r JOIN assign a ON r.cell = a.cell AND r.vec_id <> a.vec_id
+  WHERE r.vec_id % 10 = 0 AND r.rn <= (SELECT np FROM tuned)
+)
+SELECT CAST(count(DISTINCT query_id) AS BIGINT) AS n_queries,
+       CAST(count(*) AS BIGINT) AS n_exact,
+       CAST(sum(CASE WHEN cellrank <= (SELECT np FROM tuned)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_hits,
+       CAST(floor(1000000.0
+                  * sum(CASE WHEN cellrank <= (SELECT np FROM tuned)
+                             THEN 1 ELSE 0 END)
+                  / count(*)) AS BIGINT) AS recall_e6,
+       (SELECT CAST(np AS BIGINT) FROM tuned) AS nprobe,
+       (SELECT n_candidates FROM nc) AS n_candidates
+FROM cr
+"""
+
+
+@register("ivf_recall_report", _ivf_recall_oracle(64, 16, 7))
+def q_ivf_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-probe twin of ann_recall_report (identical exact ground
+    truth, identical metric shape), with nprobe AUTO-TUNED from the
+    recall distribution (round-3 verdict item #2 — fixed nprobe=4
+    measured 0.513 here): cellrank of each exact top-3 pair = position
+    of the neighbor's home cell in the query's best-first cell
+    ranking; the tuned nprobe is the smallest with recall >= 0.8
+    (exact 5*hits >= 4*total integer test), picked from the <=16-row
+    cellrank histogram collected driver-side (bounded planner state).
+    Hits at nprobe np equal candidate-set hits — a candidate set
+    containing an exact top-3 neighbor ranks it in the re-ranked
+    top-3 — so the report derives from cellrank directly. On this
+    fixture the tune lands nprobe=9 of 16: recall 0.807 at ~2.2x the
+    nprobe-4 candidate volume (14,004 vs 6,255 pairs), the honest
+    price of 0.8 recall on near-uniform vectors. n_candidates keeps
+    the cost visible."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = 16
+    raw = V.make_planes(64, n_cells, seed=7)
+    cents = [[x / (sum(v * v for v in c) ** 0.5) for x in c] for c in raw]
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    corpus = emb.select("vec_id", "embedding")
+    exact = V.brute_force_topk(queries, corpus, k=3).select(
+        "query_id", "neighbor_id"
+    )
+    ranked_q = queries.select(
+        F.col("vec_id").alias("query_id"),
+        V.ivf_assign(F.col("embedding"), cents, nprobe=n_cells).alias("__cells"),
+    )
+    home = corpus.select(
+        F.col("vec_id").alias("neighbor_id"),
+        V.ivf_assign(F.col("embedding"), cents, nprobe=1)[0].alias("__home"),
+    )
+    cr = (
+        exact.join(F.broadcast(ranked_q), "query_id")
+        .join(home, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.array_position(F.col("__cells"), F.col("__home")).alias("cellrank"),
+        )
+    )
+    # bounded planner state: <=16-row cellrank histogram -> tuned nprobe
+    hist = {
+        int(r["cellrank"]): int(r["cnt"])
+        for r in cr.groupBy("cellrank").agg(F.count("*").alias("cnt")).collect()
+    }
+    total = sum(hist.values())
+    tuned, cum = n_cells, 0
+    for np_ in range(1, n_cells + 1):
+        cum += hist.get(np_, 0)
+        if 5 * cum >= 4 * total:
+            tuned = np_
+            break
+    probe = ranked_q.select(
+        "query_id", F.explode(F.slice("__cells", 1, tuned)).alias("__home")
+    )
+    ncand = (
+        probe.join(home, "__home")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .agg(F.count("*").cast("long").alias("n_candidates"))
+    )
+    report = cr.agg(
+        F.count_distinct("query_id").alias("n_queries"),
+        F.count("*").alias("n_exact"),
+        F.sum((F.col("cellrank") <= tuned).cast("long")).alias("n_hits"),
+        F.floor(
+            1000000.0
+            * F.sum((F.col("cellrank") <= tuned).cast("long"))
+            / F.count("*")
+        ).cast("long").alias("recall_e6"),
+        F.lit(tuned).cast("long").alias("nprobe"),
+    )
+    # 1-row scalar attachment (benign IdentityBroadcastMode pattern)
+    return report.crossJoin(F.broadcast(ncand))
+
+
+@register_pipeline("ivf_ann_top3_trained")  # rows-only: k-means centroids are
+# data-trained at runtime (collected driver-side), so no literal SQL twin
+# exists; the probe machinery itself is oracle-proven by ivf_ann_top3
+# (fixed centroids, identical code path), and tests/test_vectors.py
+# asserts recall against brute force + determinism.
+def q_ivf_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Similarity search scale path #2: IVF with deterministic k-means
+    cells — corpus partitions by nearest trained centroid, queries
+    probe 4 cells, exact cosine re-ranks."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    corpus = emb.select("vec_id", "embedding")
+    cents = V.kmeans_centroids(corpus, dim=64, k=16, iters=2, seed=7)
+    queries = emb.filter(F.col("vec_id") % 10 == 0).select("vec_id", "embedding")
+    return V.ivf_topk(
+        queries, corpus, dim=64, k=3, n_cells=16, nprobe=4, centroids=cents
+    )
+
+
+def _embed_near_dup_oracle(
+    dim: int, n_planes: int, n_tables: int, seed: int, threshold: float
+) -> str:
+    """Embedding near-dup corpus: originals UNION their int8-round-trip
+    twins (lossy re-encode, the realistic contamination), sign-LSH
+    banded candidates from the same hyperplane literals, exact cosine
+    verify. floor(x/scale + 0.5) is explicit half-up — identical in
+    both engines (see quantize_embeddings_int8)."""
+    from firmable_aus_etl_spark.functions.vectors import make_planes
+
+    rows = [
+        (t, i, p)
+        for t in range(n_tables)
+        for i, p in enumerate(make_planes(dim, n_planes, seed=seed + 1000 * t))
+    ]
+    return f"""
+WITH p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
+raw AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+         CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE)
+           / 127.0 AS scale
+  FROM embeddings
+),
+corpus AS (
+  SELECT vec_id AS id, v FROM raw WHERE scale > 0
+  UNION ALL
+  SELECT vec_id + 1000000 AS id,
+         list_transform(v, x -> floor(x / scale + 0.5) * scale) AS v
+  FROM raw WHERE scale > 0
+),
+sig AS (
+  SELECT c.id, p.tbl,
+         CAST(sum(CASE WHEN list_dot_product(c.v, p.pvec) >= 0
+                       THEN (CAST(1 AS BIGINT) << p.plane) ELSE 0 END) AS BIGINT) AS sig
+  FROM corpus c CROSS JOIN p GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.id AS a_id, b.id AS b_id
+  FROM sig a JOIN sig b ON a.tbl = b.tbl AND a.sig = b.sig AND a.id < b.id
+),
+scored AS (
+  SELECT a_id, b_id, list_cosine_similarity(ca.v, cb.v) AS cosine
+  FROM cand JOIN corpus ca ON cand.a_id = ca.id
+            JOIN corpus cb ON cand.b_id = cb.id
+)
+SELECT a_id, b_id, cosine FROM scored WHERE cosine >= {threshold!r}
+"""
+
+
+@register("embedding_cosine_near_dups", _embed_near_dup_oracle(64, 8, 4, 42, 0.99))
+def q_embedding_cosine_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup dedup: the corpus is contaminated with
+    int8-round-tripped copies of every vector (id + 1,000,000) — the
+    lossy re-encode scenario — then ``cosine_near_dup_pairs`` finds all
+    pairs with cosine >= 0.99 via sign-LSH banded buckets + exact
+    verify. Every surviving pair is (original, its re-encoded twin);
+    unrelated vectors in this corpus top out near cosine 0.51.
+
+    Scale: signature map + (table, signature)-bucket self-join + verify
+    on candidates only — never all-pairs (the brute-force twin is the
+    oracle, re-deriving identical buckets from the same hyperplane
+    literals so the result hash-matches exactly)."""
+    from firmable_aus_etl_spark.functions import vectors as V
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    scale = F.aggregate(
+        F.transform("embedding", lambda x: F.abs(x)),
+        F.lit(0.0).cast("float"),
+        lambda acc, x: F.greatest(acc, x),
+    ).cast("double") / 127.0
+    raw = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+        scale.alias("scale"),
+    ).where(F.col("scale") > 0)
+    twins = raw.select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform(
+            "v", lambda x: F.floor(x / F.col("scale") + 0.5).cast("double") * F.col("scale")
+        ).alias("v"),
+    )
+    corpus = ensure_parallelism(
+        raw.select("vec_id", "v").unionByName(twins), "vec_id"
+    )
+    return V.cosine_near_dup_pairs(
+        corpus, dim=64, id_col="vec_id", vec_col="v",
+        threshold=0.99, n_planes=8, n_tables=4, seed=42,
+    )
+
+
+@register_pipeline("minhash_lsh_candidates_fast")  # rows-only: xxhash64 is
+# Spark-specific, so no literal SQL twin — the oracle-bearing portable
+# md5 variant is registered under the default name minhash_lsh_candidates
+# (round-3 verdict item #1); this xxhash fast path stays available for
+# throughput. Verified subset (jaccard >= 0.5 on candidates) is covered
+# by the oracle-checked ngram_jaccard_near_dups; tests assert recall.
+def q_minhash_lsh_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup scale path: MinHash banding candidates (xxhash64 fast
+    hash family)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.minhash_lsh_pairs(docs, "doc_id", "text", num_hashes=32, bands=16)
+
+
+@register_pipeline("simhash_near_dups_fast")  # rows-only: xxhash64 is Spark-specific;
+# the oracle-bearing portable md5 variant is registered under the default
+# name simhash_near_dups (round-3 verdict item #1).
+def q_simhash_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup scale path: 64-bit SimHash, hamming <= 3 via pigeonhole
+    chunk join (blocks=4 guarantees recall for hamming <= 3); xxhash64
+    fast hash family."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.simhash_candidate_pairs(docs, "doc_id", "text", max_hamming=3, blocks=4)
+
+
+_TFIDF_ORACLE = f"""
+WITH d AS (SELECT doc_id, source, lang, {_TOKENS_SQL} AS w FROM documents),
+tok AS (
+  SELECT doc_id, source, lang, t, CAST(count(*) AS DOUBLE) AS tf
+  FROM (SELECT doc_id, source, lang, unnest(w) AS t FROM d)
+  GROUP BY doc_id, source, lang, t
+),
+df AS (SELECT t, CAST(count(*) AS DOUBLE) AS df FROM tok GROUP BY t),
+wt AS (SELECT doc_id, source, lang, tok.t, tf * (1.0 / df) AS wt
+       FROM tok JOIN df ON tok.t = df.t),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM wt GROUP BY doc_id),
+dots AS (
+  SELECT a.doc_id AS a_id, b.doc_id AS b_id, sum(a.wt * b.wt) AS dp
+  FROM wt a JOIN wt b
+    ON a.t = b.t AND a.source = b.source AND a.lang = b.lang
+   AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT a_id, b_id, dp / (x.nrm * y.nrm) AS cosine
+  FROM dots JOIN nrm x ON a_id = x.doc_id JOIN nrm y ON b_id = y.doc_id
+),
+r AS (SELECT a_id, b_id, cosine,
+             row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+      FROM cos WHERE cosine >= 0.7)
+SELECT a_id, b_id, round(cosine, 6) AS cosine FROM r WHERE rn = 1
+"""
+
+
+def _tfidf_weight_frame(
+    spark: SparkSession, sf_dir: str, doc_sample: float | None = None
+) -> DataFrame:
+    """Sparse TF-IDF term relation (doc_id, source, lang, t, wt) with
+    tf * (1/df) weights — shared by the naive and prefix-filtered
+    cosine joins so both score from identical inputs.
+
+    ``doc_sample`` builds the frame over a deterministic hash-sample
+    of the documents with IN-SAMPLE df — the cheap stats input for
+    cosine_join_adaptive's dispatch (its lineage touches only the
+    sampled docs, so the stats pass costs one p-fraction scan, not a
+    full-corpus weighting). In-sample df ~= p*df uniformly, and the
+    heavy-prefix condition is invariant to uniform weight scaling, so
+    the dispatch estimates are faithful."""
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+
+    # repartition before tokenize: the single-file input would run the
+    # explode + map-side tf aggregation of every downstream branch
+    # (dfreq, norms, both join sides) on one core (no-op at scale)
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    if doc_sample is not None:
+        docs = docs.filter(
+            F.pmod(F.xxhash64(F.col("doc_id")), F.lit(10000))
+            < int(doc_sample * 10000)
+        )
+    # tokens are IDENTITY keys only (tf/df grouping, the inverted-index
+    # join); the output never carries one — so they leave the map stage
+    # as xxhash64 longs and every downstream shuffle (tf, df, wt join,
+    # both cosine-join plans) moves 8-byte keys instead of strings
+    # (round-6; fingerprint-family move, 2^-64 collision caveat under
+    # the oracle hash gate). The AllPairs global order becomes hash
+    # order — exactness holds under ANY total order both sides share.
+    toks = ensure_parallelism(docs, "doc_id").select(
+        "doc_id", "source", "lang",
+        F.explode(
+            F.transform(
+                F.split(normalize_name(F.col("text")), " "),
+                lambda s: F.xxhash64(s),
+            )
+        ).alias("t"),
+    )
+    tf = toks.groupBy("doc_id", "source", "lang", "t").agg(
+        F.count("*").cast("double").alias("tf")
+    )
+    dfreq = tf.groupBy("t").agg(F.count("*").cast("double").alias("df"))
+    return tf.join(dfreq, "t").select(
+        "doc_id", "source", "lang", "t",
+        (F.col("tf") * (F.lit(1.0) / F.col("df"))).alias("wt"),
+    )
+
+
+# planner-statistics memo for the adaptive tfidf dispatch (see below),
+# keyed on (path, max parquet mtime) so in-process regeneration of the
+# table (test fixtures, notebook reuse) invalidates the entry instead
+# of serving a stale plan
+_TFIDF_PLAN_CACHE: dict[tuple, dict] = {}
+
+
+def _tfidf_cache_key(sf_dir: str) -> tuple:
+    import glob
+    import os as _os
+
+    pat = _os.path.join(sf_dir, "documents.parquet")
+    paths = glob.glob(pat) if _os.path.exists(pat) else []
+    if _os.path.isdir(pat):
+        paths = glob.glob(_os.path.join(pat, "*"))
+    mtime = max((_os.path.getmtime(p) for p in paths), default=0.0)
+    return (sf_dir, round(mtime, 3))
+
+
+@register("tfidf_cosine_top1", _TFIDF_ORACLE)
+def q_tfidf_cosine_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op22 DEFAULT — TF-IDF cosine similarity join (reference:
+    entity_matching.py:45-62, threshold 0.7 at :56) through
+    STATS-BASED ADAPTIVE DISPATCH (operators/cosine_join.py
+    cosine_join_adaptive; reference analog:
+    entity_matching_optimized.py:312's size-based matcher dispatch):
+    posting-list statistics pick between (a) the AllPairs L2-suffix
+    prefix plan — heavy head tokens index the join, pruning the
+    |posting|^2 fan-out, candidate shuffle keyed on (block, TOKEN) so
+    parallelism scales with the vocabulary — and (b) the one-pass
+    naive inverted-index join, which wins on template-dense corpora
+    where nearly every in-block pair survives the prefix filter
+    (measured on this fixture: 99.6% survive) and the prefix plan's
+    distinct + exact-dot re-joins are pure overhead. Both plans are
+    exact — the dispatch is physical planning only, proven by the
+    shared oracle with tfidf_cosine_top1_blocked.
+
+    Weighting is inv-df (not ln) so the DuckDB oracle is bit-stable;
+    cosine rounded to 6 (sum order differs across engines)."""
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        cosine_join_adaptive,
+        estimate_cosine_plan,
+    )
+
+    # plan selection from a fixed-size doc sample: TakeOrdered by doc
+    # hash (deterministic, bounded driver state — one scan with a
+    # per-partition top-k heap, no shuffle), estimated driver-side.
+    # The decision is invariant to the sample rate (both cost
+    # estimates scale by rate^2), so no corpus count is needed.
+    # Memoized per (table path, file mtime) — planner statistics,
+    # like any engine's ANALYZE output, are reusable across repeated
+    # plannings of the same input and invalidate when the files
+    # change (deterministic: same table -> same sample -> same plan).
+    # Bench note: min-of-N timings therefore exclude the planning
+    # scan after the first run — disclosed in bench methodology.
+    _ck = _tfidf_cache_key(sf_dir)
+    if _ck not in _TFIDF_PLAN_CACHE:
+        sample = (
+            load_table(spark, sf_dir, "documents")
+            .select(
+                "source", "lang",
+                F.split(normalize_name(F.col("text")), " ").alias("toks"),
+                F.xxhash64("doc_id").alias("h"),
+            )
+            .orderBy("h")
+            .limit(512)
+            .collect()
+        )
+        _TFIDF_PLAN_CACHE[_ck] = estimate_cosine_plan(
+            [((r["source"], r["lang"]), r["toks"]) for r in sample],
+            threshold=0.7,
+        )
+    dec = _TFIDF_PLAN_CACHE[_ck]
+
+    wt = _tfidf_weight_frame(spark, sf_dir)
+    pairs = cosine_join_adaptive(
+        wt,
+        id_col="doc_id",
+        token_col="t",
+        weight_col="wt",
+        threshold=0.7,
+        block_cols=["source", "lang"],
+        plan=dec["plan"],
+    )
+    cos = pairs.select(
+        "a_id",
+        "b_id",
+        (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+    )
+    top1 = topk_per_group(
+        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
+    )
+    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register("tfidf_cosine_top1_blocked", _TFIDF_ORACLE)
+def q_tfidf_cosine_top1_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op22 oracle-proof twin — the naive sparse inverted-index join:
+    tf * (1/df) weights, L2 norms, dot-product group-by, candidate
+    pairs blocked by (source, lang) (same move as the reference's
+    2-char prefix blocking, entity_matching_tfidf.py:159). Kept as the
+    exactness proof for the prefix default (shared oracle); not a
+    default-path plan — the per-block |posting|^2 fan-out grows
+    quadratically with block size at scale."""
+    wt = _tfidf_weight_frame(spark, sf_dir)
+    nrm = wt.groupBy("doc_id").agg(F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm"))
+    a = wt.alias("a")
+    b = wt.alias("b")
+    dots = (
+        a.join(
+            b,
+            on=[
+                F.col("a.t") == F.col("b.t"),
+                F.col("a.source") == F.col("b.source"),
+                F.col("a.lang") == F.col("b.lang"),
+                F.col("a.doc_id") < F.col("b.doc_id"),
+            ],
+        )
+        .groupBy(F.col("a.doc_id").alias("a_id"), F.col("b.doc_id").alias("b_id"))
+        .agg(F.sum(F.col("a.wt") * F.col("b.wt")).alias("dp"))
+    )
+    nx = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("nrm_a"))
+    ny = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nrm_b"))
+    cos = (
+        dots.join(nx, "a_id")
+        .join(ny, "b_id")
+        .select("a_id", "b_id", (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"))
+        .filter(F.col("cosine") >= 0.7)
+    )
+    top1 = topk_per_group(cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1)
+    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+def _simhash_w_case_sql(
+    target: int = 16, min_width: int = 8, max_width: int | None = None
+) -> str:
+    """SQL CASE replaying the width half of auto_simhash_bands EXACTLY
+    with integer thresholds (w <= k iff n <= target * 2^k — no libm):
+    the count-derived band width both engines agree on. ELSE NULL past
+    the baked matrix — the Spark side raises LOUD there first
+    (SIMHASH_ORACLE_MAX_WIDTH), so the NULL branch is unreachable in a
+    green run."""
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        SIMHASH_ORACLE_MAX_WIDTH,
+    )
+
+    mw = SIMHASH_ORACLE_MAX_WIDTH if max_width is None else max_width
+    whens = " ".join(
+        f"WHEN n <= {target * (1 << k)} THEN {k}"
+        for k in range(min_width, mw + 1)
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
+def _simhash_c_case_sql(
+    min_width: int = 8,
+    max_width: int | None = None,
+    *,
+    design_cosine: float = 0.95,
+    recall_target: float = 0.9,
+) -> str:
+    """SQL CASE mapping band width -> chunk count, literals baked from
+    the SAME Python rule the Spark plan calls
+    (cosine_join.simhash_chunks_for_width), so the float amplification
+    formula never executes inside either engine."""
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        SIMHASH_ORACLE_MAX_WIDTH,
+        simhash_chunks_for_width,
+    )
+
+    mw = SIMHASH_ORACLE_MAX_WIDTH if max_width is None else max_width
+    whens = " ".join(
+        f"WHEN w = {k} THEN "
+        f"{simhash_chunks_for_width(k, design_cosine=design_cosine, recall_target=recall_target)}"
+        for k in range(min_width, mw + 1)
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
+def _simhash_fam_values_sql(
+    *, design_cosine: float = 0.95, recall_target: float = 0.9,
+    max_width: int | None = None,
+) -> str:
+    """The affine plane-family (j, a, b) rows, baked for the LARGEST
+    configuration the oracle matrix covers (prefix-stability: smaller
+    (w, c) use a prefix of the same planes)."""
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        SIMHASH_ORACLE_MAX_WIDTH,
+        simhash_chunks_for_width,
+        simhash_plane_family,
+    )
+
+    mw = SIMHASH_ORACLE_MAX_WIDTH if max_width is None else max_width
+    max_planes = mw * simhash_chunks_for_width(
+        mw,
+        design_cosine=design_cosine,
+        recall_target=recall_target,
+    )
+    fams = simhash_plane_family(max_planes)
+    return ", ".join(
+        f"({j}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for j, (a, b) in enumerate(fams)
+    )
+
+
+def _tfidf_simhash_oracle(
+    *,
+    target: int = 16,
+    min_width: int = 8,
+    design_cosine: float = 0.95,
+    recall_target: float = 0.9,
+    threshold: float = 0.7,
+    max_width: int | None = None,
+) -> str:
+    """DuckDB twin of the AUTO-SIZED weighted-SimHash cosine route
+    (round-8 verdict Next #1): md5 31-bit token hashes, integer
+    milli-weights (tf*10^9 div df) for the exact sign sums, and the
+    (width, chunks) SIZING DECISION re-derived in SQL — width from
+    count(*) by integer CASE, chunks from width by the baked
+    amplification table — then per-band candidate self-join within
+    (source, lang), double-weight cosine verify, top-1. The plane
+    universe is RELATIONAL (generate_series x the affine family
+    VALUES), so one static SQL text replays every configuration the
+    matrix covers; signature sums are integers (a sign flip is not
+    maskable by rounding), verify reuses _TFIDF_ORACLE's tf*(1.0/df)
+    double weighting with cosine rounded to 6."""
+    p = dedup._MERSENNE_31
+    md5_sql = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS BIGINT))), "
+        f"(a, b) -> a * 16 + b) % {p}"
+    )
+    w_case = _simhash_w_case_sql(target, min_width, max_width)
+    c_case = _simhash_c_case_sql(
+        min_width, max_width,
+        design_cosine=design_cosine, recall_target=recall_target,
+    )
+    fam_vals = _simhash_fam_values_sql(
+        design_cosine=design_cosine, recall_target=recall_target,
+        max_width=max_width,
+    )
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        SIMHASH_ORACLE_MAX_WIDTH,
+        simhash_chunks_for_width,
+    )
+
+    mw = SIMHASH_ORACLE_MAX_WIDTH if max_width is None else max_width
+    # constant series bound (DuckDB generate_series takes no subquery):
+    # the largest plane universe the matrix covers, filtered to w*c
+    max_planes_minus1 = (
+        mw
+        * simhash_chunks_for_width(
+            mw,
+            design_cosine=design_cosine,
+            recall_target=recall_target,
+        )
+        - 1
+    )
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, lang, unnest({_TOKENS_SQL}) AS s FROM documents
+),
+tf AS (
+  SELECT doc_id, source, lang, s, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, source, lang, s
+),
+dfq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY s),
+w AS (
+  SELECT doc_id, source, lang, {md5_sql} AS t,
+         CAST(tf AS DOUBLE) * (1.0 / CAST(df AS DOUBLE)) AS wt,
+         (tf * 1000000000) // df AS wi
+  FROM tf JOIN dfq USING (s)
+),
+sized0 AS (SELECT {w_case} AS w
+           FROM (SELECT count(*) AS n FROM documents)),
+sized AS (SELECT w, {c_case} AS c FROM sized0),
+fam(j, fa, fb) AS (VALUES {fam_vals}),
+pl AS (SELECT CAST(g.i AS BIGINT) AS i
+       FROM generate_series(0, {max_planes_minus1}) AS g(i)
+       WHERE g.i < (SELECT w * c FROM sized)),
+comp AS (
+  SELECT w.doc_id, w.source, w.lang, pl.i AS pl,
+         sum(w.wi * (2 * ((((fam.fa * w.t + fam.fb) % {p}) >> (pl.i % 31)) & 1) - 1)) AS s
+  FROM w CROSS JOIN pl JOIN fam ON fam.j = pl.i // 31
+  GROUP BY 1, 2, 3, 4
+),
+chunked AS (
+  SELECT doc_id, source, lang, pl // (SELECT w FROM sized) AS chunk_id,
+         CAST(sum(CASE WHEN s > 0
+                       THEN (CAST(1 AS BIGINT) << CAST(pl % (SELECT w FROM sized) AS INTEGER))
+                       ELSE CAST(0 AS BIGINT) END) AS BIGINT) AS chunk
+  FROM comp GROUP BY 1, 2, 3, 4
+),
+cand AS (
+  SELECT DISTINCT l.doc_id AS a_id, r.doc_id AS b_id, l.source, l.lang
+  FROM chunked l JOIN chunked r
+    ON l.chunk_id = r.chunk_id AND l.chunk = r.chunk
+   AND l.source = r.source AND l.lang = r.lang
+   AND l.doc_id < r.doc_id
+),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+dots AS (
+  SELECT c.a_id, c.b_id, sum(a.wt * b.wt) AS dp
+  FROM cand c
+  JOIN w a ON a.doc_id = c.a_id AND a.source = c.source AND a.lang = c.lang
+  JOIN w b ON b.doc_id = c.b_id AND b.source = c.source AND b.lang = c.lang
+          AND b.t = a.t
+  GROUP BY 1, 2
+),
+cos AS (
+  SELECT a_id, b_id, dp / (x.nrm * y.nrm) AS cosine
+  FROM dots JOIN nrm x ON a_id = x.doc_id JOIN nrm y ON b_id = y.doc_id
+),
+r AS (SELECT a_id, b_id, cosine,
+             row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+      FROM cos WHERE cosine >= {threshold})
+SELECT a_id, b_id, round(cosine, 6) AS cosine FROM r WHERE rn = 1
+"""
+
+
+def _tfidf_portable_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sparse TF-IDF term relation with the PORTABLE md5 31-bit token
+    hash and BOTH weight forms: ``wt`` = tf * (1.0/df) doubles (the
+    verify weighting _TFIDF_ORACLE uses) and ``wi`` = (tf * 10^9) div
+    df integer milli-weights — the signature-side weights, exact and
+    order-independent in every engine so a simhash sign bit can never
+    flip between Spark and the oracle. tf/df group on the token STRING
+    (hash applied after), so a 31-bit hash collision merges the same
+    two tokens in both engines — defined semantics, not drift."""
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = ensure_parallelism(docs, "doc_id").select(
+        "doc_id", "source", "lang",
+        F.explode(F.split(normalize_name(F.col("text")), " ")).alias("s"),
+    )
+    tf = toks.groupBy("doc_id", "source", "lang", "s").agg(
+        F.count("*").alias("tf")
+    )
+    dfreq = tf.groupBy("s").agg(F.count("*").alias("df"))
+    return tf.join(dfreq, "s").select(
+        "doc_id", "source", "lang",
+        dedup.md5_base_hash(F.col("s")).alias("t"),
+        (
+            F.col("tf").cast("double")
+            * (F.lit(1.0) / F.col("df").cast("double"))
+        ).alias("wt"),
+        F.expr("(tf * 1000000000) div df").alias("wi"),
+    )
+
+
+def _docs_count(spark: SparkSession, sf_dir: str) -> int:
+    """Memoized documents row count per (path, mtime) — the one input
+    of the simhash banding sizing rule (and the cheap half of
+    _tfidf_route_stats; kept separate so the standalone simhash query
+    never pays the candidate-mass aggregate)."""
+    key = _tfidf_cache_key(sf_dir)
+    if key not in _DOCS_COUNT_CACHE:
+        _DOCS_COUNT_CACHE[key] = load_table(spark, sf_dir, "documents").count()
+    return _DOCS_COUNT_CACHE[key]
+
+
+_DOCS_COUNT_CACHE: dict[tuple, int] = {}
+
+
+@register("tfidf_cosine_simhash_top1", _tfidf_simhash_oracle())
+def q_tfidf_cosine_simhash_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op22 DESIGNATED SCALE ROUTE, banding AUTO-SIZED (round-8
+    verdict Next #1) — cosine-threshold top-1 via weighted sign-LSH
+    (Charikar STOC 2002) instead of an exact join: weighted SimHash
+    planes per doc (one linear aggregate), candidate buckets from
+    (width, chunks) banding within (source, lang), exact double-weight
+    cosine verify on candidates only, top-1.
+
+    The banding is no longer the fixed 4x8 constant-factor reducer
+    the round-8 verdict flagged (zipf10 tail 1.87): width widens with
+    log2(n_docs) so bucket occupancy — hence candidate fan-out — stays
+    ~constant, and chunks restore recall at the design cosine
+    (auto_simhash_bands; recall 1-(1-p^w)^c at p = 1-acos(0.95)/pi,
+    DISCLOSED like minhash banding). The SIZING DECISION replays in
+    the oracle: width from count(*) by integer CASE, chunks from the
+    baked amplification table, planes filtered relationally — so a
+    Spark/DuckDB sizing disagreement is a row-level mismatch. Corpora
+    past the oracle matrix (16 * 2^24 docs) raise LOUD instead of
+    silently saturating (the round-8 constant-clamp lesson).
+
+    Why this is the 100 TB route where the exact family is not: on
+    corpora where every token's df ∝ n (the uniform-vocab fixtures; or
+    the boilerplate head of a real crawl), ANY exact inverted-index
+    cosine join is inherently quadratic — Sum_t C(df_t, 2) pair rows
+    with df ∝ n — and the prefix filter cannot prune below the output
+    (measured: 99.6% of candidates survive on the fixture). The LSH
+    route's cost is signature (~n log n) + occupancy-bounded
+    candidates + verify on candidates — never all-pairs; total work
+    ~n^(1+rho) with rho = log2(1/p) ≈ 0.15, the published sign-LSH
+    exponent. SCALING_r9 carries the re-measured fits.
+
+    reference: entity_matching.py:45-62 semantics at a scale the
+    reference's in-memory all-pairs scorer never reaches."""
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        SIMHASH_ORACLE_MAX_WIDTH,
+        auto_simhash_bands,
+        weighted_simhash_candidates,
+    )
+
+    n_docs = _docs_count(spark, sf_dir)
+    width, chunks = auto_simhash_bands(n_docs)
+    if width > SIMHASH_ORACLE_MAX_WIDTH:
+        raise RuntimeError(
+            f"simhash banding width {width} (n={n_docs}) exceeds the "
+            f"oracle matrix cap {SIMHASH_ORACLE_MAX_WIDTH}; widen the "
+            "baked CASE matrix — do NOT clamp (round-8 lesson)"
+        )
+    wt = _tfidf_portable_weight_frame(spark, sf_dir)
+    cand = weighted_simhash_candidates(
+        wt,
+        id_col="doc_id",
+        token_col="t",
+        weight_col="wi",
+        block_cols=["source", "lang"],
+        width=width,
+        chunks=chunks,
+    )
+    a_all = wt.select(
+        F.col("doc_id").alias("a_id"), "source", "lang", "t",
+        F.col("wt").alias("wa"),
+    )
+    b_all = wt.select(
+        F.col("doc_id").alias("b_id"), "source", "lang", "t",
+        F.col("wt").alias("wb"),
+    )
+    dots = (
+        cand.join(a_all, ["a_id", "source", "lang"])
+        .join(b_all, ["b_id", "source", "lang", "t"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nrm_b"))
+    cos = (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.7)
+    )
+    top1 = topk_per_group(
+        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
+    )
+    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+# Exact-route budget for the auto-routed cosine join: the exact
+# inverted-index join materializes Sum_{(block,t)} C(df,2) candidate
+# rows; once that exceeds _COSINE_ROUTE_CAP pairs PER DOCUMENT the
+# corpus is in its quadratic regime (df ∝ n — uniform fixtures, crawl
+# boilerplate) and the LSH route's linear signature + bucket-bounded
+# candidates win. 1024 pairs/doc ~ the point where candidate volume
+# stops being "a few wide rows per doc" and becomes the dominant
+# shuffle; measured on the fixtures: real sf0.001/0.01/0.1 sit at
+# 52/58/572 (exact), syn0.3/syn1/syn3 at 1793/5994/18013 and
+# zipf1/zipf3 at 2599/7767 (LSH).
+_COSINE_ROUTE_CAP = 1024
+
+# routing-statistics memo, same (path, mtime) lifetime as the
+# naive-vs-prefix planner cache above
+_TFIDF_ROUTE_CACHE: dict[tuple, dict] = {}
+
+
+def _tfidf_route_stats(spark: SparkSession, sf_dir: str) -> dict:
+    """ANALYZE pass for the cosine route: n_docs and the EXACT
+    candidate mass Sum_{(source,lang,token)} C(df,2) of the exact
+    inverted-index join. Integer counts — bit-identical in any engine,
+    so the route decision can never straddle engines. One aggregate
+    job + one count, memoized per (path, mtime)."""
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+    from firmable_aus_etl_spark.operators.partitioning import ensure_parallelism
+
+    key = _tfidf_cache_key(sf_dir)
+    if key not in _TFIDF_ROUTE_CACHE:
+        docs = load_table(spark, sf_dir, "documents")
+        postings = (
+            ensure_parallelism(docs, "doc_id")
+            .select(
+                "doc_id", "source", "lang",
+                F.explode(
+                    F.array_distinct(F.split(normalize_name(F.col("text")), " "))
+                ).alias("s"),
+            )
+        )
+        dfq = postings.groupBy("source", "lang", "s").agg(
+            F.count("*").alias("df")
+        )
+        cand = dfq.agg(
+            F.sum(F.col("df") * (F.col("df") - 1) / 2).cast("long").alias("c")
+        ).collect()[0]["c"]
+        _TFIDF_ROUTE_CACHE[key] = {
+            "n_docs": docs.count(),
+            "cand_mass": int(cand or 0),
+        }
+    return _TFIDF_ROUTE_CACHE[key]
+
+
+def _tfidf_routed_oracle() -> str:
+    """DuckDB twin of the ROUTE DECISION ITSELF plus whichever pipeline
+    it picks: the stats CTE recomputes the identical integer candidate
+    mass, and the two full pipelines (exact tf-idf join, weighted
+    sign-LSH) are embedded as subqueries gated on the same comparison.
+    A Spark/DuckDB routing disagreement cannot hide: the branches
+    produce different rows, so the value hash catches it."""
+    exact_body = _TFIDF_ORACLE.strip().rstrip(";")
+    lsh_body = _tfidf_simhash_oracle().strip().rstrip(";")
+    return f"""
+WITH stats AS (
+  SELECT CAST(sum(df * (df - 1) / 2) AS BIGINT) AS cand,
+         (SELECT count(*) FROM documents) AS n
+  FROM (
+    SELECT source, lang, s, count(*) AS df
+    FROM (
+      SELECT DISTINCT doc_id, source, lang, s
+      FROM (SELECT doc_id, source, lang, unnest({_TOKENS_SQL}) AS s
+            FROM documents)
+    )
+    GROUP BY source, lang, s
+  )
+)
+SELECT * FROM ({exact_body})
+WHERE (SELECT cand <= {_COSINE_ROUTE_CAP} * n FROM stats)
+UNION ALL
+SELECT * FROM ({lsh_body})
+WHERE NOT (SELECT cand <= {_COSINE_ROUTE_CAP} * n FROM stats)
+"""
+
+
+@register("tfidf_cosine_routed", _tfidf_routed_oracle())
+def q_tfidf_cosine_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op22 AUTO-ROUTED — the routing story of the cosine family made
+    executable (round-7 verdict: the scale route must be DESIGNATED
+    and the dispatch measured, not asserted). A corpus-stats ANALYZE
+    pass (n_docs, exact candidate mass Sum C(df,2) — integer counts,
+    engine-identical) picks the physical route:
+
+    - cand_mass <= 1024 * n_docs: the EXACT adaptive join
+      (tfidf_cosine_top1 — naive/prefix dispatch inside), results
+      exact;
+    - above it: the corpus is in the exact family's quadratic regime
+      (df ∝ n), so route to the weighted sign-LSH pipeline
+      (tfidf_cosine_simhash_top1) — linear signatures,
+      bucket-bounded candidates, disclosed banding recall.
+
+    The oracle replays the DECISION, not just the chosen plan: its
+    stats CTE computes the same integer candidate mass and gates the
+    same two full pipelines, so a routing disagreement between engines
+    is a row-level mismatch, exactly like the ANN tuning decisions
+    already under the hash gate. On the driver fixtures
+    (52-572 pairs/doc) this routes exact — correctness gate compares
+    exact output; SCALING_r8 carries the syn/zipf fits where the
+    route flips to LSH (1793+ pairs/doc) and the curve bends.
+
+    reference: entity_matching_optimized.py:312's size-based matcher
+    dispatch, lifted from "which in-memory matcher" to "which
+    distributed algorithm family"."""
+    stats = _tfidf_route_stats(spark, sf_dir)
+    if stats["cand_mass"] <= _COSINE_ROUTE_CAP * stats["n_docs"]:
+        return q_tfidf_cosine_top1(spark, sf_dir)
+    return q_tfidf_cosine_simhash_top1(spark, sf_dir)
+
+
+# ---- tau~0.7 third routing branch (round-8 verdict Next #2) --------
+#
+# Amplification budget for the sign-LSH banding when recall is sized
+# AT the match threshold itself (design_cosine = tau): chunks grow as
+# ~(1/p)^w with p = 1-acos(tau)/pi, so at tau 0.7 (p ~ 0.747) the
+# required chunk count explodes with width — w=8 needs 23 chunks,
+# w=9 already 31. Past _TAU_CHUNK_BUDGET chunks the signature stage
+# (w*c sign sums per doc per plane) costs more than projecting the
+# tf-idf vector into a fixed 64-dim feature-hashed embedding and
+# running the measured deep-scale ANN champion (multiprobe sign-LSH,
+# 31.7 s / tail 0.66 at syn10 — SCALING_r8b), so the router dispatches
+# text -> embedding -> multiprobe-LSH there. 24 = the largest chunk
+# count where banding work w*c stays under ~200 planes, the point the
+# r8b curves put signature cost level with the embedding route's
+# projection+probe cost.
+_TAU_CHUNK_BUDGET = 24
+
+
+def _tau_budget_width(tau: float = 0.7) -> int:
+    """Largest band width whose tau-designed chunk count fits the
+    budget — bounds the simhash sub-oracle's baked matrix (beyond it
+    the branch is never taken, so its CASE rows would be dead SQL)."""
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        SIMHASH_ORACLE_MAX_WIDTH,
+        simhash_chunks_for_width,
+    )
+
+    ws = [
+        w
+        for w in range(8, SIMHASH_ORACLE_MAX_WIDTH + 1)
+        if simhash_chunks_for_width(w, design_cosine=tau) <= _TAU_CHUNK_BUDGET
+    ]
+    return ws[-1] if ws else 8
+
+
+def _tfidf_embed_ann_oracle(threshold: float = 0.7) -> str:
+    """DuckDB twin of the text->embedding->multiprobe-LSH branch: the
+    tf-idf term relation is feature-hashed into a dense 64-dim vector
+    with INTEGER milli-weight components (dim = t mod 64, sign = bit 6
+    of t — exact and order-independent in both engines, the simhash
+    integer-weights discipline), then the full multiprobe sign-LSH
+    candidate machinery of _multiprobe_lsh_oracle_auto replays (planes
+    and flip sets baked at max_planes=16, np from count(*) by integer
+    CASE, query-directed probe ranking with sig tie-break), candidate
+    pairs symmetrize via least/greatest, and the verify is the EXACT
+    tf-idf cosine over shared tokens — cross-block pairs drop out
+    because the token join requires equal (source, lang)."""
+    from firmable_aus_etl_spark.functions.vectors import (
+        make_planes,
+        multiprobe_flipsets,
+    )
+
+    p31 = dedup._MERSENNE_31
+    md5_sql = (
+        "list_reduce(list_prepend(CAST(0 AS BIGINT), "
+        "list_transform(generate_series(1, 8), "
+        "i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS BIGINT))), "
+        f"(a, b) -> a * 16 + b) % {p31}"
+    )
+    rows = [
+        (t, i, p)
+        for t in range(6)
+        for i, p in enumerate(make_planes(64, 16, seed=42 + 1000 * t))
+    ]
+    fs_rows = []
+    for fs in multiprobe_flipsets(16, 2):
+        mask = sum(1 << b for b in fs)
+        b1 = fs[0] if len(fs) >= 1 else "NULL"
+        b2 = fs[1] if len(fs) >= 2 else "NULL"
+        fs_rows.append(f"(CAST({mask} AS BIGINT), {b1}, {b2})")
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, lang, unnest({_TOKENS_SQL}) AS s FROM documents
+),
+tf AS (
+  SELECT doc_id, source, lang, s, CAST(count(*) AS BIGINT) AS tf
+  FROM tok GROUP BY doc_id, source, lang, s
+),
+dfq AS (SELECT s, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY s),
+w AS (
+  SELECT doc_id, source, lang, {md5_sql} AS t,
+         CAST(tf AS DOUBLE) * (1.0 / CAST(df AS DOUBLE)) AS wt,
+         (tf * 1000000000) // df AS wi
+  FROM tf JOIN dfq USING (s)
+),
+fh AS (
+  SELECT doc_id, CAST(t % 64 AS INTEGER) AS d,
+         CAST(sum(CASE WHEN ((t >> 6) & 1) = 1 THEN wi ELSE -wi END) AS BIGINT) AS val
+  FROM w GROUP BY 1, 2
+),
+dims AS (SELECT CAST(g.i AS INTEGER) AS d FROM generate_series(0, 63) AS g(i)),
+ids AS (SELECT DISTINCT doc_id FROM w),
+e AS (
+  SELECT ids.doc_id AS vec_id,
+         list(CAST(coalesce(fh.val, 0) AS DOUBLE) ORDER BY dims.d) AS v
+  FROM ids CROSS JOIN dims
+  LEFT JOIN fh ON fh.doc_id = ids.doc_id AND fh.d = dims.d
+  GROUP BY ids.doc_id
+),
+p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
+fs_all(mask, b1, b2) AS (VALUES {", ".join(fs_rows)}),
+np AS (SELECT {_np_case_sql(16, 6, 16)} AS np
+       FROM (SELECT count(*) AS n FROM documents)),
+fs AS (SELECT mask, b1, b2 FROM fs_all CROSS JOIN np
+       WHERE (b1 IS NULL OR b1 < np.np) AND (b2 IS NULL OR b2 < np.np)),
+d AS (SELECT e.vec_id, p.tbl, p.plane, list_dot_product(e.v, p.pvec) AS dot
+      FROM e CROSS JOIN p CROSS JOIN np WHERE p.plane < np.np),
+sig AS (
+  SELECT vec_id, tbl,
+         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << plane)
+                       ELSE 0 END) AS BIGINT) AS sig
+  FROM d GROUP BY 1, 2
+),
+qc AS (
+  SELECT s.vec_id, s.tbl,
+         coalesce(abs(d1.dot), 0.0) + coalesce(abs(d2.dot), 0.0) AS cost,
+         xor(s.sig, fs.mask) AS probe_sig
+  FROM sig s
+  CROSS JOIN fs
+  LEFT JOIN d d1 ON d1.vec_id = s.vec_id AND d1.tbl = s.tbl AND d1.plane = fs.b1
+  LEFT JOIN d d2 ON d2.vec_id = s.vec_id AND d2.tbl = s.tbl AND d2.plane = fs.b2
+),
+pr AS (
+  SELECT vec_id, tbl, probe_sig FROM (
+    SELECT vec_id, tbl, probe_sig,
+           row_number() OVER (PARTITION BY vec_id, tbl
+                              ORDER BY cost, probe_sig) AS rnk
+    FROM qc) WHERE rnk <= 10
+),
+cand AS (
+  SELECT DISTINCT pr.vec_id AS qid, c.vec_id AS nid
+  FROM pr JOIN sig c ON pr.tbl = c.tbl AND pr.probe_sig = c.sig
+  WHERE c.vec_id <> pr.vec_id
+),
+pairs AS (
+  SELECT DISTINCT least(qid, nid) AS a_id, greatest(qid, nid) AS b_id
+  FROM cand
+),
+dots AS (
+  SELECT c.a_id, c.b_id, sum(a.wt * b.wt) AS dp
+  FROM pairs c
+  JOIN w a ON a.doc_id = c.a_id
+  JOIN w b ON b.doc_id = c.b_id AND b.t = a.t
+          AND b.source = a.source AND b.lang = a.lang
+  GROUP BY 1, 2
+),
+nrm AS (SELECT doc_id, sqrt(sum(wt * wt)) AS nrm FROM w GROUP BY doc_id),
+cos AS (
+  SELECT a_id, b_id, dp / (x.nrm * y.nrm) AS cosine
+  FROM dots JOIN nrm x ON a_id = x.doc_id JOIN nrm y ON b_id = y.doc_id
+),
+r AS (SELECT a_id, b_id, cosine,
+             row_number() OVER (PARTITION BY a_id ORDER BY cosine DESC, b_id) AS rn
+      FROM cos WHERE cosine >= {threshold})
+SELECT a_id, b_id, round(cosine, 6) AS cosine FROM r WHERE rn = 1
+"""
+
+
+def _tfidf_tau_routed_oracle() -> str:
+    """DuckDB twin of the tau-threshold ROUTE DECISION plus whichever
+    pipeline it picks (the third routing branch, round-8 Next #2):
+    the gate CTE re-derives the identical (width, required-chunks)
+    sizing — width from count(*) by integer CASE, chunks from the
+    baked tau-designed amplification table — and compares the chunk
+    count against the same _TAU_CHUNK_BUDGET literal. Both FULL
+    pipelines are embedded as gated subqueries, so a Spark/DuckDB
+    routing disagreement is a row-level mismatch."""
+    wb = _tau_budget_width(0.7)
+    simhash_body = _tfidf_simhash_oracle(
+        design_cosine=0.7, threshold=0.7, max_width=wb
+    ).strip().rstrip(";")
+    embed_body = _tfidf_embed_ann_oracle(0.7).strip().rstrip(";")
+    w_case = _simhash_w_case_sql(16, 8)
+    c_case = _simhash_c_case_sql(8, design_cosine=0.7, recall_target=0.9)
+    return f"""
+WITH feas AS (
+  SELECT ({c_case.replace("w =", "w0.w =")}) <= {_TAU_CHUNK_BUDGET} AS simhash_ok
+  FROM (SELECT {w_case} AS w
+        FROM (SELECT count(*) AS n FROM documents)) w0
+)
+SELECT * FROM ({simhash_body})
+WHERE (SELECT simhash_ok FROM feas)
+UNION ALL
+SELECT * FROM ({embed_body})
+WHERE NOT (SELECT simhash_ok FROM feas)
+"""
+
+
+def _embedding_ann_cosine_top1(
+    spark: SparkSession, sf_dir: str, *, threshold: float = 0.7
+) -> DataFrame:
+    """text -> 64-dim feature-hashed embedding -> occupancy-sized
+    multiprobe sign-LSH candidates -> exact tf-idf cosine verify ->
+    top-1: the deep-scale branch for low-tau cosine matching, built
+    on the measured ANN champion (vectors.lsh_multiprobe_topk,
+    SCALING_r8b syn10 tail 0.66). The embedding components are INTEGER
+    milli-weight sums (dim = t mod 64, sign = bit 6 of t) so both
+    engines build bit-identical vectors; every downstream double is a
+    fixed-order 64-element fold the ANN oracle family already proves
+    portable."""
+    from firmable_aus_etl_spark.functions import vectors as V
+
+    n_docs = _docs_count(spark, sf_dir)
+    wt = _tfidf_portable_weight_frame(spark, sf_dir)
+    sign = F.shiftright(F.col("t"), 6).bitwiseAND(F.lit(1)) * 2 - F.lit(1)
+    fh = wt.groupBy(
+        "doc_id", F.pmod(F.col("t"), F.lit(64)).cast("int").alias("d")
+    ).agg(F.sum(sign * F.col("wi")).alias("val"))
+    vecs = (
+        fh.groupBy("doc_id")
+        .agg(
+            F.map_from_entries(
+                F.collect_list(F.struct("d", "val"))
+            ).alias("m")
+        )
+        .select(
+            "doc_id",
+            F.expr(
+                "transform(sequence(0, 63), "
+                "i -> CAST(coalesce(element_at(m, i), 0L) AS DOUBLE))"
+            ).alias("embedding"),
+        )
+    )
+    cand = V.lsh_multiprobe_topk(
+        vecs,
+        vecs,
+        dim=64,
+        query_id="doc_id",
+        corpus_id="doc_id",
+        vec_col="embedding",
+        k=None,
+        n_planes=V.auto_n_planes(
+            n_docs, target_occupancy=16, min_planes=6, max_planes=16
+        ),
+        n_tables=6,
+        probes=10,
+        seed=42,
+    )
+    pairs = cand.select(
+        F.least("query_id", "neighbor_id").alias("a_id"),
+        F.greatest("query_id", "neighbor_id").alias("b_id"),
+    ).distinct()
+    a_all = wt.select(
+        F.col("doc_id").alias("a_id"), "source", "lang", "t",
+        F.col("wt").alias("wa"),
+    )
+    b_all = wt.select(
+        F.col("doc_id").alias("b_id"), "source", "lang", "t",
+        F.col("wt").alias("wb"),
+    )
+    dots = (
+        pairs.join(a_all, "a_id")
+        .join(b_all, ["b_id", "source", "lang", "t"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nrm_b"))
+    cos = (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    top1 = topk_per_group(
+        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
+    )
+    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+@register("tfidf_cosine_tau_routed", _tfidf_tau_routed_oracle())
+def q_tfidf_cosine_tau_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """op22 THIRD ROUTING BRANCH (round-8 verdict Next #2) — cosine
+    matching AT tau=0.7 with recall designed at the threshold itself,
+    not at the near-dup point. The sizing rule answers "what would
+    banding cost to hold 0.9 recall at cosine 0.7?":
+
+    - chunks(width, tau) <= 24 (_TAU_CHUNK_BUDGET): banding is still
+      affordable — run the weighted-SimHash pipeline with the
+      tau-designed (width, chunks);
+    - past the budget (p^w collapses at low tau, chunks ~ (1/p)^w):
+      banding cannot reach the threshold at acceptable amplification
+      (the SCALING.md round-8b consequence) — dispatch
+      text -> feature-hashed 64-dim embedding -> multiprobe sign-LSH
+      (the measured deep-scale ANN champion) -> exact tf-idf cosine
+      verify at tau -> top-1.
+
+    On the driver fixtures the route genuinely flips: 500 docs
+    (sf0.001/sf0.01) size to width 8 / 23 chunks -> simhash; 5000
+    docs (sf0.1) size to width 9 / 31 chunks -> embedding-ANN. The
+    oracle replays the DECISION (same integer CASE sizing, same
+    budget literal) and both FULL pipelines, so routing disagreements
+    are row-level mismatches. Recall < 1 near the threshold is the
+    disclosed LSH trade in BOTH branches.
+
+    reference: entity_matching_optimized.py:312's matcher dispatch,
+    third arm; SURVEY §4 custom work #4 at the tau regime the
+    reference's in-memory scorer never parameterizes."""
+    from firmable_aus_etl_spark.operators.cosine_join import (
+        SIMHASH_ORACLE_MAX_WIDTH,
+        auto_simhash_bands,
+        simhash_chunks_for_width,
+        weighted_simhash_candidates,
+    )
+
+    n_docs = _docs_count(spark, sf_dir)
+    width, c_req = auto_simhash_bands(n_docs, design_cosine=0.7)
+    if width > SIMHASH_ORACLE_MAX_WIDTH:
+        raise RuntimeError(
+            f"tau-routed banding width {width} (n={n_docs}) exceeds the "
+            f"oracle matrix cap {SIMHASH_ORACLE_MAX_WIDTH}; widen the "
+            "baked CASE matrix — do NOT clamp (round-8 lesson)"
+        )
+    if c_req > _TAU_CHUNK_BUDGET:
+        return _embedding_ann_cosine_top1(spark, sf_dir, threshold=0.7)
+    wt = _tfidf_portable_weight_frame(spark, sf_dir)
+    cand = weighted_simhash_candidates(
+        wt,
+        id_col="doc_id",
+        token_col="t",
+        weight_col="wi",
+        block_cols=["source", "lang"],
+        width=width,
+        chunks=c_req,
+    )
+    a_all = wt.select(
+        F.col("doc_id").alias("a_id"), "source", "lang", "t",
+        F.col("wt").alias("wa"),
+    )
+    b_all = wt.select(
+        F.col("doc_id").alias("b_id"), "source", "lang", "t",
+        F.col("wt").alias("wb"),
+    )
+    dots = (
+        cand.join(a_all, ["a_id", "source", "lang"])
+        .join(b_all, ["b_id", "source", "lang", "t"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nrm_b"))
+    cos = (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.7)
+    )
+    top1 = topk_per_group(
+        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
+    )
+    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+_BM25_QUERIES = [
+    ("q1", "fast hash join"),
+    ("q2", "window agg stream"),
+    ("q3", "spark table scan"),
+    ("q4", "the value zzz"),  # 'zzz' hits no posting — dropped by join
+]
+
+_BM25_ORACLE = f"""
+WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+tok AS (
+  SELECT doc_id AS id, t, count(*) AS tf
+  FROM (SELECT doc_id, unnest(w) AS t FROM d)
+  GROUP BY 1, 2
+),
+dl AS (SELECT id, sum(tf) AS dl FROM tok GROUP BY id),
+dfq AS (SELECT t, count(*) AS df FROM tok GROUP BY t),
+stats AS (SELECT count(*) AS n_docs, sum(dl) AS total_dl FROM dl),
+q(query_id, qtext) AS (VALUES {", ".join(
+    f"('{qid}', '{qtext}')" for qid, qtext in _BM25_QUERIES
+)}),
+qterms AS (
+  SELECT DISTINCT query_id, t
+  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS t FROM q)
+),
+qt AS (
+  SELECT query_id, qterms.t,
+         ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf,
+         n_docs, total_dl
+  FROM qterms JOIN dfq ON qterms.t = dfq.t CROSS JOIN stats
+),
+contrib AS (
+  SELECT query_id, id,
+         CAST(floor(idf * (tf * 2.2)
+              / (tf + 1.2 * (0.25 + 0.75
+                             * (CAST(dl * n_docs AS DOUBLE) / total_dl)))
+              * 1000000.0 + 0.5) AS BIGINT) AS units
+  FROM tok JOIN dl USING (id) JOIN qt ON tok.t = qt.t
+),
+scored AS (
+  SELECT query_id, id, CAST(sum(units) AS BIGINT) AS units
+  FROM contrib GROUP BY 1, 2
+),
+r AS (
+  SELECT query_id, id, units,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY units DESC, id) AS rank
+  FROM scored
+)
+SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id,
+       units / 1000000.0 AS score
+FROM r WHERE rank <= 10
+"""
+
+
+@register("bm25_search_top10", _BM25_ORACLE)
+def q_bm25_search_top10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 top-10 retrieval of four fixed search queries against
+    the documents corpus (operators/retrieval.bm25_topk) — the
+    query-SERVING shape of the tf-idf family: RAG-style corpus search,
+    targeted decontamination probes, topic-conditioned sampling.
+
+    Scale shape: corpus side is the linear inverted index (persisted
+    at cluster scale — same layout build_tfidf_index writes); the
+    query-term frame gets df + corpus scalars attached FIRST and is
+    then broadcast, so the probe is a broadcast-hash join against the
+    postings — the corpus never shuffles for it. Per-(term, doc)
+    contributions floor to integer 1e-6 units BEFORE the sum (the
+    entropy/PMI integer-units precedent), and ranks order on the
+    integer units, so no FP boundary can flip a rank between engines.
+    Query 'q4' carries a term with no postings — dropped by the join
+    in both engines (standard BM25 missing-term semantics).
+
+    reference: the serving extension of entity_matching_tfidf.py's
+    corpus matcher; SURVEY §4 similarity-search family (text sibling
+    of ann_cosine_top3_per_label)."""
+    from firmable_aus_etl_spark.operators.retrieval import bm25_topk
+
+    docs = load_table(spark, sf_dir, "documents")
+    queries = spark.createDataFrame(
+        _BM25_QUERIES, "query_id string, qtext string"
+    )
+    return bm25_topk(
+        docs, queries,
+        id_col="doc_id", text_col="text",
+        qid_col="query_id", qtext_col="qtext",
+        k1=1.2, b=0.75, k=10,
+    )
+
+
+def _hll_oracle(rows_sql: str) -> str:
+    """Oracle assembler for the portable-HLL queries: a rows CTE
+    (source, t) + the shared estimator fragment (the SAME literals the
+    Spark plan folds — see cardinality.hll_estimator_sql) + the exact
+    count for the accuracy exhibit."""
+    from firmable_aus_etl_spark.operators.cardinality import (
+        hll_estimator_sql,
+    )
+
+    frag = hll_estimator_sql("rows_", ["source"], "t")
+    return f"""
+WITH d AS (SELECT source, {_TOKENS_SQL} AS w FROM documents),
+rows_ AS ({rows_sql}),{frag},
+exact AS (
+  SELECT source, CAST(count(DISTINCT t) AS BIGINT) AS exact_distinct
+  FROM rows_ GROUP BY source
+)
+SELECT h.source, est_distinct, buckets_used, exact_distinct
+FROM hll_out h JOIN exact ON h.source = exact.source
+"""
+
+
+@register(
+    "hll_distinct_tokens_by_source",
+    _hll_oracle("SELECT source, unnest(w) AS t FROM d"),
+)
+def q_hll_distinct_tokens_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL distinct-token cardinality per source
+    (operators/cardinality.hll_distinct, b=8 -> 256 registers) next to
+    the exact count as the accuracy exhibit — the corpus-governance
+    profile question ("how big is each source's vocabulary?") answered
+    with bounded state: registers collapse map-side to <= 256 rows per
+    group before the shuffle, where the exact column's count(DISTINCT)
+    shuffles every distinct value (drop it at 100 TB; it rides along
+    here so the sketch's error is VISIBLE and the estimator itself is
+    hash-gated, corrections and all — the small vocabulary lands in the
+    linear-counting branch). reference: data_quality_checks.py profiles
+    distincts exactly in pandas; SURVEY §4 governance family."""
+    from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.cardinality import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "source", F.explode(T.tokens("text")).alias("t")
+    )
+    est = hll_distinct(toks, ["source"], "t")
+    exact = toks.groupBy("source").agg(
+        F.count_distinct("t").alias("exact_distinct")
+    )
+    return est.join(exact, "source")
+
+
+@register(
+    "hll_distinct_bigrams_by_source",
+    _hll_oracle(
+        """
+    SELECT source, bg[1] || ' ' || bg[2] AS t
+    FROM (SELECT source,
+                 unnest(list_zip(w[: len(w) - 1], w[2:])) AS bg
+          FROM d)
+    """
+    ),
+)
+def q_hll_distinct_bigrams_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable-HLL distinct-BIGRAM cardinality per source — the
+    higher-cardinality sibling of hll_distinct_tokens_by_source
+    (~900 bigrams over the 30-word vocabulary vs ~30 tokens), so the
+    raw-estimator branch is exercised under the oracle gate where the
+    token query exercises linear counting. Same register pipeline,
+    same literals, same exact-count exhibit."""
+    from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.cardinality import hll_distinct
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", T.tokens("text").alias("w"))
+    n = F.size("w")
+    idx = F.when(n >= 2, F.sequence(F.lit(1), n - 1)).otherwise(
+        F.array().cast("array<int>")
+    )
+    bg = toks.select(
+        "source", F.explode(idx).alias("i"), "w"
+    ).select(
+        "source",
+        F.concat(
+            F.element_at("w", F.col("i")),
+            F.lit(" "),
+            F.element_at("w", F.col("i") + 1),
+        ).alias("t"),
+    )
+    est = hll_distinct(bg, ["source"], "t")
+    exact = bg.groupBy("source").agg(
+        F.count_distinct("t").alias("exact_distinct")
+    )
+    return est.join(exact, "source")
+
+
+def _bloom_decon_oracle() -> str:
+    from firmable_aus_etl_spark.operators.bloomfilter import (
+        bloom_positions_sql,
+    )
+
+    pos_list = bloom_positions_sql("g")
+    return f"""
+WITH toks AS (
+  SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, source, array_to_string(w[i : i + 7], ' ') AS g
+  FROM (SELECT doc_id, source, w,
+               unnest(generate_series(1, len(w) - 7)) AS i
+        FROM toks WHERE len(w) >= 8)
+),
+eval_g AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
+train AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'),
+positions AS (
+  SELECT DISTINCT pos
+  FROM (SELECT unnest({pos_list}) AS pos FROM eval_g)
+),
+tg AS (SELECT DISTINCT g FROM train),
+probe AS (
+  SELECT g, pos
+  FROM (SELECT g, unnest({pos_list}) AS pos FROM tg)
+),
+pos_g AS (
+  SELECT g FROM probe JOIN positions USING (pos)
+  GROUP BY g HAVING count(*) = 3
+),
+flagged AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_flagged_grams
+  FROM train t JOIN pos_g p ON t.g = p.g GROUP BY t.doc_id
+),
+exact AS (
+  SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_true_grams
+  FROM train t JOIN eval_g e ON t.g = e.g GROUP BY t.doc_id
+)
+SELECT f.doc_id, n_flagged_grams,
+       coalesce(n_true_grams, CAST(0 AS BIGINT)) AS n_true_grams
+FROM flagged f LEFT JOIN exact ON f.doc_id = exact.doc_id
+"""
+
+
+@register("bloom_decontaminate_documents", _bloom_decon_oracle())
+def q_bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination via a PORTABLE broadcast Bloom filter
+    (operators/bloomfilter.py) — the scale twin of
+    decontaminate_documents: instead of shuffling every training
+    8-gram into an equi-join against the eval set, the eval set's
+    bloom positions broadcast and the corpus grams probe MAP-SIDE;
+    only per-gram hit counts and per-doc rollups go wide. False
+    positives flag clean docs (the conservative direction) at the
+    designed (1 - e^(-k n / m))^k rate, and because every bit position
+    is an md5 slice the FP SET ITSELF is deterministic — the DuckDB
+    twin reproduces it gram-for-gram, so the oracle gates the filter's
+    error behavior, not just its happy path. n_true_grams (the exact
+    join) rides along as the FP exhibit — at 100 TB you drop that
+    column; here it makes every false flag visible
+    (n_flagged > n_true = bloom FP, identical in both engines).
+    reference scope: extract/clean governance next to
+    q_decontaminate_documents (same eval fixture: source src0)."""
+    from firmable_aus_etl_spark.operators.bloomfilter import (
+        bloom_build,
+        bloom_contains,
+    )
+    from firmable_aus_etl_spark.operators.partitioning import (
+        ensure_parallelism,
+    )
+
+    docs = ensure_parallelism(load_table(spark, sf_dir, "documents"), "doc_id")
+    toks = docs.select(
+        "doc_id", "source", F.split(F.lower(F.trim("text")), " ").alias("w")
+    ).filter(F.size("w") >= 8)
+    grams = toks.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 7),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 8)),
+            )
+        ).alias("g"),
+    )
+    eval_g = grams.filter(F.col("source") == "src0").select("g").distinct()
+    train = (
+        grams.filter(F.col("source") != "src0")
+        .select("doc_id", "g")
+        .distinct()
+    )
+    positions = bloom_build(eval_g, "g")
+    pos_g = bloom_contains(train.select("g").distinct(), "g", positions)
+    flagged = (
+        train.join(pos_g, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_flagged_grams"))
+    )
+    exact = (
+        train.join(eval_g, "g")
+        .groupBy("doc_id")
+        .agg(F.count("*").alias("n_true_grams"))
+    )
+    return flagged.join(exact, "doc_id", "left").select(
+        "doc_id",
+        "n_flagged_grams",
+        F.coalesce(F.col("n_true_grams"), F.lit(0).cast("long")).alias(
+            "n_true_grams"
+        ),
+    )
+
+
+def _cms_oracle() -> str:
+    from firmable_aus_etl_spark.operators.countmin import (
+        DEFAULT_D,
+        cms_buckets_sql,
+    )
+
+    bl = cms_buckets_sql("t")
+    pair_rows = " UNION ALL ".join(
+        f"SELECT t, {r} AS row_, b[{r + 1}] AS bucket FROM tb"
+        for r in range(DEFAULT_D)
+    )
+    return f"""
+WITH d AS (SELECT {_TOKENS_SQL} AS w FROM documents),
+tok AS (
+  SELECT array_to_string(w[i : i + 3], ' ') AS t
+  FROM (SELECT w, unnest(generate_series(1, len(w) - 3)) AS i
+        FROM d WHERE len(w) >= 4)
+),
+tb AS (SELECT t, {bl} AS b FROM tok),
+pairs AS ({pair_rows}),
+counters AS (
+  SELECT row_, bucket, CAST(count(*) AS BIGINT) AS cnt
+  FROM pairs GROUP BY row_, bucket
+),
+exact AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS exact_count
+  FROM tok GROUP BY t
+  ORDER BY exact_count DESC, t LIMIT 50
+),
+probe AS ({" UNION ALL ".join(
+    f"SELECT e.t, {r} AS row_, {cms_buckets_sql('e.t')}[{r + 1}] AS bucket, "
+    f"exact_count FROM exact e"
+    for r in range(DEFAULT_D)
+)}),
+est AS (
+  SELECT p.t, min(exact_count) AS exact_count,
+         CAST(min(cnt) AS BIGINT) AS est_count
+  FROM probe p JOIN counters c
+    ON p.row_ = c.row_ AND p.bucket = c.bucket
+  GROUP BY p.t HAVING count(*) = {DEFAULT_D}
+)
+SELECT t, exact_count, est_count FROM est
+"""
+
+
+@register("cms_gram_counts_top50", _cms_oracle())
+def q_cms_gram_counts_top50(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min-estimated frequencies of the 50 most frequent token
+    4-GRAMS next to their exact counts (operators/countmin.py) — the
+    frequency-sketch sibling of the HLL/Bloom queries, completing the
+    portable sketch family under the oracle gate. 4-grams (not
+    unigrams) so the counter load is real: ~12 values per bucket at
+    sf0.01, which makes the sketch's allowed OVER-estimates
+    (est >= exact, never below) actually occur — and because every
+    counter is an integer sum over md5-derived buckets, the over-count
+    on each gram is deterministic and hash-matches the SQL twin. The
+    counter frame is d x 4096 integer sums (map-side combined to
+    sketch size before the shuffle, addition-mergeable across
+    batches); estimates are integer MINs over broadcast counters.
+    exact_count rides along as the error exhibit — at 100 TB you keep
+    the sketch and drop the exact groupBy.
+    reference scope: the profiling counts of data_quality_checks.py at
+    sketch cost; SURVEY §4 governance family."""
+    from firmable_aus_etl_spark.functions import text as T
+    from firmable_aus_etl_spark.operators.countmin import (
+        cms_build,
+        cms_estimate,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(T.tokens("text").alias("w")).filter(F.size("w") >= 4)
+    tok = toks.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("w") - 3),
+                lambda i: F.concat_ws(" ", F.slice(F.col("w"), i, 4)),
+            )
+        ).alias("t")
+    )
+    counters = cms_build(tok, "t")
+    exact = (
+        tok.groupBy("t")
+        .agg(F.count("*").alias("exact_count"))
+        .orderBy(F.col("exact_count").desc(), "t")
+        .limit(50)
+    )
+    est = cms_estimate(exact.select("t"), "t", counters)
+    return exact.join(est, "t").select("t", "exact_count", "est_count")
+
+
+_NB_ORACLE = f"""
+WITH d AS (SELECT doc_id, lang, {_TOKENS_SQL} AS w FROM documents),
+tok AS (SELECT doc_id, lang, unnest(w) AS t FROM d),
+tr AS (SELECT * FROM tok WHERE doc_id % 5 <> 0),
+te AS (SELECT * FROM tok WHERE doc_id % 5 = 0),
+cnt AS (SELECT lang, t, count(*) AS c FROM tr GROUP BY 1, 2),
+model AS (
+  SELECT lang, t,
+         CAST(floor(ln(CAST(c AS DOUBLE) + 1.0) * 1000000.0 + 0.5)
+              AS BIGINT) AS u_tok
+  FROM cnt
+),
+totals AS (
+  SELECT lang, count(*) AS tc, count(DISTINCT doc_id) AS n_docs
+  FROM tr GROUP BY lang
+),
+vocab AS (
+  SELECT count(DISTINCT t) AS v, count(DISTINCT doc_id) AS docs_total
+  FROM tr
+),
+classes AS (
+  SELECT lang,
+         CAST(floor(ln(CAST(n_docs AS DOUBLE) / docs_total)
+              * 1000000.0 + 0.5) AS BIGINT) AS u_prior,
+         CAST(floor(ln(CAST(tc + v AS DOUBLE)) * 1000000.0 + 0.5)
+              AS BIGINT) AS u_den
+  FROM totals CROSS JOIN vocab
+),
+tf AS (SELECT doc_id, t, count(*) AS tf FROM te GROUP BY 1, 2),
+ntok AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+partial AS (
+  SELECT tf.doc_id, m.lang, CAST(sum(tf * u_tok) AS BIGINT) AS u_part
+  FROM tf JOIN model m ON tf.t = m.t GROUP BY 1, 2
+),
+grid AS (
+  SELECT doc_id, n, lang, u_prior, u_den FROM ntok CROSS JOIN classes
+),
+scored AS (
+  SELECT g.doc_id, g.lang,
+         coalesce(u_part, CAST(0 AS BIGINT)) - n * u_den + u_prior
+           AS score_units
+  FROM grid g
+  LEFT JOIN partial p ON g.doc_id = p.doc_id AND g.lang = p.lang
+),
+pred AS (
+  SELECT doc_id, lang AS predicted FROM (
+    SELECT doc_id, lang,
+           row_number() OVER (PARTITION BY doc_id
+                              ORDER BY score_units DESC, lang) AS rn
+    FROM scored
+  ) WHERE rn = 1
+),
+truth AS (SELECT DISTINCT doc_id, lang AS true_lang FROM te)
+SELECT true_lang, predicted, CAST(count(*) AS BIGINT) AS n_docs
+FROM truth JOIN pred ON truth.doc_id = pred.doc_id
+GROUP BY 1, 2
+"""
+
+
+@register("nb_language_confusion", _NB_ORACLE)
+def q_nb_language_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A TRAINED model under the oracle gate: multinomial Naive Bayes
+    (operators/nbayes.py) learns P(token|lang) from an 80% doc-id
+    split of the corpus and predicts the held-out 20%; output is the
+    (true_lang, predicted, n_docs) confusion matrix. NB training is
+    counting, so the trained parameters, the per-class integer-unit
+    scores, and every argmax decision replay in DuckDB bit-for-bit —
+    the engine's proof that in-pipeline ML need not leave the
+    correctness gate (heuristic language-ID lives in
+    language_id_confusion; the injectable LLM stage in pipelines.py).
+    On this fixture text is language-independent by construction, so
+    the learned model predicts near-priors — the GATE checks the
+    machinery, and tests/test_nbayes.py proves the same code reaches
+    100% accuracy on separable classes. Scale shape: training is one
+    linear pass (groupBy class,token + tiny aggregates); the sparse
+    model broadcasts to the scoring join; scored docs never shuffle
+    for the model."""
+    from firmable_aus_etl_spark.functions.similarity import normalize_name
+    from firmable_aus_etl_spark.operators.nbayes import (
+        nb_predict,
+        nb_train,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(normalize_name(F.col("text")), " ")).alias("t"),
+    )
+    tr = tok.filter(F.col("doc_id") % 5 != 0)
+    te = tok.filter(F.col("doc_id") % 5 == 0)
+    model, classes = nb_train(tr, class_col="lang", token_col="t")
+    pred = nb_predict(
+        te.select("doc_id", "t"),
+        model,
+        classes,
+        doc_col="doc_id",
+        token_col="t",
+        class_col="lang",
+    )
+    truth = te.select("doc_id", F.col("lang").alias("true_lang")).distinct()
+    return (
+        truth.join(pred, "doc_id")
+        .groupBy("true_lang", F.col("predicted"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+
