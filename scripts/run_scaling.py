@@ -48,6 +48,8 @@ SCALES = [
 SYN10_SET = {
     "minhash_dedup_clusters",      # designated Jaccard-dedup DAG
     "lsh_multiprobe_ann_top3",     # designated ANN route
+    "tfidf_cosine_tau_routed",     # round-9: tau-0.7 embedding-ANN branch
+    "tfidf_cosine_simhash_top1",   # round-9: auto-sized banding re-fit
     "minhash_verified_near_dups",  # LSH+verify pipeline
     "reference_pipeline_matches",  # the whole reference DAG
     "bm25_search_top10",           # retrieval serving join (linear index)
@@ -75,11 +77,15 @@ SYN3_SET = {
     # fit
     "tfidf_cosine_top1_blocked",
     "tfidf_cosine_simhash_top1",
+    "tfidf_cosine_tau_routed",
     "ngram_jaccard_pruned_near_dups",
     # round-8: the auto-routed query — exact below 1024 cand/doc
     # (real0.1, syn0.1), LSH above (syn0.3+, zipf1+): the fit should
     # BEND where the route flips
     "tfidf_cosine_routed",
+    # round-9: the tau-0.7 third branch — takes embedding-ANN at every
+    # syn scale (n > 4096 docs -> banding needs >24 chunks at tau)
+    "tfidf_cosine_tau_routed",
     # round-8b: retrieval stays linear even where the join families cliff
     "bm25_search_top10",
     # round-8b sketch family: full curves through syn3
@@ -119,6 +125,7 @@ ZIPF10_SET = {
     "ngram_jaccard_pruned_near_dups",  # designated exact-Jaccard default
     "tfidf_cosine_simhash_top1",       # designated cosine scale route
     "tfidf_cosine_routed",             # auto-router (takes LSH here)
+    "tfidf_cosine_tau_routed",         # round-9: tau embedding-ANN branch
     "bm25_search_top10",               # retrieval serving join
 }
 ZIPF_SET = [
@@ -131,6 +138,7 @@ ZIPF_SET = [
     "tfidf_cosine_top1",
     "tfidf_cosine_simhash_top1",
     "tfidf_cosine_routed",
+    "tfidf_cosine_tau_routed",
     # round-8b: retrieval on the boilerplate-df corpus — the broadcast
     # probe touches every posting of a query term, so zipf's df = 0.3n
     # head terms are the adversarial case for it; the fit shows whether

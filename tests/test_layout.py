@@ -93,8 +93,13 @@ def test_zordered_write_bounds_pruning_on_every_dimension(spark, tmp_path):
     zo_b, zo_total = _straddling_row_groups(zo, "b", rng)
     zo_a, _ = _straddling_row_groups(zo, "a", rng)
     assert lin_total >= 8 and zo_total >= 8
-    # the 1-D sort cannot prune b AT ALL
-    assert lin_b == lin_total
+    # the 1-D sort cannot prune b at any meaningful rate. Not asserted
+    # as strict equality (r9 flake root-cause): the writer's trailing
+    # row group in a file can hold a handful of rows, and a ~5-row
+    # group misses the 10% b-range with probability 0.1^n + 0.8^n
+    # (~1/3 at n=5) — observed 128/129 in a full-suite run. >= 97%
+    # straddle still separates decisively from the z-order's <= 40%.
+    assert lin_b * 100 >= lin_total * 97, (lin_b, lin_total)
     # the z-order prunes b by a real multiple. Margin rationale (the
     # round-5 mean-width lesson): the parquet writer's row-group split
     # within each 2500-row file shifts with session memory state, so
