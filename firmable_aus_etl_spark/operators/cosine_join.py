@@ -634,18 +634,36 @@ def weighted_simhash_candidates(
     fams = simhash_plane_family(n_planes)
     p = F.lit(2147483647).cast("long")  # dedup._MERSENNE_31
     t = F.col(token_col).cast("long")
+    # hoist the <=ceil(planes/31) affine family hashes into ONE
+    # projection per row: each re-hash is shared by 31 planes, so the
+    # aggregate below runs only shift/and/multiply integer ops per
+    # plane instead of re-deriving the pmod chain planes times
+    # (measured at zipf3/150k docs: the per-plane pmod form cost ~3x)
+    pre = wt.select(
+        id_col,
+        *blocks,
+        weight_col,
+        *[
+            (
+                t if j == 0 else F.pmod(F.lit(a_j) * t + F.lit(b_j), p)
+            ).alias(f"__h{j}")
+            for j, (a_j, b_j) in enumerate(fams)
+        ],
+    )
     signed = []
     for i in range(n_planes):
         j, b = divmod(i, 31)
-        a_j, b_j = fams[j]
-        hv = t if j == 0 else F.pmod(F.lit(a_j) * t + F.lit(b_j), p)
         signed.append(
             F.sum(
                 F.col(weight_col)
-                * (F.shiftright(hv, b).bitwiseAND(F.lit(1)) * 2 - F.lit(1))
+                * (
+                    F.shiftright(F.col(f"__h{j}"), b).bitwiseAND(F.lit(1))
+                    * 2
+                    - F.lit(1)
+                )
             ).alias(f"__s{i}")
         )
-    agg = wt.groupBy(id_col, *blocks).agg(*signed)
+    agg = pre.groupBy(id_col, *blocks).agg(*signed)
     band_vals = []
     for c in range(chunks):
         val = None
