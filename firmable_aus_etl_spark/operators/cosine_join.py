@@ -516,6 +516,7 @@ def auto_simhash_bands(
     min_width: int = 8,
     design_cosine: float = 0.95,
     recall_target: float = 0.9,
+    max_chunks: int | None = None,
 ) -> tuple[int, int]:
     """Occupancy-and-recall-sized (width, chunks) for the sign-LSH
     banding — the SCALING.md round-8b law made executable (round-8
@@ -549,9 +550,26 @@ def auto_simhash_bands(
     tfidf_cosine_tau_routed)."""
     raw = (max(1, -(-n // max(1, target_occupancy))) - 1).bit_length()
     width = max(min_width, raw)
-    return width, simhash_chunks_for_width(
+    chunks = simhash_chunks_for_width(
         width, design_cosine=design_cosine, recall_target=recall_target
     )
+    # max_chunks caps AMPLIFICATION, not cost-by-stealth: unlike the
+    # outlawed silent cost clamps, capping c lowers the DISCLOSED
+    # recall curve 1-(1-p^w)^c (threshold-boundary recall degrades
+    # with scale; high-cosine top-1 winners stay well-recalled — at
+    # w=15, c=24: 0.26 at cosine 0.70 but 0.92 at 0.90, 0.998 at
+    # 0.95), and the capped c is replayed in the SQL twin so both
+    # engines run the identical configuration. This is the honest
+    # deep-scale arm for tau-threshold matching: round-9 measured the
+    # feature-hash->multiprobe-LSH alternative COLLECTING the corpus
+    # (1,100-1,330 candidates/doc on zipf at 6-37x the cost — sign-LSH
+    # has no separation gap when tau sits inside the corpus's dense
+    # moderate-similarity mass, rho -> 0), so bounded-candidate
+    # banding with a stated recall curve beats an unbounded candidate
+    # generator that cannot prune.
+    if max_chunks is not None:
+        chunks = min(chunks, max_chunks)
+    return width, chunks
 
 
 def simhash_chunks_for_width(

@@ -1436,28 +1436,35 @@ def _simhash_c_case_sql(
     *,
     design_cosine: float = 0.95,
     recall_target: float = 0.9,
+    max_chunks: int | None = None,
 ) -> str:
     """SQL CASE mapping band width -> chunk count, literals baked from
     the SAME Python rule the Spark plan calls
-    (cosine_join.simhash_chunks_for_width), so the float amplification
-    formula never executes inside either engine."""
+    (cosine_join.simhash_chunks_for_width, min'd with max_chunks when
+    the caller runs the capped-amplification arm), so the float
+    amplification formula never executes inside either engine."""
     from firmable_aus_etl_spark.operators.cosine_join import (
         SIMHASH_ORACLE_MAX_WIDTH,
         simhash_chunks_for_width,
     )
 
     mw = SIMHASH_ORACLE_MAX_WIDTH if max_width is None else max_width
+
+    def c_of(k: int) -> int:
+        c = simhash_chunks_for_width(
+            k, design_cosine=design_cosine, recall_target=recall_target
+        )
+        return c if max_chunks is None else min(c, max_chunks)
+
     whens = " ".join(
-        f"WHEN w = {k} THEN "
-        f"{simhash_chunks_for_width(k, design_cosine=design_cosine, recall_target=recall_target)}"
-        for k in range(min_width, mw + 1)
+        f"WHEN w = {k} THEN {c_of(k)}" for k in range(min_width, mw + 1)
     )
     return f"CASE {whens} ELSE NULL END"
 
 
 def _simhash_fam_values_sql(
     *, design_cosine: float = 0.95, recall_target: float = 0.9,
-    max_width: int | None = None,
+    max_width: int | None = None, max_chunks: int | None = None,
 ) -> str:
     """The affine plane-family (j, a, b) rows, baked for the LARGEST
     configuration the oracle matrix covers (prefix-stability: smaller
@@ -1469,12 +1476,14 @@ def _simhash_fam_values_sql(
     )
 
     mw = SIMHASH_ORACLE_MAX_WIDTH if max_width is None else max_width
-    max_planes = mw * simhash_chunks_for_width(
+    mc = simhash_chunks_for_width(
         mw,
         design_cosine=design_cosine,
         recall_target=recall_target,
     )
-    fams = simhash_plane_family(max_planes)
+    if max_chunks is not None:
+        mc = min(mc, max_chunks)
+    fams = simhash_plane_family(mw * mc)
     return ", ".join(
         f"({j}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
         for j, (a, b) in enumerate(fams)
@@ -1489,6 +1498,7 @@ def _tfidf_simhash_oracle(
     recall_target: float = 0.9,
     threshold: float = 0.7,
     max_width: int | None = None,
+    max_chunks: int | None = None,
 ) -> str:
     """DuckDB twin of the AUTO-SIZED weighted-SimHash cosine route
     (round-8 verdict Next #1): md5 31-bit token hashes, integer
@@ -1513,10 +1523,11 @@ def _tfidf_simhash_oracle(
     c_case = _simhash_c_case_sql(
         min_width, max_width,
         design_cosine=design_cosine, recall_target=recall_target,
+        max_chunks=max_chunks,
     )
     fam_vals = _simhash_fam_values_sql(
         design_cosine=design_cosine, recall_target=recall_target,
-        max_width=max_width,
+        max_width=max_width, max_chunks=max_chunks,
     )
     from firmable_aus_etl_spark.operators.cosine_join import (
         SIMHASH_ORACLE_MAX_WIDTH,
@@ -1526,15 +1537,14 @@ def _tfidf_simhash_oracle(
     mw = SIMHASH_ORACLE_MAX_WIDTH if max_width is None else max_width
     # constant series bound (DuckDB generate_series takes no subquery):
     # the largest plane universe the matrix covers, filtered to w*c
-    max_planes_minus1 = (
-        mw
-        * simhash_chunks_for_width(
-            mw,
-            design_cosine=design_cosine,
-            recall_target=recall_target,
-        )
-        - 1
+    _mc = simhash_chunks_for_width(
+        mw,
+        design_cosine=design_cosine,
+        recall_target=recall_target,
     )
+    if max_chunks is not None:
+        _mc = min(_mc, max_chunks)
+    max_planes_minus1 = mw * _mc - 1
     return f"""
 WITH tok AS (
   SELECT doc_id, source, lang, unnest({_TOKENS_SQL}) AS s FROM documents
@@ -1869,23 +1879,6 @@ def q_tfidf_cosine_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TAU_CHUNK_BUDGET = 24
 
 
-def _tau_budget_width(tau: float = 0.7) -> int:
-    """Largest band width whose tau-designed chunk count fits the
-    budget — bounds the simhash sub-oracle's baked matrix (beyond it
-    the branch is never taken, so its CASE rows would be dead SQL)."""
-    from firmable_aus_etl_spark.operators.cosine_join import (
-        SIMHASH_ORACLE_MAX_WIDTH,
-        simhash_chunks_for_width,
-    )
-
-    ws = [
-        w
-        for w in range(8, SIMHASH_ORACLE_MAX_WIDTH + 1)
-        if simhash_chunks_for_width(w, design_cosine=tau) <= _TAU_CHUNK_BUDGET
-    ]
-    return ws[-1] if ws else 8
-
-
 def _tfidf_embed_ann_oracle(threshold: float = 0.7) -> str:
     """DuckDB twin of the text->embedding->multiprobe-LSH branch: the
     tf-idf term relation is feature-hashed into a dense 64-dim vector
@@ -2011,31 +2004,48 @@ SELECT a_id, b_id, round(cosine, 6) AS cosine FROM r WHERE rn = 1
 
 def _tfidf_tau_routed_oracle() -> str:
     """DuckDB twin of the tau-threshold ROUTE DECISION plus whichever
-    pipeline it picks (the third routing branch, round-8 Next #2):
-    the gate CTE re-derives the identical (width, required-chunks)
-    sizing — width from count(*) by integer CASE, chunks from the
-    baked tau-designed amplification table — and compares the chunk
-    count against the same _TAU_CHUNK_BUDGET literal. Both FULL
-    pipelines are embedded as gated subqueries, so a Spark/DuckDB
-    routing disagreement is a row-level mismatch."""
-    wb = _tau_budget_width(0.7)
-    simhash_body = _tfidf_simhash_oracle(
-        design_cosine=0.7, threshold=0.7, max_width=wb
+    pipeline it picks (round-8 Next #2, REDESIGNED on round-9
+    measurements): the gate CTE recomputes the integer exact-candidate
+    mass Sum C(df,2) and compares it to the same 1024*n budget the
+    0.95-route uses —
+
+      * exact-friendly corpora (every driver fixture: 52-572
+        pairs/doc) run the EXACT tf-idf pipeline, recall 1 at tau;
+      * past the budget (df ∝ n corpora) the capped-amplification
+        banding arm runs: width from count(*) by integer CASE, chunks
+        = min(required-at-tau, 24) by the baked capped table — the
+        recall curve 1-(1-p^w)^c is DISCLOSED and the capped c
+        replays here, so both engines run the identical banding.
+
+    The round-9 measured negative that killed the planned
+    feature-hash -> multiprobe-LSH arm is on record in SCALING.md:
+    1,100-1,330 candidates/doc on zipf (6-37x cost) because sign-LSH
+    has no separation gap when tau sits inside the corpus's dense
+    moderate-similarity mass; _embedding_ann_cosine_top1 remains a
+    tested, unrouted operator."""
+    exact_body = _TFIDF_ORACLE.strip().rstrip(";")
+    banded_body = _tfidf_simhash_oracle(
+        design_cosine=0.7, threshold=0.7, max_chunks=_TAU_CHUNK_BUDGET
     ).strip().rstrip(";")
-    embed_body = _tfidf_embed_ann_oracle(0.7).strip().rstrip(";")
-    w_case = _simhash_w_case_sql(16, 8)
-    c_case = _simhash_c_case_sql(8, design_cosine=0.7, recall_target=0.9)
     return f"""
-WITH feas AS (
-  SELECT ({c_case.replace("w =", "w0.w =")}) <= {_TAU_CHUNK_BUDGET} AS simhash_ok
-  FROM (SELECT {w_case} AS w
-        FROM (SELECT count(*) AS n FROM documents)) w0
+WITH stats AS (
+  SELECT CAST(sum(df * (df - 1) / 2) AS BIGINT) AS cand,
+         (SELECT count(*) FROM documents) AS n
+  FROM (
+    SELECT source, lang, s, count(*) AS df
+    FROM (
+      SELECT DISTINCT doc_id, source, lang, s
+      FROM (SELECT doc_id, source, lang, unnest({_TOKENS_SQL}) AS s
+            FROM documents)
+    )
+    GROUP BY source, lang, s
+  )
 )
-SELECT * FROM ({simhash_body})
-WHERE (SELECT simhash_ok FROM feas)
+SELECT * FROM ({exact_body})
+WHERE (SELECT cand <= {_COSINE_ROUTE_CAP} * n FROM stats)
 UNION ALL
-SELECT * FROM ({embed_body})
-WHERE NOT (SELECT simhash_ok FROM feas)
+SELECT * FROM ({banded_body})
+WHERE NOT (SELECT cand <= {_COSINE_ROUTE_CAP} * n FROM stats)
 """
 
 
@@ -2129,49 +2139,55 @@ def _embedding_ann_cosine_top1(
 
 @register("tfidf_cosine_tau_routed", _tfidf_tau_routed_oracle())
 def q_tfidf_cosine_tau_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """op22 THIRD ROUTING BRANCH (round-8 verdict Next #2) — cosine
-    matching AT tau=0.7 with recall designed at the threshold itself,
-    not at the near-dup point. The sizing rule answers "what would
-    banding cost to hold 0.9 recall at cosine 0.7?":
+    """op22 tau-threshold routing (round-8 verdict Next #2, REDESIGNED
+    after round-9 measurement) — cosine matching AT tau=0.7 routed
+    between the two measured winners:
 
-    - chunks(width, tau) <= 24 (_TAU_CHUNK_BUDGET): banding is still
-      affordable — run the weighted-SimHash pipeline with the
-      tau-designed (width, chunks);
-    - past the budget (p^w collapses at low tau, chunks ~ (1/p)^w):
-      banding cannot reach the threshold at acceptable amplification
-      (the SCALING.md round-8b consequence) — dispatch
-      text -> feature-hashed 64-dim embedding -> multiprobe sign-LSH
-      (the measured deep-scale ANN champion) -> exact tf-idf cosine
-      verify at tau -> top-1.
+    - exact-friendly corpora (cand_mass <= 1024 * n_docs — every
+      driver fixture): the EXACT adaptive inverted-index join, recall
+      1 at tau. Measured: ~1-2 s at sf0.1 where the planned
+      embedding-ANN arm took 50+ s to produce approximate results.
+    - exact-hostile corpora (df ∝ n): capped-amplification banding —
+      occupancy width w = ceil(log2(n/16)), chunks = min(required at
+      tau, 24). Cost is bounded by construction (occupancy * c * n
+      candidates); the price is the DISCLOSED recall curve
+      1-(1-p^w)^c, low at the tau boundary, high where top-1 winners
+      live (w=15/c=24: 0.26 at cosine 0.70, 0.92 at 0.90, 0.998 at
+      0.95).
 
-    On the driver fixtures the route genuinely flips: 500 docs
-    (sf0.001/sf0.01) size to width 8 / 23 chunks -> simhash; 5000
-    docs (sf0.1) size to width 9 / 31 chunks -> embedding-ANN. The
-    oracle replays the DECISION (same integer CASE sizing, same
-    budget literal) and both FULL pipelines, so routing disagreements
-    are row-level mismatches. Recall < 1 near the threshold is the
-    disclosed LSH trade in BOTH branches.
+    The originally-planned third arm (text -> feature-hashed 64-dim
+    embedding -> multiprobe sign-LSH) was IMPLEMENTED, oracle-gated,
+    and then measured OUT: 19M candidates from 5,000 real docs and
+    1,100-1,330 candidates/doc on zipf (6-37x the banded cost), with
+    dim 256/512 and sqrt/log damping all non-curative — at tau 0.7
+    the corpus's dense moderate-similarity mass leaves sign-LSH no
+    separation gap (rho -> 0), so an "ANN escape hatch" is
+    structurally unable to prune there. _embedding_ann_cosine_top1
+    stays available and tested; the router routes to measured
+    winners. The oracle replays the DECISION (identical integer
+    candidate-mass gate) and both full pipelines.
 
-    reference: entity_matching_optimized.py:312's matcher dispatch,
-    third arm; SURVEY §4 custom work #4 at the tau regime the
-    reference's in-memory scorer never parameterizes."""
+    reference: entity_matching_optimized.py:312's matcher dispatch at
+    the tau regime the reference's in-memory scorer never
+    parameterizes."""
     from firmable_aus_etl_spark.operators.cosine_join import (
         SIMHASH_ORACLE_MAX_WIDTH,
         auto_simhash_bands,
-        simhash_chunks_for_width,
         weighted_simhash_candidates,
     )
 
-    n_docs = _docs_count(spark, sf_dir)
-    width, c_req = auto_simhash_bands(n_docs, design_cosine=0.7)
+    stats = _tfidf_route_stats(spark, sf_dir)
+    if stats["cand_mass"] <= _COSINE_ROUTE_CAP * stats["n_docs"]:
+        return q_tfidf_cosine_top1(spark, sf_dir)
+    width, chunks = auto_simhash_bands(
+        stats["n_docs"], design_cosine=0.7, max_chunks=_TAU_CHUNK_BUDGET
+    )
     if width > SIMHASH_ORACLE_MAX_WIDTH:
         raise RuntimeError(
-            f"tau-routed banding width {width} (n={n_docs}) exceeds the "
-            f"oracle matrix cap {SIMHASH_ORACLE_MAX_WIDTH}; widen the "
-            "baked CASE matrix — do NOT clamp (round-8 lesson)"
+            f"tau-routed banding width {width} (n={stats['n_docs']}) "
+            f"exceeds the oracle matrix cap {SIMHASH_ORACLE_MAX_WIDTH}; "
+            "widen the baked CASE matrix — do NOT clamp (round-8 lesson)"
         )
-    if c_req > _TAU_CHUNK_BUDGET:
-        return _embedding_ann_cosine_top1(spark, sf_dir, threshold=0.7)
     wt = _tfidf_portable_weight_frame(spark, sf_dir)
     cand = weighted_simhash_candidates(
         wt,
@@ -2180,7 +2196,7 @@ def q_tfidf_cosine_tau_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         weight_col="wi",
         block_cols=["source", "lang"],
         width=width,
-        chunks=c_req,
+        chunks=chunks,
     )
     a_all = wt.select(
         F.col("doc_id").alias("a_id"), "source", "lang", "t",

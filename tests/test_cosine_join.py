@@ -619,11 +619,11 @@ def test_simhash_banding_recall_on_planted_near_dups(spark):
 
 
 def test_tau_routed_decision_and_branches(spark, tmp_path):
-    """The tau~0.7 third routing branch (round-8 Next #2): the
-    decision is a pure function of corpus size (chunks required to
-    hold 0.9 recall AT tau vs the budget), the fixture sizes really
-    straddle it, the simhash side of the flip reproduces the
-    tau-designed banding pipeline, and the embedding-ANN branch
+    """The tau~0.7 routing (round-8 Next #2, redesigned in r9 after
+    the embedding arm measured out): exact-friendly corpora take the
+    exact join verbatim; exact-hostile corpora take the
+    capped-amplification banding whose capped chunk count replays in
+    the oracle; and the (unrouted, kept) embedding-ANN operator still
     hash-matches its DuckDB twin on a fresh fixture."""
     import duckdb
 
@@ -632,14 +632,53 @@ def test_tau_routed_decision_and_branches(spark, tmp_path):
         auto_simhash_bands,
     )
 
-    # decision arithmetic: 500 docs -> (8, 23) affordable; 5000 docs
-    # -> (9, 31) past the budget -> embedding-ANN
+    # capped sizing arithmetic: the cap binds exactly where the
+    # uncapped requirement exceeds it
     assert auto_simhash_bands(500, design_cosine=0.7) == (8, 23)
-    w5k, c5k = auto_simhash_bands(5000, design_cosine=0.7)
-    assert (w5k, c5k) == (9, 31) and c5k > Q._TAU_CHUNK_BUDGET
+    assert auto_simhash_bands(500, design_cosine=0.7, max_chunks=24) == (8, 23)
+    assert auto_simhash_bands(5000, design_cosine=0.7) == (9, 31)
+    assert auto_simhash_bands(5000, design_cosine=0.7, max_chunks=24) == (9, 24)
 
-    # embedding branch engine parity on a corpus with planted tau-level
-    # matches (pairs share ~8/12 tokens -> cosine around 0.7-0.9)
+    # exact branch: driver fixture is exact-friendly -> rows equal the
+    # exact adaptive query's
+    sf001 = "/root/testdata/sf0.001"
+    stats = Q._tfidf_route_stats(spark, sf001)
+    assert stats["cand_mass"] <= Q._COSINE_ROUTE_CAP * stats["n_docs"]
+    got = sorted(map(tuple, Q.QUERIES["tfidf_cosine_tau_routed"](spark, sf001).collect()))
+    want = sorted(map(tuple, Q.QUERIES["tfidf_cosine_top1"](spark, sf001).collect()))
+    assert got == want and got
+
+    # banded arm: a boilerplate-quadratic corpus flips the route, and
+    # the DuckDB routed oracle takes the same branch and matches
+    boiler = " ".join(f"tok{i}" for i in range(40))
+    rows = [
+        (i, f"{boiler} p{i // 2}_a p{i // 2}_b p{i // 2}_c", "en", "web")
+        for i in range(60)
+    ]
+    sf_dir = _write_docs(tmp_path, rows)
+    stats = Q._tfidf_route_stats(spark, sf_dir)
+    assert stats["cand_mass"] > Q._COSINE_ROUTE_CAP * stats["n_docs"]
+    routed_rows = sorted(
+        map(tuple, Q.QUERIES["tfidf_cosine_tau_routed"](spark, sf_dir).collect())
+    )
+    assert routed_rows, "identical pair texts must match at tau"
+    con0 = duckdb.connect()
+    con0.execute(
+        f"CREATE VIEW documents AS SELECT * FROM "
+        f"'{sf_dir}/documents.parquet'"
+    )
+    oracle_rows = sorted(
+        map(tuple, con0.execute(Q.ORACLE["tfidf_cosine_tau_routed"]).fetchall())
+    )
+    assert [(a, b) for a, b, _ in routed_rows] == [
+        (a, b) for a, b, _ in oracle_rows
+    ]
+    for (_, _, c1), (_, _, c2) in zip(routed_rows, oracle_rows):
+        assert abs(c1 - c2) < 1e-9
+
+    # embedding-ANN operator engine parity on a corpus with planted
+    # tau-level matches (kept as an operator + measured negative on
+    # record; not routed)
     rows = []
     for i in range(40):
         base = " ".join(f"w{i}_{j}" for j in range(8))
