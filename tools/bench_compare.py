@@ -87,6 +87,8 @@ COMPARE = [
     "pack_chunks_512",
     # round-8: the designated cosine scale route
     "tfidf_cosine_simhash_top1",
+    # round-9: tau-0.7 routing (exact branch on this corpus)
+    "tfidf_cosine_tau_routed",
     # round-8: BM25 top-k retrieval serving join
     "bm25_search_top10",
     # round-8b: portable-HLL cardinality sketches
