@@ -77,7 +77,7 @@ HEADLINE = [
     "similarity_join_salted_top1",  # hot-block grid-salted fuzzy join (r7)
     "ngram_jaccard_pruned_near_dups",  # auto df-pruned exact Jaccard (r7)
     "tfidf_cosine_simhash_top1",  # weighted sign-LSH cosine route, auto-sized (r8/r9)
-    "tfidf_cosine_tau_routed",    # tau-0.7 route: embedding-ANN branch at sf0.1 (r9)
+    "tfidf_cosine_tau_routed",    # tau-0.7 route: exact branch at sf0.1 (r9)
     "bm25_search_top10",          # BM25 top-k retrieval serving join (r8)
     "bloom_decontaminate_documents",  # broadcast-bloom decontamination (r8)
     "cms_gram_counts_top50",      # count-min frequency sketch (r8)

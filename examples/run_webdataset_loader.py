@@ -75,11 +75,14 @@ def loader(path: str, *, batch_size: int = 32) -> Iterator[list[dict]]:
     batch: list[dict] = []
     for shard in shards:
         for sample in stream_samples(os.path.join(path, shard)):
+            # null columns produce ABSENT members (the webdataset
+            # sparse-field convention the writer follows) — decode
+            # defensively, as a real loader must
             batch.append(
                 {
                     "key": sample["__key__"],
-                    "text": sample["txt"].decode("utf-8"),
-                    "meta": json.loads(sample["json"]),
+                    "text": sample.get("txt", b"").decode("utf-8"),
+                    "meta": json.loads(sample["json"]) if "json" in sample else {},
                 }
             )
             if len(batch) == batch_size:
@@ -113,7 +116,8 @@ def main() -> None:
         n_batches += 1
         n_samples += len(batch)
         for s in batch:
-            langs[s["meta"]["lang"]] = langs.get(s["meta"]["lang"], 0) + 1
+            lang = s["meta"].get("lang", "??")
+            langs[lang] = langs.get(lang, 0) + 1
     print(f"loader consumed {n_samples} samples in {n_batches} batches")
     print(f"lang histogram: {dict(sorted(langs.items()))}")
 

@@ -587,6 +587,11 @@ def simhash_chunks_for_width(
     import math
 
     p = 1.0 - math.acos(design_cosine) / math.pi
+    if p >= 1.0:
+        # design_cosine = 1.0 (exact duplicates): identical vectors
+        # produce identical signatures, so ONE band already has
+        # recall 1 — and log(1 - p^w) is out of libm's domain there
+        return 1
     return max(
         1,
         math.ceil(

@@ -606,16 +606,21 @@ LEFT JOIN cand a
 """
 
 
-def _multiprobe_lsh_oracle_auto(
+def _multiprobe_cand_ctes(
     dim: int, n_tables: int, probes: int, seed: int,
     *, target: int = 16, min_planes: int = 6, max_planes: int = 16,
+    n_count_from: str = "e", query_filter: str = "",
+    qid: str = "query_id", nid: str = "neighbor_id",
 ) -> str:
-    """Auto-sized multi-probe oracle: planes + flip sets baked at
-    max_planes, np from count(*) (integer CASE), signatures and the
-    flip universe filtered to planes < np — the same prefix-stability
-    argument as _lsh_oracle_auto extended to the probe machinery (a
-    flip-set row is valid under np iff every flipped bit is < np; its
-    xor mask then touches live bits only)."""
+    """The multiprobe sign-LSH candidate machinery as one reusable CTE
+    chain (p/fs_all/np/fs/d/sig/qc/pr/cand — no leading WITH): planes
+    and flip sets baked at max_planes, np from count(*) over
+    ``n_count_from`` by integer CASE, query-directed probe ranking
+    with the sig tie-break. Shared by _multiprobe_lsh_oracle_auto and
+    _tfidf_embed_ann_oracle (round-9 review dedup) so a probe-ranking
+    or signature fix can never silently diverge between the two twins.
+    The caller supplies an ``e(vec_id, v)`` CTE upstream; ``cand``
+    emits ({qid}, {nid}) distinct."""
     from firmable_aus_etl_spark.functions.vectors import (
         make_planes,
         multiprobe_flipsets,
@@ -632,12 +637,11 @@ def _multiprobe_lsh_oracle_auto(
         b1 = fs[0] if len(fs) >= 1 else "NULL"
         b2 = fs[1] if len(fs) >= 2 else "NULL"
         fs_rows.append(f"(CAST({mask} AS BIGINT), {b1}, {b2})")
-    return f"""
-WITH p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
+    qf = f"\n  WHERE {query_filter}" if query_filter else ""
+    return f"""p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
 fs_all(mask, b1, b2) AS (VALUES {", ".join(fs_rows)}),
-{_DEFAULT_E_CTES},
 np AS (SELECT {_np_case_sql(target, min_planes, max_planes)} AS np
-       FROM (SELECT count(*) AS n FROM e)),
+       FROM (SELECT count(*) AS n FROM {n_count_from})),
 fs AS (SELECT mask, b1, b2 FROM fs_all CROSS JOIN np
        WHERE (b1 IS NULL OR b1 < np.np) AND (b2 IS NULL OR b2 < np.np)),
 d AS (SELECT e.vec_id, p.tbl, p.plane, list_dot_product(e.v, p.pvec) AS dot
@@ -655,8 +659,7 @@ qc AS (
   FROM sig s
   CROSS JOIN fs
   LEFT JOIN d d1 ON d1.vec_id = s.vec_id AND d1.tbl = s.tbl AND d1.plane = fs.b1
-  LEFT JOIN d d2 ON d2.vec_id = s.vec_id AND d2.tbl = s.tbl AND d2.plane = fs.b2
-  WHERE s.vec_id % 10 = 0
+  LEFT JOIN d d2 ON d2.vec_id = s.vec_id AND d2.tbl = s.tbl AND d2.plane = fs.b2{qf}
 ),
 pr AS (
   SELECT vec_id, tbl, probe_sig FROM (
@@ -666,10 +669,31 @@ pr AS (
     FROM qc) WHERE rnk <= {probes}
 ),
 cand AS (
-  SELECT DISTINCT pr.vec_id AS query_id, c.vec_id AS neighbor_id
+  SELECT DISTINCT pr.vec_id AS {qid}, c.vec_id AS {nid}
   FROM pr JOIN sig c ON pr.tbl = c.tbl AND pr.probe_sig = c.sig
   WHERE c.vec_id <> pr.vec_id
-),
+)"""
+
+
+def _multiprobe_lsh_oracle_auto(
+    dim: int, n_tables: int, probes: int, seed: int,
+    *, target: int = 16, min_planes: int = 6, max_planes: int = 16,
+) -> str:
+    """Auto-sized multi-probe oracle: planes + flip sets baked at
+    max_planes, np from count(*) (integer CASE), signatures and the
+    flip universe filtered to planes < np — the same prefix-stability
+    argument as _lsh_oracle_auto extended to the probe machinery (a
+    flip-set row is valid under np iff every flipped bit is < np; its
+    xor mask then touches live bits only). Candidate machinery is the
+    shared _multiprobe_cand_ctes chain."""
+    chain = _multiprobe_cand_ctes(
+        dim, n_tables, probes, seed,
+        target=target, min_planes=min_planes, max_planes=max_planes,
+        n_count_from="e", query_filter="s.vec_id % 10 = 0",
+    )
+    return f"""
+WITH {_DEFAULT_E_CTES},
+{chain},
 scored AS (
   SELECT query_id, neighbor_id, list_cosine_similarity(eq.v, ec.v) AS cosine
   FROM cand JOIN e eq ON cand.query_id = eq.vec_id
@@ -703,11 +727,14 @@ def q_lsh_multiprobe_ann_top3(spark: SparkSession, sf_dir: str) -> DataFrame:
     2^12 buckets a 500k corpus runs at occupancy ~122 vs target 16,
     and the candidate join went quadratic (287.7 s vs ~45 s expected;
     SCALING.md round-8b). 16 planes hold the target to ~1M vectors;
-    the OPERATOR default (max_planes=20, vectors.py) carries ~16M, and
-    beyond that the IVF route with cell_cap salting is the designated
-    path. The clamp exists only to bound the oracle's baked plane
-    literals — sizing below it is unchanged, so small-SF results are
-    bit-identical."""
+    the OPERATOR is unbounded since round 9 (auto_n_planes default
+    max_planes=None; a caller-passed bound is an oracle-matrix
+    CAPACITY that raises on saturation), so there is no deeper clamp
+    to outgrow — the 62-plane signature word is the only structural
+    bound. This query's 16 exists only to bound the oracle's baked
+    plane literals; sizing below it is unchanged, so small-SF results
+    are bit-identical, and past it the query raises instead of
+    silently clamping."""
     from firmable_aus_etl_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -1639,6 +1666,58 @@ def _tfidf_portable_weight_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _cosine_verify_top1(
+    wt: DataFrame,
+    cand: DataFrame,
+    *,
+    threshold: float = 0.7,
+    cand_has_blocks: bool = True,
+) -> DataFrame:
+    """Shared exact-cosine verify + top-1 tail of every candidate-
+    generating cosine route (simhash, tau-banded, embedding-ANN —
+    round-9 review dedup: three hand-copies of this block risked
+    silently desynchronizing a query from its oracle twin): join the
+    candidate pairs back to the double-weight term relation, dot over
+    shared tokens (same-block enforced through the token join), norms,
+    threshold, top-1 per a_id with the (cosine desc, b_id) tie-break,
+    cosine rounded to 6 — token-for-token the arithmetic of
+    _TFIDF_ORACLE's verify stage."""
+    a_join = ["a_id", "source", "lang"] if cand_has_blocks else ["a_id"]
+    a_all = wt.select(
+        F.col("doc_id").alias("a_id"), "source", "lang", "t",
+        F.col("wt").alias("wa"),
+    )
+    b_all = wt.select(
+        F.col("doc_id").alias("b_id"), "source", "lang", "t",
+        F.col("wt").alias("wb"),
+    )
+    dots = (
+        cand.join(a_all, a_join)
+        .join(b_all, ["b_id", "source", "lang", "t"])
+        .groupBy("a_id", "b_id")
+        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
+    )
+    nrm = wt.groupBy("doc_id").agg(
+        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
+    )
+    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("nrm_a"))
+    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nrm_b"))
+    cos = (
+        dots.join(na, "a_id")
+        .join(nb, "b_id")
+        .select(
+            "a_id", "b_id",
+            (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )
+    top1 = topk_per_group(
+        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
+    )
+    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+
+
+
 def _docs_count(spark: SparkSession, sf_dir: str) -> int:
     """Memoized documents row count per (path, mtime) — the one input
     of the simhash banding sizing rule (and the cheap half of
@@ -1711,38 +1790,7 @@ def q_tfidf_cosine_simhash_top1(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=width,
         chunks=chunks,
     )
-    a_all = wt.select(
-        F.col("doc_id").alias("a_id"), "source", "lang", "t",
-        F.col("wt").alias("wa"),
-    )
-    b_all = wt.select(
-        F.col("doc_id").alias("b_id"), "source", "lang", "t",
-        F.col("wt").alias("wb"),
-    )
-    dots = (
-        cand.join(a_all, ["a_id", "source", "lang"])
-        .join(b_all, ["b_id", "source", "lang", "t"])
-        .groupBy("a_id", "b_id")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
-    )
-    nrm = wt.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
-    )
-    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("nrm_a"))
-    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nrm_b"))
-    cos = (
-        dots.join(na, "a_id")
-        .join(nb, "b_id")
-        .select(
-            "a_id", "b_id",
-            (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.7)
-    )
-    top1 = topk_per_group(
-        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
-    )
-    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+    return _cosine_verify_top1(wt, cand, cand_has_blocks=True)
 
 
 # Exact-route budget for the auto-routed cosine join: the exact
@@ -1880,22 +1928,18 @@ _TAU_CHUNK_BUDGET = 24
 
 
 def _tfidf_embed_ann_oracle(threshold: float = 0.7) -> str:
-    """DuckDB twin of the text->embedding->multiprobe-LSH branch: the
-    tf-idf term relation is feature-hashed into a dense 64-dim vector
-    with INTEGER milli-weight components (dim = t mod 64, sign = bit 6
-    of t — exact and order-independent in both engines, the simhash
-    integer-weights discipline), then the full multiprobe sign-LSH
-    candidate machinery of _multiprobe_lsh_oracle_auto replays (planes
-    and flip sets baked at max_planes=16, np from count(*) by integer
-    CASE, query-directed probe ranking with sig tie-break), candidate
-    pairs symmetrize via least/greatest, and the verify is the EXACT
-    tf-idf cosine over shared tokens — cross-block pairs drop out
-    because the token join requires equal (source, lang)."""
-    from firmable_aus_etl_spark.functions.vectors import (
-        make_planes,
-        multiprobe_flipsets,
-    )
-
+    """DuckDB twin of the text->embedding->multiprobe-LSH operator
+    (kept UNROUTED after the round-9 negative measurement): the tf-idf
+    term relation is feature-hashed into a dense 64-dim vector with
+    INTEGER milli-weight components (dim = t mod 64, sign = bit 6 of t
+    — exact and order-independent in both engines, the simhash
+    integer-weights discipline), then the SHARED multiprobe candidate
+    chain (_multiprobe_cand_ctes — identical machinery to
+    _multiprobe_lsh_oracle_auto by construction) runs with every doc
+    as a query, candidate pairs symmetrize via least/greatest, and the
+    verify is the EXACT tf-idf cosine over shared tokens — cross-block
+    pairs drop out because the token join requires equal
+    (source, lang)."""
     p31 = dedup._MERSENNE_31
     md5_sql = (
         "list_reduce(list_prepend(CAST(0 AS BIGINT), "
@@ -1903,17 +1947,10 @@ def _tfidf_embed_ann_oracle(threshold: float = 0.7) -> str:
         "i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS BIGINT))), "
         f"(a, b) -> a * 16 + b) % {p31}"
     )
-    rows = [
-        (t, i, p)
-        for t in range(6)
-        for i, p in enumerate(make_planes(64, 16, seed=42 + 1000 * t))
-    ]
-    fs_rows = []
-    for fs in multiprobe_flipsets(16, 2):
-        mask = sum(1 << b for b in fs)
-        b1 = fs[0] if len(fs) >= 1 else "NULL"
-        b2 = fs[1] if len(fs) >= 2 else "NULL"
-        fs_rows.append(f"(CAST({mask} AS BIGINT), {b1}, {b2})")
+    chain = _multiprobe_cand_ctes(
+        64, 6, 10, 42, n_count_from="documents",
+        qid="qid", nid="nid",
+    )
     return f"""
 WITH tok AS (
   SELECT doc_id, source, lang, unnest({_TOKENS_SQL}) AS s FROM documents
@@ -1943,41 +1980,7 @@ e AS (
   LEFT JOIN fh ON fh.doc_id = ids.doc_id AND fh.d = dims.d
   GROUP BY ids.doc_id
 ),
-p(tbl, plane, pvec) AS (VALUES {_planes_values_sql(rows)}),
-fs_all(mask, b1, b2) AS (VALUES {", ".join(fs_rows)}),
-np AS (SELECT {_np_case_sql(16, 6, 16)} AS np
-       FROM (SELECT count(*) AS n FROM documents)),
-fs AS (SELECT mask, b1, b2 FROM fs_all CROSS JOIN np
-       WHERE (b1 IS NULL OR b1 < np.np) AND (b2 IS NULL OR b2 < np.np)),
-d AS (SELECT e.vec_id, p.tbl, p.plane, list_dot_product(e.v, p.pvec) AS dot
-      FROM e CROSS JOIN p CROSS JOIN np WHERE p.plane < np.np),
-sig AS (
-  SELECT vec_id, tbl,
-         CAST(sum(CASE WHEN dot >= 0 THEN (CAST(1 AS BIGINT) << plane)
-                       ELSE 0 END) AS BIGINT) AS sig
-  FROM d GROUP BY 1, 2
-),
-qc AS (
-  SELECT s.vec_id, s.tbl,
-         coalesce(abs(d1.dot), 0.0) + coalesce(abs(d2.dot), 0.0) AS cost,
-         xor(s.sig, fs.mask) AS probe_sig
-  FROM sig s
-  CROSS JOIN fs
-  LEFT JOIN d d1 ON d1.vec_id = s.vec_id AND d1.tbl = s.tbl AND d1.plane = fs.b1
-  LEFT JOIN d d2 ON d2.vec_id = s.vec_id AND d2.tbl = s.tbl AND d2.plane = fs.b2
-),
-pr AS (
-  SELECT vec_id, tbl, probe_sig FROM (
-    SELECT vec_id, tbl, probe_sig,
-           row_number() OVER (PARTITION BY vec_id, tbl
-                              ORDER BY cost, probe_sig) AS rnk
-    FROM qc) WHERE rnk <= 10
-),
-cand AS (
-  SELECT DISTINCT pr.vec_id AS qid, c.vec_id AS nid
-  FROM pr JOIN sig c ON pr.tbl = c.tbl AND pr.probe_sig = c.sig
-  WHERE c.vec_id <> pr.vec_id
-),
+{chain},
 pairs AS (
   SELECT DISTINCT least(qid, nid) AS a_id, greatest(qid, nid) AS b_id
   FROM cand
@@ -2103,38 +2106,9 @@ def _embedding_ann_cosine_top1(
         F.least("query_id", "neighbor_id").alias("a_id"),
         F.greatest("query_id", "neighbor_id").alias("b_id"),
     ).distinct()
-    a_all = wt.select(
-        F.col("doc_id").alias("a_id"), "source", "lang", "t",
-        F.col("wt").alias("wa"),
+    return _cosine_verify_top1(
+        wt, pairs, threshold=threshold, cand_has_blocks=False
     )
-    b_all = wt.select(
-        F.col("doc_id").alias("b_id"), "source", "lang", "t",
-        F.col("wt").alias("wb"),
-    )
-    dots = (
-        pairs.join(a_all, "a_id")
-        .join(b_all, ["b_id", "source", "lang", "t"])
-        .groupBy("a_id", "b_id")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
-    )
-    nrm = wt.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
-    )
-    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("nrm_a"))
-    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nrm_b"))
-    cos = (
-        dots.join(na, "a_id")
-        .join(nb, "b_id")
-        .select(
-            "a_id", "b_id",
-            (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= threshold)
-    )
-    top1 = topk_per_group(
-        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
-    )
-    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
 
 
 @register("tfidf_cosine_tau_routed", _tfidf_tau_routed_oracle())
@@ -2198,38 +2172,7 @@ def q_tfidf_cosine_tau_routed(spark: SparkSession, sf_dir: str) -> DataFrame:
         width=width,
         chunks=chunks,
     )
-    a_all = wt.select(
-        F.col("doc_id").alias("a_id"), "source", "lang", "t",
-        F.col("wt").alias("wa"),
-    )
-    b_all = wt.select(
-        F.col("doc_id").alias("b_id"), "source", "lang", "t",
-        F.col("wt").alias("wb"),
-    )
-    dots = (
-        cand.join(a_all, ["a_id", "source", "lang"])
-        .join(b_all, ["b_id", "source", "lang", "t"])
-        .groupBy("a_id", "b_id")
-        .agg(F.sum(F.col("wa") * F.col("wb")).alias("dp"))
-    )
-    nrm = wt.groupBy("doc_id").agg(
-        F.sqrt(F.sum(F.col("wt") * F.col("wt"))).alias("nrm")
-    )
-    na = nrm.select(F.col("doc_id").alias("a_id"), F.col("nrm").alias("nrm_a"))
-    nb = nrm.select(F.col("doc_id").alias("b_id"), F.col("nrm").alias("nrm_b"))
-    cos = (
-        dots.join(na, "a_id")
-        .join(nb, "b_id")
-        .select(
-            "a_id", "b_id",
-            (F.col("dp") / (F.col("nrm_a") * F.col("nrm_b"))).alias("cosine"),
-        )
-        .filter(F.col("cosine") >= 0.7)
-    )
-    top1 = topk_per_group(
-        cos, ["a_id"], [F.col("cosine").desc(), F.col("b_id").asc()], k=1
-    )
-    return top1.select("a_id", "b_id", F.round("cosine", 6).alias("cosine"))
+    return _cosine_verify_top1(wt, cand, cand_has_blocks=True)
 
 
 _BM25_QUERIES = [

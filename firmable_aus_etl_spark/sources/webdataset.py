@@ -171,10 +171,18 @@ def write_webdataset(
             lambda rows: write_partition(rows)
         ).collect()
     )
-    # job-level commit marker, written only after every task committed
-    # its shards (the Spark file-sink convention); readers MAY gate on
-    # it, and read_webdataset's glob independently ignores temp files.
+    # job-level commit: sweep orphaned stage files from killed or
+    # superseded attempts (nothing else ever deletes them), then write
+    # the _SUCCESS marker listing the committed shards — the reader's
+    # default gate, written only after every task committed.
+    import glob as _glob
+
     os.makedirs(path, exist_ok=True)
+    for orphan in _glob.glob(os.path.join(path, ".shard-*.tar.tmp-*")):
+        try:
+            os.remove(orphan)
+        except OSError:
+            pass  # a concurrent writer's live stage file: leave it
     with open(os.path.join(path, "_SUCCESS"), "w") as f:
         f.write("\n".join(names))
     return names
@@ -186,6 +194,7 @@ def read_webdataset(
     *,
     members: dict[str, str],
     on_corrupt: str = "fail",
+    require_success: bool = True,
 ) -> DataFrame:
     """Read tar shards back into one row per sample key. ``members``
     is the same column->extension map the writer took; missing members
@@ -193,10 +202,17 @@ def read_webdataset(
     mapInPandas, the warc.py fetchless pattern) — shards stream
     through Arrow batches, never the driver.
 
-    Only COMMITTED shards are read: the glob matches the writer's
-    final ``shard-*.tar`` names, so in-flight ``.tmp-{attempt}``
-    stage files from a concurrent or failed write are invisible
-    (temp-and-rename commit protocol on the write side).
+    Only JOB-COMMITTED shards are read (round-9 review fix: task-level
+    rename alone is not job commit): with ``require_success`` (the
+    default) the shard list comes from the ``_SUCCESS`` marker the
+    writer emits after every task committed — a write job that died
+    mid-way (some shards renamed, no marker) raises instead of
+    returning a partial corpus, and stale ``shard-*.tar`` files from a
+    previous differently-sharded write into the same directory are
+    ignored because they are not in the marker. Set
+    ``require_success=False`` to glob ``shard-*.tar`` from a foreign /
+    pre-protocol directory; in-flight ``.tmp-{attempt}`` stage files
+    are invisible either way.
 
     ``on_corrupt``: ``"fail"`` (default) raises on a truncated or
     corrupted tar; ``"skip"`` drops the WHOLE damaged shard — never a
@@ -262,10 +278,25 @@ def read_webdataset(
                 {c: pd.Series(dtype="object") for c in ["key", *binary_cols]}
             )
 
-    blobs = (
-        spark.read.format("binaryFile")
-        .option("pathGlobFilter", "shard-*.tar")
-        .load(path)
-        .select("content")
-    )
+    if require_success:
+        marker = os.path.join(path, "_SUCCESS")
+        if not os.path.exists(marker):
+            raise FileNotFoundError(
+                f"no _SUCCESS marker under {path}: the write job never "
+                "committed (or this is a foreign WebDataset directory — "
+                "pass require_success=False to glob shard-*.tar directly)"
+            )
+        with open(marker) as fh:
+            names = [ln for ln in fh.read().splitlines() if ln]
+        reader = spark.read.format("binaryFile")
+        blobs = reader.load(
+            [os.path.join(path, n) for n in names]
+        ).select("content")
+    else:
+        blobs = (
+            spark.read.format("binaryFile")
+            .option("pathGlobFilter", "shard-*.tar")
+            .load(path)
+            .select("content")
+        )
     return blobs.mapInPandas(parse, schema=schema)

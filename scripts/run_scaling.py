@@ -86,7 +86,6 @@ SYN3_SET = {
     # (real0.1, syn0.1), LSH above (syn0.3+, zipf1+): the fit should
     # BEND where the route flips
     "tfidf_cosine_routed",
-    "tfidf_cosine_tau_routed",
     # round-8b: retrieval stays linear even where the join families cliff
     "bm25_search_top10",
     # round-8b sketch family: full curves through syn3
@@ -126,7 +125,7 @@ ZIPF10_SET = {
     "ngram_jaccard_pruned_near_dups",  # designated exact-Jaccard default
     "tfidf_cosine_simhash_top1",       # designated cosine scale route
     "tfidf_cosine_routed",             # auto-router (takes LSH here)
-    "tfidf_cosine_tau_routed",         # round-9: tau embedding-ANN branch
+    "tfidf_cosine_tau_routed",         # round-9: tau capped-banding arm
     "bm25_search_top10",               # retrieval serving join
 }
 ZIPF_SET = [
@@ -190,8 +189,9 @@ QUERY_SET = [
     "tfidf_cosine_top1_blocked",
     "tfidf_cosine_simhash_top1",
     "tfidf_cosine_routed",
-    # round-9: the tau-0.7 third branch — embedding-ANN at every syn
-    # scale (n > 4096 docs -> banding needs >24 chunks at tau 0.7)
+    # round-9: tau-0.7 routing — measured only at real0.1 in the syn
+    # loop (the guard below skips syn labels: at tau the uniform
+    # corpus is output-bound) and on zipf via ZIPF_SET
     "tfidf_cosine_tau_routed",
     # round-8b: BM25 retrieval — linear inverted-index build + broadcast
     # probe; the fit documents that the serving join scales with the

@@ -188,3 +188,41 @@ def test_corrupt_shard_fails_loud_by_default_and_skips_whole_shard(
     # an intact shard only — never a partial sample set of the victim
     assert {r["key"] for r in rows} == intact_keys
     assert all(r["text"] is not None and r["payload"] is not None for r in rows)
+
+
+def test_read_requires_job_commit_marker(spark, tmp_path):
+    """Task-level renames are not job commit (r9 review finding): a
+    directory with committed-looking shards but NO _SUCCESS (a write
+    job that died mid-way, or a foreign dir) must raise by default,
+    and require_success=False falls back to the glob. Stale shards
+    from a previous differently-sharded write are ignored because the
+    marker lists only the committed set."""
+    import os
+
+    import pytest
+
+    out = str(tmp_path / "wds")
+    write_webdataset(
+        _docs(spark, 30), out, key_col="doc_id", members=MEMBERS, n_shards=2
+    )
+    os.remove(os.path.join(out, "_SUCCESS"))
+    with pytest.raises(FileNotFoundError, match="_SUCCESS"):
+        read_webdataset(spark, out, members=MEMBERS)
+    got = read_webdataset(spark, out, members=MEMBERS, require_success=False)
+    assert got.count() == 30
+
+    # stale-shard scenario: re-write the same dir with MORE shards,
+    # then re-write with fewer — the marker-gated read sees only the
+    # final committed set even though extra shard files linger
+    write_webdataset(
+        _docs(spark, 30), out, key_col="doc_id", members=MEMBERS, n_shards=8
+    )
+    write_webdataset(
+        _docs(spark, 10), out, key_col="doc_id", members=MEMBERS, n_shards=2
+    )
+    committed = set(open(os.path.join(out, "_SUCCESS")).read().splitlines())
+    import glob
+
+    on_disk = {os.path.basename(p) for p in glob.glob(f"{out}/shard-*.tar")}
+    assert on_disk - committed, "fixture must actually have stale shards"
+    assert read_webdataset(spark, out, members=MEMBERS).count() == 10
