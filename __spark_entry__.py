@@ -5,8 +5,8 @@ The driver's verify runs ``entry(spark)`` as a smoke check, runs each
 ``oracle_sql()[name]`` via DuckDB (row-count + schema + order-insensitive
 value-hash -> CORRECTNESS_r{N}.json).
 
-Implementation lives in ``firmable_aus_etl_spark/queries.py``; this file
-only adapts the registry to the driver's contract.
+Implementation lives in the ``firmable_aus_etl_spark/queries/``
+package; this file only adapts the registry to the driver's contract.
 """
 
 from __future__ import annotations

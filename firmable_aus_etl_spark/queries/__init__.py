@@ -7,11 +7,14 @@ DuckDB runs against the same parquet registered as views. Column names
 are aliased identically on both sides; floats that cross an
 engine-specific aggregation order are rounded on both sides.
 
-Split into per-family modules (round-9, verdict Next #6). Import order
-below IS registration order — identical to the monolithic file — and
-the compatibility loop at the bottom re-exports every module-level name
-so ``queries.<anything>`` from tests/tools keeps resolving (cache dicts
-stay the same objects; mutations remain visible everywhere).
+Split into per-family modules (round-9, verdict Next #6). Importing
+this package registers every name (consumers are name-keyed; iteration
+order follows the module import order below, which differs from the
+old monolithic file's interleaving). The compatibility loop at the
+bottom re-exports every module-level name so ``queries.<anything>``
+from tests/tools keeps resolving (cache dicts stay the same objects;
+mutations remain visible everywhere). The exact registry contents are
+pinned by tests/test_registry_manifest.py.
 """
 
 from __future__ import annotations

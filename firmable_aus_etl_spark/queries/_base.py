@@ -73,9 +73,6 @@ def register_pipeline(name: str):
     return deco
 
 
-# --- flagship: blocked similarity join (op13+op14+op20+op33) -------------
-
-
 __all__ = [
     "Callable",
     "DataFrame",

@@ -82,6 +82,10 @@ def write_webdataset(
     Returns the shard file names written. Shards are
     ``shard-{id:05d}.tar``; ids with no samples produce no file
     (sparse small inputs stay sparse).
+
+    A target directory admits ONE writer at a time (shard names and
+    the ``_SUCCESS`` marker are directory-global); the job-commit
+    orphan sweep relies on that contract.
     """
     cols = list(members)
     exts = dict(members)
@@ -178,11 +182,15 @@ def write_webdataset(
     import glob as _glob
 
     os.makedirs(path, exist_ok=True)
+    # NOTE: a directory admits ONE writer at a time (concurrent jobs
+    # would collide on the final shard-NNNNN.tar names and race on
+    # _SUCCESS regardless) — under that contract every surviving stage
+    # file belongs to a dead attempt of THIS job and is safe to sweep.
     for orphan in _glob.glob(os.path.join(path, ".shard-*.tar.tmp-*")):
         try:
             os.remove(orphan)
         except OSError:
-            pass  # a concurrent writer's live stage file: leave it
+            pass  # already gone / unreadable: the reader ignores it anyway
     with open(os.path.join(path, "_SUCCESS"), "w") as f:
         f.write("\n".join(names))
     return names
@@ -229,9 +237,11 @@ def read_webdataset(
     schema = f"key string, {fields}"
 
     def parse(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        import warnings
+
         for pdf in batches:
             out: list[dict] = []
-            for blob in pdf["content"]:
+            for shard_path, blob in zip(pdf["path"], pdf["content"]):
                 samples: dict[str, dict] = {}
                 try:
                     raw = bytes(blob)
@@ -265,8 +275,13 @@ def read_webdataset(
                 except (tarfile.TarError, EOFError) as exc:
                     if on_corrupt == "fail":
                         raise
-                    samples = {}  # drop the whole damaged shard
-                    _ = exc
+                    samples = {}  # drop the whole damaged shard — loudly
+                    warnings.warn(
+                        f"read_webdataset: skipping corrupt shard "
+                        f"{shard_path}: {exc}",
+                        RuntimeWarning,
+                        stacklevel=2,
+                    )
                 for key in sorted(samples):
                     row = {"key": key}
                     for c in binary_cols:
@@ -291,12 +306,12 @@ def read_webdataset(
         reader = spark.read.format("binaryFile")
         blobs = reader.load(
             [os.path.join(path, n) for n in names]
-        ).select("content")
+        ).select("path", "content")
     else:
         blobs = (
             spark.read.format("binaryFile")
             .option("pathGlobFilter", "shard-*.tar")
             .load(path)
-            .select("content")
+            .select("path", "content")
         )
     return blobs.mapInPandas(parse, schema=schema)
