@@ -120,10 +120,12 @@ def read_binary_dir(spark: SparkSession, path: str, *, pattern: str = "*") -> Da
 
 def with_media_metadata(df: DataFrame) -> DataFrame:
     """Cheap metadata sniffing from magic bytes — pure expressions, no
-    decode: mime from the leading bytes, media_type from mime, and for
-    PNG/GIF the header width/height (fixed offsets — a substring +
+    decode: mime from the leading bytes, media_type from mime, and
+    width/height for PNG/GIF (fixed header offsets — a substring +
     hex-parse away, JVM-side; GIF's are little-endian u16, PNG's
-    big-endian u32)."""
+    big-endian u32) and JPEG (variable SOF offset — a bounded
+    segment-chain walk via F.aggregate, still all JVM-side; round-10,
+    so a metadata filter works on a JPEG corpus too)."""
     head = F.hex(F.substring(F.col("content"), 1, 4))
     riff_kind = F.substring(F.col("content"), 9, 4)  # WAVE / 'AVI '
     is_png = head.startswith("89504E47")
@@ -197,6 +199,73 @@ def with_media_metadata(df: DataFrame) -> DataFrame:
         F.floor(_le32(41) * 1000.0 / _le32(29)).cast("long").alias("duration_ms"),
         _le32(25).alias("sample_rate"),
     ).cast(meta_type)
+
+    # JPEG width/height sit in the SOF segment at a VARIABLE offset
+    # (after APPn/DQT/... tables). Segment chain: FFD8, then repeating
+    # [FF marker len_be16 payload]; SOF0/1/2 payload = precision(1)
+    # height(2) width(2). Walk up to 24 segments with F.aggregate —
+    # a static-bounded loop, entirely JVM-side expressions, never a
+    # false positive (only real chain positions are inspected); blobs
+    # whose SOF lies deeper (>24 segments) or is truncated keep null
+    # dims. Accumulator: (o = 1-based offset of the next segment's FF,
+    # -1 once done; w/h = found dims).
+    content = F.col("content")
+
+    def _byte_hex(pos):
+        return F.hex(content.substr(pos.cast("int"), F.lit(1)))
+
+    def _be16_at(pos):
+        return F.conv(
+            F.hex(content.substr(pos.cast("int"), F.lit(2))), 16, 10
+        ).cast("long")
+
+    def _jpeg_step(acc, _):
+        o = acc["o"]
+        active = (o > 0) & acc["w"].isNull()
+        marker = _byte_hex(o + 1)
+        seglen = _be16_at(o + 2)
+        is_sof = marker.isin("C0", "C1", "C2")
+        # D8/D9 are bare markers, DA starts entropy-coded data: stop
+        bad = (
+            (_byte_hex(o) != "FF")
+            | marker.isin("D8", "D9", "DA")
+            | (seglen < 2)
+        )
+        halt = F.struct(
+            F.lit(-1).cast("long").alias("o"),
+            acc["w"].alias("w"),
+            acc["h"].alias("h"),
+        )
+        found = F.struct(
+            F.lit(-1).cast("long").alias("o"),
+            _be16_at(o + 7).alias("w"),
+            _be16_at(o + 5).alias("h"),
+        )
+        step = F.struct(
+            (o + 2 + seglen).alias("o"), acc["w"].alias("w"), acc["h"].alias("h")
+        )
+        return (
+            F.when(~active, acc)
+            .when(bad, halt)
+            .when(is_sof, found)
+            .otherwise(step)
+        )
+
+    jpeg_acc = F.aggregate(
+        F.sequence(F.lit(1), F.lit(24)),
+        F.struct(
+            F.lit(3).cast("long").alias("o"),
+            F.lit(None).cast("long").alias("w"),
+            F.lit(None).cast("long").alias("h"),
+        ),
+        _jpeg_step,
+    )
+    jpeg_meta = F.struct(
+        jpeg_acc["w"].alias("width"),
+        jpeg_acc["h"].alias("height"),
+        F.lit(None).cast("long").alias("duration_ms"),
+        F.lit(None).cast("long").alias("sample_rate"),
+    ).cast(meta_type)
     return (
         df.withColumn("mime", mime)
         .withColumn("media_type", F.split(F.col("mime"), "/").getItem(0))
@@ -204,6 +273,12 @@ def with_media_metadata(df: DataFrame) -> DataFrame:
             "meta",
             F.when(is_png, png_meta)
             .when(is_gif, gif_meta)
+            # only when the walk actually found SOF — otherwise any
+            # caller-provided meta stays untouched
+            .when(
+                head.startswith("FFD8FF") & jpeg_acc["w"].isNotNull(),
+                jpeg_meta,
+            )
             .when(is_canon_wav, wav_meta)
             .otherwise(F.col("meta")),
         )

@@ -117,3 +117,30 @@ def test_webdataset_loader_demo(spark, tmp_path):
         mod.main()  # asserts loader/spark-reader sample-set equality
     finally:
         sys.argv = old
+
+
+def test_multimodal_webdataset_pipeline_demo(tmp_path):
+    """Round-10 composed pipeline: decode -> metadata filter ->
+    exact + perceptual dedup -> resize -> WebDataset sink -> Spark
+    reader vs public-rule loader parity. The example itself asserts
+    round-trip key/byte equality AND the planted dedup effect
+    (12 files -> 10 filtered -> 9 exact -> 7 survivors); main() raising
+    on any divergence is the test."""
+    mod = _load(
+        "/root/repo/examples/run_multimodal_webdataset.py", "mm_wds_demo"
+    )
+    old = sys.argv
+    sys.argv = ["run_multimodal_webdataset.py", str(tmp_path / "mm")]
+    try:
+        mod.main()
+    finally:
+        sys.argv = old
+    import os
+
+    out = tmp_path / "mm" / "train_wds"
+    names = [
+        ln
+        for ln in (out / "_SUCCESS").read_text().splitlines()
+        if ln
+    ]
+    assert names and all(os.path.exists(out / n) for n in names)

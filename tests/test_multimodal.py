@@ -296,3 +296,29 @@ def test_media_metadata_png_dimensions(spark):
     out = {r.media_id: r for r in with_media_metadata(df).collect()}
     assert out[1].meta.width == 17 and out[1].meta.height == 9
     assert out[2].meta is None  # non-PNG meta untouched
+
+
+def test_jpeg_sof_dimension_walk(spark, tmp_path):
+    """Round-10: JPEG width/height from the SOF marker walk — real
+    encoder output (SOF at a variable offset after APP0+DQT) sniffs
+    the true dimensions; truncated/garbage JPEG-magic blobs keep null
+    dims instead of erroring; PNG dims unaffected."""
+    from firmable_aus_etl_spark.multimodal import jpeg as J
+    from firmable_aus_etl_spark.multimodal import png as P
+
+    d = tmp_path / "jm"
+    d.mkdir()
+    px = bytes((x * 5 + y * 3) % 256 for y in range(24) for x in range(40))
+    (d / "real.jpg").write_bytes(J.encode_jpeg(px, 40, 24, quality=90))
+    (d / "trunc.jpg").write_bytes(b"\xff\xd8\xff\xe0" + b"jj" * 20)
+    (d / "ref.png").write_bytes(P.encode_png(px, 40, 24))
+    out = with_media_metadata(read_binary_dir(spark, str(d)))
+    got = {
+        r.uri.rsplit("/", 1)[-1]: (
+            (r.meta["width"], r.meta["height"]) if r.meta else (None, None)
+        )
+        for r in out.collect()
+    }
+    assert got["real.jpg"] == (40, 24)
+    assert got["trunc.jpg"] == (None, None)
+    assert got["ref.png"] == (40, 24)
