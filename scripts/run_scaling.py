@@ -37,7 +37,27 @@ SCALES = [
     ("syn1", "/tmp/scaledata/sf1", 1.0),
     ("syn3", "/tmp/scaledata/sf3", 3.0),
     ("syn10", "/tmp/scaledata/sf10", 10.0),
+    ("syn30", "/tmp/scaledata/sf30", 30.0),
 ]
+
+# syn30 (round-10 verdict Next #1): the THIRD data decade's endpoint
+# for the designated deep routes. Both prior cliffs (the max_planes
+# clamp at syn10, fixed banding at zipf10) were caught exactly one
+# decade past the existing fit — this is the same cliff-hunting method
+# extended once more. Same membership as SYN10_SET: routes already
+# retired (flat IVF) or output-bound there (cosine family on the
+# uniform vocab) stay excluded for the reasons on record.
+SYN30_SET = {
+    "minhash_dedup_clusters",
+    "lsh_multiprobe_ann_top3",
+    "minhash_verified_near_dups",
+    "reference_pipeline_matches",
+    "bm25_search_top10",
+    "bloom_decontaminate_documents",
+    "cms_gram_counts_top50",
+    "hll_distinct_tokens_by_source",
+    "nb_language_confusion",
+}
 
 # syn10 (round-8b): a FULL second decade (0.1 -> 10) for the designated
 # sub-linear routes only. The exact-join family is excluded by design:
@@ -115,7 +135,19 @@ ZIPF_SCALES = [
     ("zipf1", "/tmp/zipfdocs/sf1", 1.0),
     ("zipf3", "/tmp/zipfdocs/sf3", 3.0),
     ("zipf10", "/tmp/zipfdocs/sf10", 10.0),
+    ("zipf30", "/tmp/zipfdocs/sf30", 30.0),
 ]
+
+# zipf30 (round-10 Next #1): third-decade endpoint on the realistic
+# corpus shape — the cosine scale routes' deep dimension. Same
+# membership as ZIPF10_SET.
+ZIPF30_SET = {
+    "ngram_jaccard_pruned_near_dups",
+    "tfidf_cosine_simhash_top1",
+    "tfidf_cosine_routed",
+    "tfidf_cosine_tau_routed",
+    "bm25_search_top10",
+}
 
 # zipf10 (round-8b): second-decade points on the realistic corpus
 # shape, scale routes only — the EXACT cosine join is excluded (its
@@ -261,6 +293,8 @@ def main() -> None:
                 continue
             if label == "syn10" and name not in SYN10_SET:
                 continue
+            if label == "syn30" and name not in SYN30_SET:
+                continue
             if name == "tfidf_cosine_top1_blocked" and label not in (
                 "syn1", "syn3",
             ):
@@ -292,6 +326,8 @@ def main() -> None:
             ):
                 continue
             if label == "zipf10" and name not in ZIPF10_SET:
+                continue
+            if label == "zipf30" and name not in ZIPF30_SET:
                 continue
             if only is not None and name not in only:
                 continue
