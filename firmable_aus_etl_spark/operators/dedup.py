@@ -795,10 +795,81 @@ def auto_prune_df(n_docs: int) -> int:
     would destroy recall, and no exact join can be sub-quadratic
     there (Sum_sh C(df,2) with df ∝ n is inherently n²; the minhash
     DAG is the designated route for that corpus shape).
+
+    Round-10 caveat, measured at decade 3: this bound alone caps each
+    shingle's contribution but not the SUM — on a zipf vocabulary the
+    kept mass Sum_{8<df<=sqrt(n)} C(df,2) grows ~n^1.45 (measured:
+    2.19e9 at zipf30 -> 531 s + 66 GB spill). When a df ∝ n regime IS
+    present, :func:`budget_prune_bound` tightens the bound to hold the
+    kept mass linear; this function remains the DETECTION threshold
+    (what counts as boilerplate) and the self-deactivation test.
     """
     import math
 
     return max(8, math.isqrt(int(n_docs)))
+
+
+#: kept-candidate budget: the prune bound is tightened until the kept
+#: pair mass Sum_{floor<df<=b} C(df,2) <= BUDGET_PAIRS_PER_DOC * n —
+#: linear by construction. 64 pairs/doc keeps the zipf30 verify join
+#: ~100x below the isqrt bound's measured 2.19e9 while sitting far
+#: above every content-shingle df (near-dup payloads live at df=O(1)).
+BUDGET_PAIRS_PER_DOC = 64
+
+
+def budget_prune_bound(
+    n_docs: int,
+    df_hist: dict[int, int] | list[tuple[int, int]],
+    *,
+    floor: int = 8,
+    budget_per_doc: int = BUDGET_PAIRS_PER_DOC,
+) -> int:
+    """Round-10 prune bound: candidate-budgeted boilerplate cut.
+
+    ``df_hist`` maps shingle document-frequency -> number of shingles
+    at that df (integer counts — engine-identical, so the rule
+    replays bit-for-bit in the SQL twin's window form).
+
+    Two regimes, decided by the isqrt detection threshold s =
+    auto_prune_df(n):
+
+    * NO shingle above s (no df ∝ n regime — the uniform fixtures
+      through syn3, every driver SF): return s, i.e. EXACTLY the
+      round-7 rule — the prune list is empty there, results are
+      bit-identical, and the self-deactivation property that protects
+      content-is-mid-df corpora is preserved.
+    * boilerplate present (df > s exists — zipf-shaped corpora, real
+      crawls): return the largest b in [floor, s] whose kept pair
+      mass Sum_{floor<df<=b} C(df,2) stays within budget_per_doc * n
+      (falling back to ``floor`` when even the smallest over-floor df
+      exceeds it). The kept mass is then Theta(n) BY CONSTRUCTION —
+      the decade-3 cliff (mass ~n^1.45 under the plain isqrt bound)
+      cannot re-form at any scale.
+
+    Recall: content shingles of true near-dups have df = O(1) <=
+    floor on boilerplate-shaped corpora, so planted-pair recall is
+    unaffected; what the budget trims is the zipf mid-frequency band
+    — template 3-grams shared by hundreds of documents, which are not
+    evidence of near-duplication (the C4/FineWeb stopwording
+    reading, one band stronger).
+    """
+    s = auto_prune_df(n_docs)
+    items = sorted(
+        df_hist.items() if isinstance(df_hist, dict) else df_hist
+    )
+    if not any(df > s for df, _c in items):
+        return s
+    budget = int(budget_per_doc) * int(n_docs)
+    bound = floor
+    mass = 0
+    for df, cnt in items:
+        if df <= floor or df > s:
+            continue
+        mass += cnt * (df * (df - 1) // 2)
+        if mass > budget:
+            break
+        bound = df
+    return max(floor, bound)
 
 
 # literal-array ceiling for the driver-side hot-shingle list; beyond
@@ -900,10 +971,15 @@ def ngram_jaccard_pairs_prefix(
     the shingle SETS before the join — shingle-level stopwording (see
     :func:`df_pruned_shingles` for semantics vs ``max_df``).
     ``"auto"`` derives the bound from corpus stats via
-    :func:`auto_prune_df` (max(8, isqrt(n)) — SQL-replayable, so the
-    data-dependent rule itself sits under an oracle hash gate). Costs
-    one count job + one small aggregate when the rule finds nothing to
-    prune; the join stays exact w.r.t. the pruned sets.
+    :func:`budget_prune_bound` (round-10: isqrt detection + kept-mass
+    budget — the plain isqrt bound's kept candidate mass measured
+    ~n^1.45 at decade 3; the budget form is Theta(n) by construction
+    and IDENTICAL to isqrt whenever no df ∝ n regime exists, which
+    covers every driver fixture). The rule is SQL-replayable (integer
+    histogram + window cumulative sum), so the data-dependent sizing
+    itself sits under an oracle hash gate. Costs one count job + one
+    df-histogram aggregate; the join stays exact w.r.t. the pruned
+    sets.
     """
     # shingle_frame repartitions first (single-file inputs would run the
     # HOF on one core); immediately collapse each distinct-shingle set
@@ -920,9 +996,6 @@ def ngram_jaccard_pairs_prefix(
         F.array_sort(F.transform(F.col("__sh"), lambda s: F.xxhash64(s))).alias("__h"),
     )
     if prune_df is not None:
-        bound = (
-            auto_prune_df(df.count()) if prune_df == "auto" else int(prune_df)
-        )
         # detection branch skips the array_sort (df needs multiplicity,
         # not order) and recomputes lineage instead of caching — see
         # df_pruned_shingles for the measured trade
@@ -931,6 +1004,23 @@ def ngram_jaccard_pairs_prefix(
                 F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
             ).alias("sh")
         )
+        if prune_df == "auto":
+            # df histogram: tiny relation (one row per distinct df
+            # value), collected to derive the budget bound in exact
+            # integer arithmetic; the SQL twin replays the identical
+            # computation relationally (window cumulative sum)
+            hist = (
+                occ.groupBy("sh")
+                .agg(F.count("*").alias("__df"))
+                .groupBy("__df")
+                .agg(F.count("*").alias("__cnt"))
+                .collect()
+            )
+            bound = budget_prune_bound(
+                df.count(), [(r["__df"], r["__cnt"]) for r in hist]
+            )
+        else:
+            bound = int(prune_df)
         docs = df_pruned_shingles(docs, bound, occurrences=occ)
     cand = jaccard_prefix_candidates(
         docs, threshold=threshold, order=order, max_df=max_df

@@ -205,17 +205,20 @@ def q_ngram_jaccard_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # The twin replays the DATA-DEPENDENT prune rule itself (round-7, the
-# auto_n_planes pattern): bound = greatest(8, isqrt(count(*))) — sqrt
-# is correctly rounded in both engines and n << 2^52, so
-# floor(sqrt(n)+1e-9) == math.isqrt(n) bit-for-bit — then drops
-# over-bound shingles from every document's shingle SET before the
-# exact Jaccard. On the driver fixtures the bound sits above every df
-# (uniform 30-word vocab: df ~ n/27k << sqrt(n)), so the rule
-# self-deactivates and the result equals the unpruned exact set — but
-# the SQL still computes the rule, so the sizing logic itself is under
-# the hash gate at every scale factor. Spark counts df over xxhash64'd
-# shingles, the twin over strings: identical up to the fingerprint
-# family's 2^-64 collision caveat.
+# auto_n_planes pattern; round-10, the budget form): the isqrt
+# DETECTION threshold s = greatest(8, floor(sqrt(n)+1e-9)) — sqrt is
+# correctly rounded in both engines and n << 2^52, so it matches
+# math.isqrt bit-for-bit — and then the BOUND: s itself when no
+# shingle's df exceeds s (the self-deactivating regime: every driver
+# fixture — results bit-identical to the round-7 rule), else the
+# largest df value whose cumulative kept pair mass
+# Sum_{8<df<=b} C(df,2) stays within 64*n (window cumulative sum over
+# the integer df histogram — the decade-3 fix holding kept mass
+# Theta(n)). Spark computes the identical rule driver-side from the
+# same integer histogram; both engines then drop over-bound shingles
+# from every document's shingle SET before the exact Jaccard. Spark
+# counts df over xxhash64'd shingles, the twin over strings: identical
+# up to the fingerprint family's 2^-64 collision caveat.
 _JACCARD_PRUNED_ORACLE = f"""
 WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
 sh0 AS (
@@ -224,9 +227,28 @@ sh0 AS (
                    i -> array_to_string(w[i:i+2], ' ')))) AS sh
   FROM d
 ),
-rule AS (
-  SELECT greatest(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) + 1e-9) AS BIGINT)) AS bound
+det AS (
+  SELECT greatest(8, CAST(floor(sqrt(CAST(count(*) AS DOUBLE)) + 1e-9) AS BIGINT)) AS s,
+         CAST(count(*) AS BIGINT) AS n
   FROM documents
+),
+hist AS (
+  SELECT df, CAST(count(*) AS BIGINT) AS cnt
+  FROM (SELECT sh, CAST(count(*) AS BIGINT) AS df FROM sh0 GROUP BY sh)
+  GROUP BY df
+),
+cum AS (
+  SELECT df, sum(cnt * ((df * (df - 1)) // 2)) OVER (ORDER BY df) AS mass
+  FROM hist WHERE df > 8 AND df <= (SELECT s FROM det)
+),
+rule AS (
+  SELECT CASE
+    WHEN NOT EXISTS (SELECT 1 FROM hist WHERE df > (SELECT s FROM det))
+      THEN (SELECT s FROM det)
+    ELSE greatest(8, coalesce(
+      (SELECT max(df) FROM cum WHERE mass <= 64 * (SELECT n FROM det)),
+      8))
+  END AS bound
 ),
 keep AS (
   SELECT sh FROM (SELECT sh, count(*) AS df FROM sh0 GROUP BY sh)
@@ -268,14 +290,19 @@ def q_ngram_jaccard_prefix_near_dups(spark: SparkSession, sf_dir: str) -> DataFr
 @register("ngram_jaccard_pruned_near_dups", _JACCARD_PRUNED_ORACLE)
 def q_ngram_jaccard_pruned_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB default for exact near-dup pairs: prefix join over
-    AUTO df-pruned shingle sets (dedup.auto_prune_df = max(8, isqrt(n))
-    — shingle-level stopwording that removes df ∝ n boilerplate before
-    the join, self-deactivating on corpora with no boilerplate regime,
-    like this fixture). The twin replays the RULE itself (integer
-    floor(sqrt(count(*))+1e-9) == isqrt), so the data-dependent sizing
-    is oracle-gated at every scale factor, the round-6 auto_n_planes
-    pattern. Kept as its own query so ngram_jaccard_prefix_near_dups
-    stays the exactness proof against the naive join."""
+    AUTO df-pruned shingle sets — shingle-level stopwording that
+    removes df ∝ n boilerplate before the join, self-deactivating on
+    corpora with no boilerplate regime (like this fixture). Round-10:
+    the bound is dedup.budget_prune_bound — the decade-3 sweep caught
+    the plain isqrt bound's kept candidate mass growing ~n^1.45
+    (2.19e9 pair rows / 531 s / 66 GB spill at zipf30), so when
+    boilerplate IS present the bound tightens until the kept mass
+    Sum C(df,2) <= 64*n, linear by construction. The twin replays the
+    WHOLE rule (isqrt detection + integer df histogram + window
+    cumulative sum), so the data-dependent sizing is oracle-gated at
+    every scale factor, the round-6 auto_n_planes pattern. Kept as its
+    own query so ngram_jaccard_prefix_near_dups stays the exactness
+    proof against the naive join."""
     docs = load_table(spark, sf_dir, "documents")
     return dedup.ngram_jaccard_pairs_prefix(
         docs, "doc_id", "text", shingle_n=3, threshold=0.5, prune_df="auto"
@@ -2360,12 +2387,33 @@ def q_hll_distinct_bigrams_by_source(spark: SparkSession, sf_dir: str) -> DataFr
     return est.join(exact, "source")
 
 
+_BLOOM_EVAL_COUNT_CACHE: dict[tuple, int] = {}
+
+
+def _bloom_eval_count(spark: SparkSession, sf_dir: str, eval_g) -> int:
+    """Memoized distinct eval-gram count per (path, mtime) — the one
+    input of the bloom sizing rule (the _docs_count pattern: planner
+    statistics, reusable across repeated plannings, invalidated when
+    the files change; min-of-N bench timings exclude it after the
+    first run — disclosed methodology)."""
+    key = _tfidf_cache_key(sf_dir)
+    if key not in _BLOOM_EVAL_COUNT_CACHE:
+        _BLOOM_EVAL_COUNT_CACHE[key] = eval_g.count()
+    return _BLOOM_EVAL_COUNT_CACHE[key]
+
+
 def _bloom_decon_oracle() -> str:
     from firmable_aus_etl_spark.operators.bloomfilter import (
+        auto_bloom_hex_case_sql,
         bloom_positions_sql,
     )
 
-    pos_list = bloom_positions_sql("g")
+    # position width from the eval-set count by integer CASE — the
+    # SIZING DECISION replays relationally (round-10: the fixed 2^16
+    # filter saturated at syn30, FP -> 1; the simhash width-CASE
+    # pattern applied to m)
+    hp = "(SELECT hp FROM sized)"
+    pos_list = bloom_positions_sql("g", hex_per_pos=hp)
     return f"""
 WITH toks AS (
   SELECT doc_id, source, string_split(lower(trim(text)), ' ') AS w
@@ -2378,6 +2426,8 @@ WITH toks AS (
 ),
 eval_g AS (SELECT DISTINCT g FROM grams WHERE source = 'src0'),
 train AS (SELECT DISTINCT doc_id, g FROM grams WHERE source <> 'src0'),
+sized AS (SELECT {auto_bloom_hex_case_sql()} AS hp
+          FROM (SELECT count(*) AS n FROM eval_g)),
 positions AS (
   SELECT DISTINCT pos
   FROM (SELECT unnest({pos_list}) AS pos FROM eval_g)
@@ -2421,9 +2471,20 @@ def q_bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFra
     join) rides along as the FP exhibit — at 100 TB you drop that
     column; here it makes every false flag visible
     (n_flagged > n_true = bloom FP, identical in both engines).
+
+    The filter is AUTO-SIZED (round-10): position width h hex chars
+    (m = 2^(4h) bits) grows with the eval-set count so the load factor
+    stays <= 1/16 (FP ~ 2.2e-4 at k=3) — the decade-3 run caught the
+    fixed 2^16 filter saturating (syn30: ~1.4M eval grams set every
+    bit, FP -> 1, 378 s where the operator's point is to prune). The
+    positions frame is SPARSE (<= k * n_eval rows), so wider m costs
+    nothing in broadcast size; past md5 capacity auto_bloom_hex RAISES
+    instead of clamping, and the sizing decision replays in the twin
+    by integer CASE over the same count.
     reference scope: extract/clean governance next to
     q_decontaminate_documents (same eval fixture: source src0)."""
     from firmable_aus_etl_spark.operators.bloomfilter import (
+        auto_bloom_hex,
         bloom_build,
         bloom_contains,
     )
@@ -2451,8 +2512,11 @@ def q_bloom_decontaminate_documents(spark: SparkSession, sf_dir: str) -> DataFra
         .select("doc_id", "g")
         .distinct()
     )
-    positions = bloom_build(eval_g, "g")
-    pos_g = bloom_contains(train.select("g").distinct(), "g", positions)
+    hp = auto_bloom_hex(_bloom_eval_count(spark, sf_dir, eval_g))
+    positions = bloom_build(eval_g, "g", hex_per_pos=hp)
+    pos_g = bloom_contains(
+        train.select("g").distinct(), "g", positions, hex_per_pos=hp
+    )
     flagged = (
         train.join(pos_g, "g")
         .groupBy("doc_id")

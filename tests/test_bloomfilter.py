@@ -12,11 +12,15 @@ from pyspark.sql import functions as F
 
 from firmable_aus_etl_spark.operators.bloomfilter import (
     DEFAULT_K,
-    M_BITS,
+    auto_bloom_hex,
+    auto_bloom_hex_case_sql,
     bloom_build,
     bloom_contains,
     bloom_position_columns,
 )
+
+# default window: 4 hex chars -> m = 2^16 bits (the auto rule's floor)
+M_BITS = 1 << 16
 
 
 def _frame(spark, values):
@@ -114,3 +118,56 @@ def test_plan_broadcasts_positions_no_python(spark):
     assert "BroadcastHashJoin" in plan
     assert "PythonUDF" not in plan and "BatchEvalPython" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_auto_bloom_hex_boundaries_and_raise():
+    """The sizing rule's integer thresholds, pinned at the exact
+    boundaries the SQL CASE bakes (round-10: the fixed 2^16 filter
+    saturated at syn30 — the sizing must be LOUD past capacity, never
+    clamped)."""
+    assert auto_bloom_hex(1) == 4
+    assert auto_bloom_hex(1365) == 4       # 16*3*1365 <= 2^16
+    assert auto_bloom_hex(1366) == 5
+    assert auto_bloom_hex(21845) == 5
+    assert auto_bloom_hex(21846) == 6
+    assert auto_bloom_hex(1_400_000) == 7  # the syn30 regime
+    assert auto_bloom_hex(22906492245) == 10
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError):
+        auto_bloom_hex(22906492246)
+
+
+def test_auto_bloom_case_sql_matches_python_rule():
+    """Every CASE threshold agrees with auto_bloom_hex on both sides
+    of the boundary — the same duality discipline as the simhash
+    width CASE."""
+    import re
+
+    case = auto_bloom_hex_case_sql()
+    pairs = re.findall(r"WHEN n <= (\d+) THEN (\d+)", case)
+    assert pairs, case
+    for thresh, h in pairs:
+        assert auto_bloom_hex(int(thresh)) == int(h)
+        if int(h) > 4:
+            prev = int(pairs[int(h) - 5][0])  # previous threshold
+            assert auto_bloom_hex(prev + 1) == int(h)
+
+
+def test_wide_windows_no_false_negatives_and_fewer_fps(spark):
+    """h=6 windows (m = 2^24): still no false negatives, and the FP
+    count on a fixed probe set drops versus the saturating default —
+    the property the auto-sizing buys at scale."""
+    n = 3000
+    ref = _frame(spark, [f"ref{i}" for i in range(n)])
+    probe = _frame(spark, [f"other{i}" for i in range(20000)])
+    pos4 = bloom_build(ref, "v", hex_per_pos=4)
+    pos6 = bloom_build(ref, "v", hex_per_pos=6)
+    got6 = {
+        r["v"]
+        for r in bloom_contains(ref, "v", pos6, hex_per_pos=6).collect()
+    }
+    assert len(got6) == n  # no false negatives at the wide width
+    fp4 = bloom_contains(probe, "v", pos4, hex_per_pos=4).count()
+    fp6 = bloom_contains(probe, "v", pos6, hex_per_pos=6).count()
+    assert fp6 < fp4 and fp6 <= 2, (fp4, fp6)

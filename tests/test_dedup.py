@@ -610,3 +610,44 @@ def test_df_pruned_shingles_literal_and_join_paths_agree(spark):
     a = {(i, h) for i, h in a if h}
     b = {(i, h) for i, h in b if h}
     assert a == b
+
+
+def test_budget_prune_bound_regimes():
+    """Round-10 budget prune rule: self-deactivation without a df∝n
+    regime (bit-identical to the round-7 isqrt bound), budgeted
+    tightening with one, floor collapse when even the smallest
+    over-floor df band blows the budget."""
+    from firmable_aus_etl_spark.operators.dedup import (
+        auto_prune_df,
+        budget_prune_bound,
+    )
+
+    # no df > isqrt(n): bound == isqrt rule exactly (driver fixtures)
+    n = 5000
+    hist = {1: 100_000, 9: 20_000, 25: 5_000}
+    assert max(h for h in hist) <= auto_prune_df(n)
+    assert budget_prune_bound(n, hist) == auto_prune_df(n) == 70
+
+    # boilerplate present: largest b with cum mass <= 64*n
+    # mass(df=10) = 1000*45 = 45k <= 640k; + mass(df=100) = 300*4950
+    #   = 1.485M > 640k -> bound stays at 10
+    n = 10_000
+    hist2 = {2: 50_000, 10: 1_000, 100: 300, 5_000: 12}  # 5000 > isqrt
+    assert auto_prune_df(n) == 100
+    assert budget_prune_bound(n, hist2) == 10
+
+    # budget large enough to keep the 100-band: bound = 100 (<= s)
+    assert budget_prune_bound(n, hist2, budget_per_doc=200) == 100
+
+    # even the first over-floor band blows the budget -> floor
+    hist3 = {2: 50_000, 9: 10_000_000, 5_000: 12}
+    assert budget_prune_bound(n, hist3) == 8
+
+    # exact-boundary: cum mass == budget keeps the band
+    n4 = 100
+    s4 = auto_prune_df(n4)  # 10
+    # df=9: C(9,2)=36; 100 shingles -> 3600; budget 64*100=6400 >= 3600
+    hist4 = {9: 100, 50: 5}
+    assert budget_prune_bound(n4, hist4) == 9
+    # tighten budget to just below: 3600 > 3599 -> floor
+    assert budget_prune_bound(n4, hist4, budget_per_doc=35) == 8
