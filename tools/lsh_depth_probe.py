@@ -77,13 +77,16 @@ def main() -> None:
             F.sum(F.col("count") * F.col("count")).alias("sum_occ_sq"),
         ).collect()[0]
 
-        t0 = time.monotonic()
-        res = V.lsh_multiprobe_topk(
-            queries, corpus, dim=64, k=3, n_tables=6, probes=10,
-            n_planes=np_, seed=42,
-        )
-        rows = res.count()
-        t_full = time.monotonic() - t0
+        if os.environ.get("LSH_PROBE_SKIP_FULL"):
+            rows, t_full = None, None
+        else:
+            t0 = time.monotonic()
+            res = V.lsh_multiprobe_topk(
+                queries, corpus, dim=64, k=3, n_tables=6, probes=10,
+                n_planes=np_, seed=42,
+            )
+            rows = res.count()
+            t_full = time.monotonic() - t0
 
         out[d] = {
             "n": n,
@@ -95,7 +98,7 @@ def main() -> None:
             "sum_occ_sq_t0": int(stats["sum_occ_sq"]),
             "expected_uniform_occ": round(n / (1 << np_), 2),
             "rows": rows,
-            "t_full_s": round(t_full, 2),
+            "t_full_s": round(t_full, 2) if t_full is not None else None,
         }
         print(d, out[d], file=sys.stderr)
     print(json.dumps(out))
