@@ -592,11 +592,25 @@ def lsh_multiprobe_topk(
     probes: int = 10,
     seed: int = 42,
     impl: str = "expr",
+    fetch: str = "late",
 ) -> DataFrame:
     """Query-directed multi-probe sign-LSH top-k (round-3 verdict item
     #2 — single-bucket probing measured recall 0.35 on the near-uniform
     fixture; multi-probe recovers the neighbors that fall JUST across a
     hyperplane).
+
+    ``fetch`` controls WHERE the vectors attach (round-10 decade-3
+    repair): ``"late"`` (default) joins table/signature keys with IDS
+    ONLY, dedups the (query, neighbor) pairs on a ~24-byte shuffle row,
+    and fetches each side's vector ONCE per distinct candidate by id
+    equi-join — so the probe-exploded join and the distinct carry no
+    vector payload. ``"early"`` is the legacy plan that carried both
+    64-dim vectors (~1 KB/row) through the exploded join — its
+    occupancy law was measured INTACT at syn30 (sum occ^2 sub-linear,
+    tools/lsh_depth_probe.py) while wall time cliffed 2.78x, isolating
+    the per-candidate payload as the cost; kept for the A/B probe,
+    not for use. Same results either way: vectors are functionally
+    dependent on ids, so distinct-then-fetch = fetch-then-distinct.
 
     Per table, a query probes not only its own bucket but the
     ``probes`` buckets with the smallest *boundary distance*: flipping
@@ -682,10 +696,9 @@ def lsh_multiprobe_topk(
             l2_norm(F.col(vec_col)).alias("__cn"),
             dots_col().alias("__dots"),
         )
+    cs_cols = ["neighbor_id"] if fetch == "late" else ["neighbor_id", "__cv", "__cn"]
     cs = c0.select(
-        "neighbor_id",
-        "__cv",
-        "__cn",
+        *cs_cols,
         F.posexplode(F.array(*[table_sig(t) for t in range(n_tables)])).alias(
             "__table", "__sig"
         ),
@@ -740,16 +753,13 @@ def lsh_multiprobe_topk(
             f"transform(slice(array_sort(array({structs})), 1, {probes}), x -> x.s)"
         )
 
+    qp_cols = ["query_id"] if fetch == "late" else ["query_id", "__qv", "__qn"]
     qp = q1.select(
-        "query_id",
-        "__qv",
-        "__qn",
+        *qp_cols,
         F.posexplode(F.array(*[probe_list(t) for t in range(n_tables)])).alias(
             "__table", "__probes"
         ),
-    ).select(
-        "query_id", "__qv", "__qn", "__table", F.explode("__probes").alias("__sig")
-    )
+    ).select(*qp_cols, "__table", F.explode("__probes").alias("__sig"))
 
     joined = qp.alias("q").join(
         cs.alias("c"),
@@ -765,12 +775,29 @@ def lsh_multiprobe_topk(
         # projected BEFORE the distinct so no vector payload rides
         # the dedup shuffle
         return joined.select("query_id", "neighbor_id").distinct()
-    # norms hoisted to one fold per ROW upstream: per-pair scoring is a
-    # single dot fold (bit-identical to cosine(): same fold orders,
-    # same two doubles multiplied — the brute_force_topk move)
-    cand = joined.select(
-        "query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn"
-    ).distinct()
+    if fetch == "late":
+        # id-only dedup, then ONE vector fetch per distinct candidate
+        # side — narrow second scans of the inputs (no plane dots), so
+        # the 64-dim payload never multiplies by probes x occupancy
+        pairs = joined.select("query_id", "neighbor_id").distinct()
+        qvec = queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("__qv"),
+            l2_norm(F.col(vec_col)).alias("__qn"),
+        )
+        cvec = corpus.select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(vec_col).alias("__cv"),
+            l2_norm(F.col(vec_col)).alias("__cn"),
+        )
+        cand = pairs.join(qvec, "query_id").join(cvec, "neighbor_id")
+    else:
+        # norms hoisted to one fold per ROW upstream: per-pair scoring
+        # is a single dot fold (bit-identical to cosine(): same fold
+        # orders, same two doubles multiplied — brute_force_topk move)
+        cand = joined.select(
+            "query_id", "neighbor_id", "__qv", "__cv", "__qn", "__cn"
+        ).distinct()
     scored = cand.withColumn(
         "cosine",
         dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),

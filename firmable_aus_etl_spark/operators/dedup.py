@@ -214,7 +214,7 @@ def minhash_signature(
 
 
 def minhash_signatures_arrow(
-    sh: DataFrame, *, num_hashes: int = 32
+    sh: DataFrame, *, num_hashes: int = 32, portable: bool = False
 ) -> DataFrame:
     """MinHash signatures via Arrow-batched numpy — the sanctioned
     escape hatch for the interpreted-HOF ceiling.
@@ -225,19 +225,31 @@ def minhash_signatures_arrow(
     moves to numpy — one (k x m) broadcasted mul-add-mod-min per row,
     vectorized instead of interpreted. a < p < 2^31 and h < 2^31 keep
     a*h + b < 2^62: no int64 overflow, same as the ANSI-safe
-    expression. Use when the signature stage dominates (large k or
-    very long documents); the pure-expression path stays default so
-    benched plans keep zero Python nodes.
+    expression. Appears in plans as MapInPandas (the sanctioned
+    Arrow-batched escape hatch), never BatchEvalPython; the
+    pure-expression twin stays available via impl="expr".
+
+    ``portable=True`` switches the JVM-side base hash to md5
+    (md5_base_hash) — the fold is base-agnostic, so the output stays
+    bit-identical to ``minhash_signature_from(portable=True)``
+    (parity-tested). This is what keeps the AUTO-SIZED oracle DAG
+    affordable at depth: num_hashes grows ~n^0.5 under
+    auto_minhash_bands and the interpreted-HOF expression pays
+    O(shingles * num_hashes) interpreter steps where numpy pays one
+    broadcasted kernel.
     """
     family = _hash_family(num_hashes)
     a_vals = [a for a, _ in family]
     b_vals = [b for _, b in family]
     p = _MERSENNE_31
+    base = (
+        md5_base_hash
+        if portable
+        else (lambda s: F.pmod(F.xxhash64(s), F.lit(p)))
+    )
     hashed = sh.select(
         "__id",
-        F.transform(
-            F.col("__sh"), lambda s: F.pmod(F.xxhash64(s), F.lit(p))
-        ).alias("__h"),
+        F.transform(F.col("__sh"), base).alias("__h"),
     )
     from pyspark.sql.types import ArrayType, LongType, StructField, StructType
 
@@ -342,18 +354,21 @@ def minhash_lsh_pairs_from_shingles(
     """Banding + bucket join over a prepared (__id, __sh) frame.
 
     ``impl="arrow"`` computes the signature stage via numpy
-    (minhash_signatures_arrow, bit-identical values — parity-tested).
-    Default (None) auto-selects: arrow for the xxhash fast path
-    (measured 2x warm at sf0.1, PERF decision 16), expression for the
-    portable md5 path (whose base hash is expression-only anyway).
+    (minhash_signatures_arrow, bit-identical values — parity-tested,
+    for BOTH base hashes: the md5/xxhash base is JVM-side either way;
+    only the Carter-Wegman fold moves to numpy). Default (None)
+    auto-selects arrow (measured 2x warm at sf0.1 for the fast path,
+    PERF decision 16; the portable path gains more — its auto-sized
+    num_hashes grows ~n^0.5 and the interpreted-HOF fold pays per
+    element where numpy pays per batch).
     """
     if impl is None:
-        impl = "expr" if portable else "arrow"
+        impl = "arrow"
     rows_per_band = num_hashes // bands
     if impl == "arrow":
-        if portable:
-            raise ValueError("portable md5 base hash is expression-only")
-        sig = minhash_signatures_arrow(sh, num_hashes=num_hashes)
+        sig = minhash_signatures_arrow(
+            sh, num_hashes=num_hashes, portable=portable
+        )
     else:
         # Projection boundaries: shingle array computed once, signature
         # computed once — Catalyst keeps the boundaries because the lower
@@ -392,6 +407,107 @@ def minhash_lsh_pairs_from_shingles(
         .select(F.col("l.__id").alias("a_id"), F.col("r.__id").alias("b_id"))
         .distinct()
     )
+
+
+# Background-collision budget bits for auto_minhash_bands: the sizing
+# rule assumes a designed per-row background match probability of
+# 2^-MINHASH_BG_BITS (J_bg <= 1/16). Real corpora measure far lower
+# (the uniform-vocab synthetic fixture ~0.0014, zipf text lower
+# still), so the rule is conservative: it oversizes rows, never
+# undersizes. 4 bits keeps the num_hashes growth ~n^0.5 at the 0.5
+# design Jaccard (the published minhash rho = ln(1/j)/ln(1/j_bg)).
+MINHASH_BG_BITS = 4
+
+# Deepest rows-per-band the SQL twins bake their sizing matrix for:
+# r = 6 covers corpora up to target_mass * 2^(4*6) docs (268M at the
+# default 16) — an ORACLE-CAPACITY literal, not a tuning clamp
+# (auto_minhash_bands itself is unbounded; oracle_minhash_bands raises
+# LOUD past it instead of silently saturating — the round-8
+# constant-clamp lesson, same shape as SIMHASH_ORACLE_MAX_WIDTH).
+MINHASH_ORACLE_MAX_ROWS = 6
+
+
+def minhash_bands_for_rows(
+    rows: int, *, design_jaccard: float = 0.5, recall_target: float = 0.9
+) -> int:
+    """b = ceil(ln(1-recall)/ln(1-j^r)) — the LSH amplification count
+    that holds banding recall 1-(1-j^r)^b at the design Jaccard for a
+    given rows-per-band. Pure function of its arguments (driver-side
+    floats), shared by auto_minhash_bands and the SQL twin generator
+    so the r -> b literals baked into the oracle CASE are the ones the
+    Spark plan uses (the exact transposition of
+    cosine_join.simhash_chunks_for_width to Jaccard space)."""
+    import math
+
+    q = design_jaccard**rows
+    if q >= 1.0:
+        # design_jaccard = 1.0 (exact duplicates): identical shingle
+        # sets always share every band — one band has recall 1
+        return 1
+    return max(1, math.ceil(math.log(1.0 - recall_target) / math.log(1.0 - q)))
+
+
+def auto_minhash_bands(
+    n: int,
+    *,
+    target_mass: int = 16,
+    bg_bits: int = MINHASH_BG_BITS,
+    min_rows: int = 2,
+    design_jaccard: float = 0.5,
+    recall_target: float = 0.9,
+) -> tuple[int, int]:
+    """Size-derived (rows_per_band, bands) for MinHash banding — the
+    round-10 decade-3 finding made executable (SCALING.md round-10
+    Finding 5: FIXED 2-row bands collide background pairs with
+    probability ~E[J_bg^2], so background candidate mass is
+    Theta(n^2 * E[J_bg^2]) — small enough to hide for two data decades
+    on the synthetic corpus (~320k at syn10), 2.4x the wall at syn30.
+    auto_simhash_bands transposed to Jaccard space):
+
+      * rows_per_band r grows with log2(n): the smallest r with
+        designed background band-collision mass n^2 * (2^-bg_bits)^r
+        <= target_mass * n — i.e. r = ceil(ceil_log2(n/target)/bg_bits)
+        — pure integer arithmetic (bit_length, no libm), so an SQL
+        CASE over integer thresholds re-derives it exactly
+        (r <= k iff n <= target_mass * 2^(bg_bits*k)). Each +1 on r
+        multiplies background collisions by J_bg while the recall law
+        restores the design point, which is what keeps candidate mass
+        ~linear in n instead of quadratic. UNBOUNDED above — no clamp
+        to saturate.
+      * bands b restores recall at the design Jaccard:
+        b = ceil(ln(1-recall)/ln(1-j^r)) (minhash_bands_for_rows) —
+        the standard LSH amplification, b ~ n^(ln(1/j)/ln(1/j_bg))
+        (sublinear; total signature work n * r * b ~ n^1.5 in hash
+        count at j=0.5/bg 1/16, each hash one integer mul-add-mod-min).
+
+    Cost model at the defaults (j=0.5, recall 0.9, bg 1/16, mass 16):
+    n<=4k -> (2, 9), n<=65k -> (3, 18), n<=1M -> (4, 36),
+    n<=16.7M -> (5, 73), n<=268M -> (6, 147). Recall at the 0.5 verify
+    threshold stays ~0.9 BY CONSTRUCTION at every scale (the fixed
+    (2, 8) config's 0.90 was a point property of r=2); recall below
+    the design Jaccard decays faster with r — irrelevant to the
+    verified DAG, whose verify threshold IS the design point."""
+    k = (max(1, -(-n // max(1, target_mass))) - 1).bit_length()
+    rows = max(min_rows, -(-k // max(1, bg_bits)))
+    return rows, minhash_bands_for_rows(
+        rows, design_jaccard=design_jaccard, recall_target=recall_target
+    )
+
+
+def oracle_minhash_bands(n: int, **kw) -> tuple[int, int]:
+    """auto_minhash_bands bounded by the oracle twin's baked matrix:
+    raises LOUD past MINHASH_ORACLE_MAX_ROWS (268M docs at the
+    defaults) instead of silently clamping — the SQL twin's ELSE NULL
+    branch is unreachable in a green run because this raise fires
+    first (same contract as SIMHASH_ORACLE_MAX_WIDTH)."""
+    rows, bands = auto_minhash_bands(n, **kw)
+    if rows > MINHASH_ORACLE_MAX_ROWS:
+        raise ValueError(
+            f"auto_minhash_bands sized rows_per_band={rows} for n={n}, "
+            f"past the oracle matrix capacity {MINHASH_ORACLE_MAX_ROWS} "
+            f"(~268M docs at the defaults); extend the baked matrix"
+        )
+    return rows, bands
 
 
 def simhash64_from(hashes_col: Column, total_col: Column) -> Column:
@@ -878,7 +994,11 @@ _MAX_HOT_LITERAL = 20_000
 
 
 def df_pruned_shingles(
-    docs: DataFrame, bound: int, *, occurrences: DataFrame | None = None
+    docs: DataFrame,
+    bound: int,
+    *,
+    occurrences: DataFrame | None = None,
+    df_frame: DataFrame | None = None,
 ) -> DataFrame:
     """Drop shingles whose corpus document frequency exceeds ``bound``
     from every document's shingle SET (docs = (__id, __h sorted
@@ -913,19 +1033,34 @@ def df_pruned_shingles(
     (4.6 vs 2.3 s at sf0.1) — the InMemoryTableScan of cached arrays
     loses to parquet+codegen recompute and breaks the main plan's
     exchange reuse across its three consumptions.
+
+    ``df_frame`` optionally supplies the (sh, __df) per-shingle
+    document-frequency frame itself — callers that already aggregated
+    it (the auto-bound detection's histogram) pass it PERSISTED, so
+    the expensive parse+explode+agg lineage runs ONCE across the
+    detection's driver jobs instead of once per job (round-10 zipf30
+    repair: the budget fix moved the bottleneck from candidate mass
+    to repeated lineage over the parse). Narrow by construction (one
+    16-byte row per distinct shingle). This function unpersists it as
+    soon as the prune list is bound into the plan as a literal (or no
+    pruning applies); on the >20k distributed-fallback path it stays
+    persisted because the returned plan's anti-join still reads it.
     """
-    if occurrences is None:
-        occurrences = docs.select(F.explode("__h").alias("sh"))
-    sh_df = (
-        occurrences.groupBy("sh")
-        .agg(F.count("*").alias("__df"))
-        .filter(F.col("__df") > bound)
-        .select("sh")
-    )
+    if df_frame is None:
+        if occurrences is None:
+            occurrences = docs.select(F.explode("__h").alias("sh"))
+        df_frame = occurrences.groupBy("sh").agg(F.count("*").alias("__df"))
+    sh_df = df_frame.filter(F.col("__df") > bound).select("sh")
     hot_rows = sh_df.limit(_MAX_HOT_LITERAL + 1).collect()
+    _lvl = df_frame.storageLevel
+    _cached = _lvl.useMemory or _lvl.useDisk
     if not hot_rows:
+        if _cached:
+            df_frame.unpersist(False)
         return docs
     if len(hot_rows) <= _MAX_HOT_LITERAL:
+        if _cached:
+            df_frame.unpersist(False)
         arr_sql = "array(" + ",".join(
             f"{r['sh']}L" for r in sorted(hot_rows, key=lambda r: r["sh"])
         ) + ")"
@@ -1005,23 +1140,33 @@ def ngram_jaccard_pairs_prefix(
             ).alias("sh")
         )
         if prune_df == "auto":
+            # per-shingle df frame PERSISTED across the detection's
+            # driver jobs (round-10 zipf30 repair): the histogram
+            # collect below and the hot-list collect inside
+            # df_pruned_shingles both need it, and without the cache
+            # each job re-runs the full parse+explode+agg lineage.
+            # Narrow (16 bytes per distinct shingle), spillable.
+            from pyspark import StorageLevel
+
+            dfs = (
+                occ.groupBy("sh")
+                .agg(F.count("*").alias("__df"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
             # df histogram: tiny relation (one row per distinct df
             # value), collected to derive the budget bound in exact
             # integer arithmetic; the SQL twin replays the identical
             # computation relationally (window cumulative sum)
             hist = (
-                occ.groupBy("sh")
-                .agg(F.count("*").alias("__df"))
-                .groupBy("__df")
-                .agg(F.count("*").alias("__cnt"))
-                .collect()
+                dfs.groupBy("__df").agg(F.count("*").alias("__cnt")).collect()
             )
             bound = budget_prune_bound(
                 df.count(), [(r["__df"], r["__cnt"]) for r in hist]
             )
+            docs = df_pruned_shingles(docs, bound, df_frame=dfs)
         else:
             bound = int(prune_df)
-        docs = df_pruned_shingles(docs, bound, occurrences=occ)
+            docs = df_pruned_shingles(docs, bound, occurrences=occ)
     cand = jaccard_prefix_candidates(
         docs, threshold=threshold, order=order, max_df=max_df
     )

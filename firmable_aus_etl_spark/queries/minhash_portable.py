@@ -80,36 +80,153 @@ def _portable_minhash_oracle(
     )
 
 
-@register(
-    "minhash_verified_portable",
-    _portable_minhash_oracle(num_hashes=16, bands=8, verify_threshold=0.5),
-)
-def q_minhash_verified_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The ENTIRE near-dup scale pipeline — md5 MinHash signatures ->
-    banding -> candidate join -> exact Jaccard verification -> threshold
-    — replayed bit-for-bit by DuckDB: signatures, candidate set, AND
-    verified jaccard values all hash-gated, not just rows-counted."""
+def _minhash_r_case_sql(target_mass: int = 16, bg_bits: int | None = None) -> str:
+    """SQL CASE replaying the rows-per-band half of auto_minhash_bands
+    EXACTLY with integer thresholds (r <= k iff n <= target_mass *
+    2^(bg_bits*k) — no libm): the count-derived band depth both engines
+    agree on. ELSE NULL past the baked matrix — the Spark side raises
+    LOUD there first (dedup.oracle_minhash_bands), so the NULL branch
+    is unreachable in a green run."""
+    bb = dedup.MINHASH_BG_BITS if bg_bits is None else bg_bits
+    whens = " ".join(
+        f"WHEN n <= {target_mass * (1 << (bb * r))} THEN {r}"
+        for r in range(2, dedup.MINHASH_ORACLE_MAX_ROWS + 1)
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
+def _minhash_b_case_sql(
+    *, design_jaccard: float = 0.5, recall_target: float = 0.9
+) -> str:
+    """SQL CASE mapping rows-per-band -> band count, literals baked
+    from the SAME Python rule the Spark plan calls
+    (dedup.minhash_bands_for_rows), so the float amplification formula
+    never executes inside either engine."""
+    whens = " ".join(
+        f"WHEN r = {k} THEN "
+        f"{dedup.minhash_bands_for_rows(k, design_jaccard=design_jaccard, recall_target=recall_target)}"
+        for k in range(2, dedup.MINHASH_ORACLE_MAX_ROWS + 1)
+    )
+    return f"CASE {whens} ELSE NULL END"
+
+
+def _sized_minhash_oracle(verify_threshold: float | None = None) -> str:
+    """DuckDB twin of the AUTO-SIZED portable MinHash pipeline
+    (round-10 decade-3 fix: fixed 2-row bands collide background pairs
+    at ~E[J_bg^2] — Theta(n^2) candidate mass, measured tails 2.4x at
+    syn30; dedup.auto_minhash_bands). The (rows_per_band, bands)
+    SIZING DECISION is re-derived in SQL — rows from count(*) by
+    integer CASE, bands from rows by the baked amplification table —
+    and the hash family is RELATIONAL (one VALUES row per
+    Carter-Wegman pair, prefix-stable, filtered to j < r*b), so one
+    static SQL text replays every configuration the matrix covers and
+    small corpora never compute the deep matrix's hashes. Band keys
+    are string_agg of the per-band minima in family order — exactly
+    Spark's concat_ws(',') portable band key."""
+    p = dedup._MERSENNE_31
+    max_nh = dedup.MINHASH_ORACLE_MAX_ROWS * dedup.minhash_bands_for_rows(
+        dedup.MINHASH_ORACLE_MAX_ROWS
+    )
+    fam_vals = ", ".join(
+        f"({j}, CAST({a} AS BIGINT), CAST({b} AS BIGINT))"
+        for j, (a, b) in enumerate(dedup._hash_family(max_nh))
+    )
+    r_case = _minhash_r_case_sql()
+    b_case = _minhash_b_case_sql()
+    body = f"""
+    WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    sh AS (
+      SELECT doc_id, list_distinct(
+        list_transform(generate_series(1, greatest(len(w) - 2, 1)),
+                       i -> array_to_string(w[i:i+2], ' '))) AS shl
+      FROM d
+    ),
+    base AS (
+      SELECT doc_id, list_transform(shl, s ->
+        list_reduce(
+          list_prepend(CAST(0 AS BIGINT),
+            list_transform(generate_series(1, 8),
+              i -> CAST(strpos('0123456789abcdef', md5(s)[i]) - 1 AS BIGINT))),
+          (a, b) -> a * 16 + b) % {p}) AS hl
+      FROM sh
+    ),
+    sized0 AS (SELECT {r_case} AS r
+               FROM (SELECT count(*) AS n FROM documents)),
+    sized AS (SELECT r, {b_case} AS b FROM sized0),
+    fam AS (SELECT * FROM (VALUES {fam_vals}) AS t(j, fa, fb)),
+    fam_live AS (
+      SELECT f.j, f.fa, f.fb, s.r
+      FROM fam f, sized s WHERE f.j < s.r * s.b
+    ),
+    mh AS (
+      SELECT base.doc_id, f.j, f.j // f.r AS band,
+             list_min(list_transform(hl, h -> (h * f.fa + f.fb) % {p})) AS mh
+      FROM base, fam_live f
+    ),
+    bnd AS (
+      SELECT doc_id, band,
+             string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS band_hash
+      FROM mh GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS a_id, b.doc_id AS b_id
+      FROM bnd a JOIN bnd b
+        ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )"""
+    if verify_threshold is None:
+        return body + "\n    SELECT a_id, b_id FROM cand"
+    return (
+        body
+        + f""",
+    ver AS (
+      SELECT c.a_id, c.b_id,
+             CAST(len(list_intersect(x.shl, y.shl)) AS DOUBLE) AS inter,
+             CAST(len(x.shl) + len(y.shl) AS DOUBLE) AS szs
+      FROM cand c JOIN sh x ON c.a_id = x.doc_id JOIN sh y ON c.b_id = y.doc_id
+    )
+    SELECT a_id, b_id, inter / (szs - inter) AS jaccard
+    FROM ver WHERE inter / (szs - inter) >= {verify_threshold}
+    """
+    )
+
+
+def _sized_verified_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared Spark side of the sized verified pipeline: count (one
+    bounded driver aggregate), size (rows, bands) by the same rule the
+    twin's CASE bakes, raise loud past the matrix."""
     docs = load_table(spark, sf_dir, "documents")
-    return dedup.verified_near_dup_pairs(
+    rows, bands = dedup.oracle_minhash_bands(docs.count())
+    return docs, dedup.verified_near_dup_pairs(
         docs,
         "doc_id",
         "text",
         threshold=0.5,
         shingle_n=3,
-        num_hashes=16,
-        bands=8,
+        num_hashes=rows * bands,
+        bands=bands,
         portable=True,
     )
 
 
-def _portable_clusters_oracle() -> str:
-    """Recursive-CTE closure over the PORTABLE minhash+verify pair set:
-    the entire designated 100 TB dedup DAG (signature -> banding ->
-    candidate join -> exact verify -> connected components) as ONE
-    DuckDB-replayable statement."""
-    base = _portable_minhash_oracle(
-        num_hashes=16, bands=8, verify_threshold=0.5
-    )
+@register("minhash_verified_portable", _sized_minhash_oracle(0.5))
+def q_minhash_verified_portable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ENTIRE near-dup scale pipeline — md5 MinHash signatures ->
+    AUTO-SIZED banding (rows-per-band from log2(n), bands from the
+    recall law at the 0.5 design Jaccard; dedup.auto_minhash_bands) ->
+    candidate join -> exact Jaccard verification -> threshold —
+    replayed bit-for-bit by DuckDB INCLUDING the sizing decision:
+    signatures, band keys, candidate set, and verified jaccard values
+    all hash-gated, not just rows-counted."""
+    _, pairs = _sized_verified_pairs(spark, sf_dir)
+    return pairs
+
+
+def _sized_clusters_oracle() -> str:
+    """Recursive-CTE closure over the SIZED portable minhash+verify
+    pair set: the entire designated 100 TB dedup DAG (count -> sizing
+    CASE -> signature -> banding -> candidate join -> exact verify ->
+    connected components) as ONE DuckDB-replayable statement."""
+    base = _sized_minhash_oracle(0.5)
     return f"""
 WITH RECURSIVE pairs AS (SELECT a_id, b_id FROM ({base.strip()})),
 und AS (SELECT a_id AS x, b_id AS y FROM pairs
@@ -124,26 +241,29 @@ SELECT node AS doc_id, min(root) AS cluster FROM reach GROUP BY node
 """
 
 
-@register("minhash_dedup_clusters", _portable_clusters_oracle())
+@register("minhash_dedup_clusters", _sized_clusters_oracle())
 def q_minhash_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The designated 100 TB dedup DAG end to end, under ONE oracle:
-    portable MinHash signatures -> LSH banding -> candidate equi-join
-    -> exact-Jaccard verify on candidates only -> connected-components
-    clustering (min-reachable-id labels; keep-representative =
-    filter(doc_id == cluster)). near_dup_clusters proves the same
-    clustering over the EXACT prefix-join pair set; this query proves
-    it over the APPROXIMATE scale path a production corpus actually
-    runs — banding recall (1-(1-j^2)^8) decides which pairs exist, so
-    the cluster labeling here is the one a real pipeline ships.
-    Every stage replays bit-for-bit in DuckDB (recursive-CTE closure
-    over the portable pair set)."""
-    docs = load_table(spark, sf_dir, "documents")
-    pairs = dedup.verified_near_dup_pairs(
-        docs, "doc_id", "text",
-        threshold=0.5, shingle_n=3, num_hashes=16, bands=8, portable=True,
-    ).select("a_id", "b_id")
+    portable MinHash signatures -> AUTO-SIZED LSH banding
+    (dedup.auto_minhash_bands — rows-per-band grows with log2(n) so
+    background candidate mass stays ~linear instead of the fixed
+    2-row bands' Theta(n^2 * E[J_bg^2]), the round-10 decade-3 cliff;
+    bands restore recall ~0.9 at the 0.5 design Jaccard) -> candidate
+    equi-join -> exact-Jaccard verify on candidates only ->
+    connected-components clustering (min-reachable-id labels;
+    keep-representative = filter(doc_id == cluster)).
+    near_dup_clusters proves the same clustering over the EXACT
+    prefix-join pair set; this query proves it over the APPROXIMATE
+    scale path a production corpus actually runs — banding recall
+    1-(1-j^r)^b decides which pairs exist, so the cluster labeling
+    here is the one a real pipeline ships. Every stage INCLUDING the
+    sizing decision replays bit-for-bit in DuckDB (recursive-CTE
+    closure over the sized pair set)."""
+    docs, pairs = _sized_verified_pairs(spark, sf_dir)
     return dedup.connected_components(
-        pairs, nodes=docs.select("doc_id"), node_id="doc_id"
+        pairs.select("a_id", "b_id"),
+        nodes=docs.select("doc_id"),
+        node_id="doc_id",
     )
 
 

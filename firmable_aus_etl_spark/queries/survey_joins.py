@@ -327,11 +327,22 @@ def q_customers_with_urgent_orders(spark: SparkSession, sf_dir: str) -> DataFram
 @register_pipeline("minhash_verified_near_dups")  # rows-only: LSH recall is probabilistic
 def q_minhash_verified_near_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The near-dup SCALE pipeline: MinHash-LSH candidates + exact
-    Jaccard verify on candidates only. tests/test_dedup.py asserts it
-    recovers the exact ngram_jaccard_near_dups pairs on the fixture
-    (recall ~1.0 at jaccard >= 0.5 with 16 bands)."""
+    Jaccard verify on candidates only, xxhash64 fast path with
+    AUTO-SIZED banding (dedup.auto_minhash_bands — fixed 2-row bands
+    are the round-10 decade-3 cliff: background candidate mass
+    Theta(n^2 * E[J_bg^2])). tests/test_dedup.py asserts it recovers
+    the exact ngram_jaccard_near_dups pairs on the fixture (recall
+    ~0.9 at the 0.5 design Jaccard by the sizing law, ~1.0 for the
+    fixture's high-jaccard planted dups)."""
     docs = load_table(spark, sf_dir, "documents")
+    rows, bands = dedup.auto_minhash_bands(docs.count())
     return dedup.verified_near_dup_pairs(
-        docs, "doc_id", "text", threshold=0.5, shingle_n=3, num_hashes=32, bands=16
+        docs,
+        "doc_id",
+        "text",
+        threshold=0.5,
+        shingle_n=3,
+        num_hashes=rows * bands,
+        bands=bands,
     )
 

@@ -651,3 +651,64 @@ def test_budget_prune_bound_regimes():
     assert budget_prune_bound(n4, hist4) == 9
     # tighten budget to just below: 3600 > 3599 -> floor
     assert budget_prune_bound(n4, hist4, budget_per_doc=35) == 8
+
+
+def test_auto_minhash_bands_rule_boundaries_and_raise():
+    """The sizing law's integer thresholds are EXACTLY the SQL CASE's
+    literals (r <= k iff n <= 16 * 2^(4k)), the recall invariant holds
+    at every size by construction, and oracle capacity RAISES loudly
+    instead of clamping (the round-8 silent-clamp lesson)."""
+    import pytest
+
+    assert dedup.auto_minhash_bands(1) == (2, 9)
+    assert dedup.auto_minhash_bands(4096) == (2, 9)
+    assert dedup.auto_minhash_bands(4097) == (3, 18)
+    assert dedup.auto_minhash_bands(65536) == (3, 18)
+    assert dedup.auto_minhash_bands(65537) == (4, 36)
+    assert dedup.auto_minhash_bands(1_048_576) == (4, 36)
+    assert dedup.auto_minhash_bands(1_048_577) == (5, 73)
+    assert dedup.auto_minhash_bands(16_777_216) == (5, 73)
+    assert dedup.auto_minhash_bands(268_435_456) == (6, 147)
+    # recall at the 0.5 design Jaccard stays ~0.9 at EVERY scale — the
+    # property the fixed (2, 8) config only had as a point coincidence
+    for n in (100, 10**4, 10**6, 10**8):
+        r, b = dedup.auto_minhash_bands(n)
+        rec = 1 - (1 - 0.5**r) ** b
+        assert 0.9 <= rec < 0.95, (n, r, b, rec)
+    # the rule itself is unbounded; only the oracle-matrix wrapper raises
+    assert dedup.auto_minhash_bands(268_435_457)[0] == 7
+    with pytest.raises(ValueError, match="oracle matrix capacity"):
+        dedup.oracle_minhash_bands(268_435_457)
+    # design_jaccard=1.0 edge: one band suffices (log-domain guard)
+    assert dedup.minhash_bands_for_rows(4, design_jaccard=1.0) == 1
+
+
+def test_arrow_portable_minhash_bit_identical(spark):
+    """The numpy fold under the md5 PORTABLE base hash produces the
+    exact expression-path signatures — the property that lets the
+    auto-sized oracle DAG run the Arrow kernel while DuckDB replays
+    the expression semantics."""
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    sh = dedup.shingle_frame(docs, "doc_id", "text", shingle_n=3)
+    expr = sh.select(
+        "__id",
+        dedup.minhash_signature_from(
+            F.col("__sh"), num_hashes=18, portable=True
+        ).alias("s"),
+    )
+    arrow = dedup.minhash_signatures_arrow(sh, num_hashes=18, portable=True)
+    e = {r["__id"]: list(r.s) for r in expr.collect()}
+    a = {r["__id"]: list(r["__sig"]) for r in arrow.collect()}
+    assert e == a
+    # and the full sized pipelines (candidates + verify) agree
+    pe = dedup.verified_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=18, bands=9,
+        portable=True, impl="expr",
+    )
+    pa = dedup.verified_near_dup_pairs(
+        docs, "doc_id", "text", threshold=0.5, num_hashes=18, bands=9,
+        portable=True, impl="arrow",
+    )
+    assert {(r.a_id, r.b_id, round(r.jaccard, 9)) for r in pe.collect()} == {
+        (r.a_id, r.b_id, round(r.jaccard, 9)) for r in pa.collect()
+    }
