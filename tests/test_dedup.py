@@ -587,6 +587,46 @@ def test_auto_prune_df_rule_and_active_pruning(spark):
     assert all(a >= 900 for a, _ in got)  # boilerplate-only pairs gone
 
 
+def test_auto_prune_detection_histogram_first_no_residual_cache(spark):
+    """Round-10 bench repair: auto detection is histogram-FIRST — on a
+    corpus with no shingle above the bound, detection is one collect
+    (no persist, no hot-list job), and nothing stays cached in the
+    session afterwards; on a boilerplate corpus the persist happens,
+    prunes, and the <=20k literal path unpersists when done. Either
+    way the pair results are unchanged (identical to the explicit
+    literal-bound call on the clean corpus)."""
+    sc = spark.sparkContext
+
+    def n_cached() -> int:
+        return sc._jsc.sc().getPersistentRDDs().size()
+
+    base = n_cached()
+    # clean corpus: distinct-ish shingles, nothing above the bound
+    rows = [(i, f"alpha beta gamma {i} delta{i} eps{i} zeta{i}") for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    auto = dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", threshold=0.5, prune_df="auto"
+    )
+    got_auto = {(r.a_id, r.b_id) for r in auto.collect()}
+    assert n_cached() == base  # no persist on the clean path
+    lit = dedup.ngram_jaccard_pairs_prefix(
+        docs, "doc_id", "text", threshold=0.5, prune_df=str(dedup.auto_prune_df(60))
+    )
+    assert got_auto == {(r.a_id, r.b_id) for r in lit.collect()}
+
+    # boilerplate corpus: the persist branch runs and is released
+    boiler = "the same twelve words of disclaimer header repeated in every row"
+    brows = [(i, f"{boiler} tail {i}") for i in range(150)]
+    brows.append((900, "unique payload shared exactly here one two three four five six"))
+    brows.append((901, "unique payload shared exactly here one two three four five sev"))
+    bdocs = spark.createDataFrame(brows, "doc_id long, text string")
+    pruned = dedup.ngram_jaccard_pairs_prefix(
+        bdocs, "doc_id", "text", threshold=0.5, prune_df="auto"
+    ).collect()
+    assert (900, 901) in {(r.a_id, r.b_id) for r in pruned}
+    assert n_cached() == base  # literal path unpersisted the frame
+
+
 def test_df_pruned_shingles_literal_and_join_paths_agree(spark):
     """The <=20k literal array_except path and the distributed
     anti-join fallback must produce identical pruned sets."""
