@@ -1140,17 +1140,32 @@ def ngram_jaccard_pairs_prefix(
             ).alias("sh")
         )
         if prune_df == "auto":
-            dfs = occ.groupBy("sh").agg(F.count("*").alias("__df"))
+            # per-shingle df frame persisted across the detection's
+            # readers (round-10 zipf30 repair): the histogram job
+            # below materializes it in ONE parse+explode+agg pass,
+            # and on the boilerplate path the hot-list collect and
+            # the returned plan's anti-join read the cache instead
+            # of re-running that straggler-bound lineage (measured:
+            # one extra parse pass costs ~230 s of a ~1030 s query
+            # at zipf30). Narrow (16 bytes/distinct shingle),
+            # spillable.
+            from pyspark import StorageLevel
+
+            dfs = (
+                occ.groupBy("sh")
+                .agg(F.count("*").alias("__df"))
+                .persist(StorageLevel.MEMORY_AND_DISK)
+            )
             # df histogram: tiny relation (one row per distinct df
             # value), collected to derive the budget bound in exact
             # integer arithmetic; the SQL twin replays the identical
             # computation relationally (window cumulative sum). The
             # histogram alone also DECIDES whether any shingle sits
             # above the bound, so on corpora with no boilerplate
-            # regime (every driver fixture) detection is this ONE
-            # job — no persist, no hot-list job (the round-10 bench
-            # A/B put the persist-first variant's extra job + cache
-            # cycle at ~0.23 s of a 1.6 s query at sf0.1).
+            # regime (every driver fixture) detection ends here —
+            # no hot-list job (the round-10 bench A/B put the
+            # hot-list-job-always shape at ~0.2 s of a 1.6 s query
+            # at sf0.1).
             hist = (
                 dfs.groupBy("__df").agg(F.count("*").alias("__cnt")).collect()
             )
@@ -1158,16 +1173,9 @@ def ngram_jaccard_pairs_prefix(
                 df.count(), [(r["__df"], r["__cnt"]) for r in hist]
             )
             if any(r["__df"] > bound for r in hist):
-                # boilerplate present: the frame is now read by the
-                # hot-list collect AND the returned plan's anti-join
-                # (>20k fallback), so persist it across those (the
-                # round-10 zipf30 repair — without the cache each
-                # reader re-runs the full parse+explode+agg lineage).
-                # Narrow (16 bytes per distinct shingle), spillable.
-                from pyspark import StorageLevel
-
-                dfs = dfs.persist(StorageLevel.MEMORY_AND_DISK)
                 docs = df_pruned_shingles(docs, bound, df_frame=dfs)
+            else:
+                dfs.unpersist(False)
         else:
             bound = int(prune_df)
             docs = df_pruned_shingles(docs, bound, occurrences=occ)
