@@ -123,17 +123,39 @@ def main() -> None:
     # that vanishes on any long-lived cluster and says nothing about
     # plan efficiency at scale. Min-of-N is the standard way to read
     # through both that ramp and single-machine scheduling noise.
-    runs_n = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+    # Round-11 (verdict item 5): default runs 3 -> 5 and the side file
+    # additionally reports the per-query MEDIAN — min-of-N is exactly
+    # the statistic that cold-JVM bimodality and page-cache warm-up
+    # pollute, so round-over-round comparisons should be able to read
+    # a position-robust statistic without any contract change.
+    runs_n = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "5"))
     all_runs: dict[str, list[float]] = {n: [] for n in names}
+    # Recurring planner-statistic jobs (tfidf plan sample, route mass,
+    # docs count, bloom eval count) are memoized per (path, mtime), so
+    # only run 1 pays them; their wall cost is accumulated by the query
+    # module and reported per query as sizing_jobs_sec (verdict item 6)
+    # instead of silently vanishing from the min.
+    from firmable_aus_etl_spark.queries import llm_text as _lt
+
+    sizing_sec: dict[str, float] = {}
     for _ in range(runs_n):
         for name in names:
+            s0 = sum(_lt.SIZING_SECONDS.values())
             t0 = time.time()
             ALL_QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             all_runs[name].append(round(time.time() - t0, 3))
+            ds = sum(_lt.SIZING_SECONDS.values()) - s0
+            if ds > 0.0005:
+                sizing_sec[name] = round(sizing_sec.get(name, 0.0) + ds, 3)
 
     sentinel_post = _sentinel()
 
     timings = {name: min(r) for name, r in all_runs.items()}
+    medians = {
+        name: sorted(r)[len(r) // 2] if len(r) % 2
+        else round((sorted(r)[len(r) // 2 - 1] + sorted(r)[len(r) // 2]) / 2, 3)
+        for name, r in all_runs.items()
+    }
     total = round(sum(timings.values()), 3)
     # slowdown factor: >1 means the box was busier than the reference
     # calibration; normalized = raw / slowdown.
@@ -145,7 +167,9 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "queries_median": medians,
         "queries_normalized": norm,
+        "sizing_jobs_sec": sizing_sec,
         "all_runs": all_runs,
         "sentinel": {
             "pre_sec": sentinel_pre,
@@ -156,10 +180,13 @@ def main() -> None:
         "methodology": (
             f"each query executed {runs_n}x in one JVM; reported time is the "
             "min (codegen/JIT ramp and scheduler noise excluded); all runs "
-            "disclosed; sentinel = fixed busy-loop timed before/after, "
-            "slowdown = mean/ref, normalized = raw/slowdown; adaptive "
-            "tfidf planning stats are memoized per (path, mtime), so "
-            "min-of-N excludes that planning scan after run 1"
+            "and the per-query median disclosed; sentinel = fixed busy-loop "
+            "timed before/after, slowdown = mean/ref, normalized = "
+            "raw/slowdown; adaptive sizing stats (tfidf plan/route, docs "
+            "count, bloom eval count) are memoized per (path, mtime), so "
+            "min-of-N excludes those planning jobs after run 1 — their "
+            "measured wall cost is reported per query in sizing_jobs_sec "
+            "instead of being silently dropped"
         ),
         "sf": sf,
     }

@@ -593,6 +593,7 @@ def lsh_multiprobe_topk(
     seed: int = 42,
     impl: str = "expr",
     fetch: str = "late",
+    _stage: str | None = None,
 ) -> DataFrame:
     """Query-directed multi-probe sign-LSH top-k (round-3 verdict item
     #2 — single-bucket probing measured recall 0.35 on the near-uniform
@@ -703,6 +704,10 @@ def lsh_multiprobe_topk(
             "__table", "__sig"
         ),
     )
+    if _stage == "corpus_sigs":
+        # measurement-only early exit (tools/lsh_stage_split_probe.py):
+        # the corpus signature stage alone — never a query path
+        return cs
 
     # ---- queries: materialize dots+sigs behind projection boundaries
     # (the flip-cost expressions below reference them ~30x per table;
@@ -760,6 +765,9 @@ def lsh_multiprobe_topk(
             "__table", "__probes"
         ),
     ).select(*qp_cols, "__table", F.explode("__probes").alias("__sig"))
+    if _stage == "query_probes":
+        # measurement-only early exit: signature + probe-ranking stage
+        return qp
 
     joined = qp.alias("q").join(
         cs.alias("c"),
@@ -769,6 +777,9 @@ def lsh_multiprobe_topk(
             F.col("query_id") != F.col("neighbor_id"),
         ],
     )
+    if _stage == "join_raw":
+        # measurement-only early exit: candidate join WITHOUT the dedup
+        return joined.select("query_id", "neighbor_id")
     if k is None:
         # telemetry surface: the distinct candidate pairs themselves
         # (recall without its candidate cost is half a number) —

@@ -261,18 +261,36 @@ def minhash_signatures_arrow(
         import numpy as np
         import pandas as pd
 
-        an = np.array(a_vals, dtype=np.int64)[:, None]
-        bn = np.array(b_vals, dtype=np.int64)[:, None]
-        empty = np.full(num_hashes, p, dtype=np.int64)
+        an = np.array(a_vals, dtype=np.int64)
+        bn = np.array(b_vals, dtype=np.int64)
+        # Round-11 (verdict item 4): ONE segmented kernel per batch
+        # instead of one (k x m) broadcast per ROW — the per-row loop
+        # paid numpy dispatch + temporary allocation per document,
+        # which dominates when num_hashes grows under auto banding
+        # (365 family values/doc at syn30). Same integer math, same
+        # dtype, exact min — bit-identical output (parity-tested).
+        # Flatten all rows' base hashes, compute the family once over
+        # the flat vector in k-chunks bounded to ~2^25 int64 cells
+        # (~256 MB intermediate), and reduce per-row minima with
+        # np.minimum.reduceat over the row offsets.
+        max_cells = 1 << 25
         for pdf in batches:
-            sigs = []
-            for h in pdf["__h"]:
-                hv = np.asarray(h, dtype=np.int64)
-                if hv.size:
-                    sigs.append(((an * hv[None, :] + bn) % p).min(axis=1))
-                else:
-                    sigs.append(empty)  # matches the expression's init
-            yield pd.DataFrame({"__id": pdf["__id"], "__sig": sigs})
+            hs = [np.asarray(h, dtype=np.int64) for h in pdf["__h"]]
+            n_rows = len(hs)
+            out = np.full((n_rows, num_hashes), p, dtype=np.int64)
+            lens = np.fromiter((h.size for h in hs), dtype=np.int64, count=n_rows)
+            nz = np.flatnonzero(lens)
+            if nz.size:
+                flat = np.concatenate([hs[i] for i in nz])
+                starts = np.concatenate(([0], np.cumsum(lens[nz])[:-1]))
+                res = np.empty((num_hashes, nz.size), dtype=np.int64)
+                kc = max(1, int(max_cells // max(1, flat.size)))
+                for k0 in range(0, num_hashes, kc):
+                    k1 = min(num_hashes, k0 + kc)
+                    mat = (an[k0:k1, None] * flat[None, :] + bn[k0:k1, None]) % p
+                    res[k0:k1] = np.minimum.reduceat(mat, starts, axis=1)
+                out[nz] = res.T
+            yield pd.DataFrame({"__id": pdf["__id"], "__sig": list(out)})
 
     return hashed.mapInPandas(fn, out_schema)
 
@@ -760,8 +778,18 @@ def ngram_jaccard_pairs(
                 f"ngram_jaccard_pairs_prefix or verified_near_dup_pairs at "
                 f"this scale, or pass max_rows=None deliberately"
             )
-    sh = shingle_frame(df, id_col, text_col, shingle_n=shingle_n).select(
-        "__id", F.explode("__sh").alias("sh")
+    # explode_outer + null-drop instead of explode: identical rows, but
+    # InferFiltersFromGenerate fires only for INNER generates — the
+    # inferred `size(<shingle pipeline>) > 0` filter it synthesizes gets
+    # pushed below shingle_frame's repartition exchange and re-evaluates
+    # the whole parse (in the CollapseProject-collapsed O(len^2) regex
+    # form, interpreted) on the raw scan's tasks — the round-11 zipf30
+    # straggler finding (a single-file input has as many working scan
+    # tasks as parquet ROW GROUPS; at zipf30 that was 2 tasks x ~10 min).
+    sh = (
+        shingle_frame(df, id_col, text_col, shingle_n=shingle_n)
+        .select("__id", F.explode_outer("__sh").alias("sh"))
+        .filter(F.col("sh").isNotNull())
     )
     sizes = sh.groupBy("__id").agg(F.count("*").alias("sz"))
     l, r = sh.alias("l"), sh.alias("r")
@@ -828,14 +856,22 @@ def jaccard_prefix_candidates(
     """
     sz = F.size(F.col("__h"))
     plen = _prefix_len(sz, threshold)
+    # *_outer + null-drop on every Generate over __h: __h is the full
+    # parse pipeline (or the pruned re-agg) — an INNER generate makes
+    # InferFiltersFromGenerate synthesize `size(__h-expr) > 0`, which
+    # filter-pushdown then moves below the parse's repartition exchange,
+    # re-running the whole tokenize+shingle per row on the raw scan's
+    # few row-group-bearing tasks (round-11 zipf30 straggler finding).
     if order == "hash":
         pref = docs.select(
             "__id",
             sz.alias("sz"),
-            F.posexplode(F.slice(F.col("__h"), 1, plen)).alias("pos", "sh"),
-        )
+            F.posexplode_outer(F.slice(F.col("__h"), 1, plen)).alias("pos", "sh"),
+        ).filter(F.col("sh").isNotNull())
     elif order == "df":
-        sh = docs.select("__id", sz.alias("sz"), F.explode("__h").alias("sh"))
+        sh = docs.select(
+            "__id", sz.alias("sz"), F.explode_outer("__h").alias("sh")
+        ).filter(F.col("sh").isNotNull())
         freq = sh.groupBy("sh").agg(F.count("*").alias("df"))
         ranked = sh.join(freq, "sh").withColumn(
             "pos",
@@ -988,6 +1024,23 @@ def budget_prune_bound(
     return max(floor, bound)
 
 
+def budget_prune_decision(
+    n_docs: int,
+    df_hist: dict[int, int] | list[tuple[int, int]],
+    **kw,
+) -> tuple[int, bool]:
+    """(bound, prune_needed) from one histogram — the single source of
+    truth for BOTH the driver-side skip decision and what
+    :func:`df_pruned_shingles` will actually filter (``__df > bound``).
+    Keeping the two predicates in one place means the strict '>' prune
+    semantics cannot silently drift between the driver's "is there
+    anything to prune" check and the relational filter (round-10
+    ADVICE)."""
+    bound = budget_prune_bound(n_docs, df_hist, **kw)
+    items = df_hist.items() if isinstance(df_hist, dict) else df_hist
+    return bound, any(df > bound for df, _c in items)
+
+
 # literal-array ceiling for the driver-side hot-shingle list; beyond
 # this the pruning falls back to a distributed anti-join + re-agg
 _MAX_HOT_LITERAL = 20_000
@@ -1043,12 +1096,17 @@ def df_pruned_shingles(
     to repeated lineage over the parse). Narrow by construction (one
     16-byte row per distinct shingle). This function unpersists it as
     soon as the prune list is bound into the plan as a literal (or no
-    pruning applies); on the >20k distributed-fallback path it stays
-    persisted because the returned plan's anti-join still reads it.
+    pruning applies); on the >20k distributed-fallback path the hot
+    list is localCheckpointed (small: <= R/bound rows) and the wide
+    frame released immediately, so no session-lifetime cache of the
+    full df relation survives either path.
     """
     if df_frame is None:
         if occurrences is None:
-            occurrences = docs.select(F.explode("__h").alias("sh"))
+            # *_outer + null-drop: see ngram_jaccard_pairs (round-11)
+            occurrences = docs.select(
+                F.explode_outer("__h").alias("sh")
+            ).filter(F.col("sh").isNotNull())
         df_frame = occurrences.groupBy("sh").agg(F.count("*").alias("__df"))
     sh_df = df_frame.filter(F.col("__df") > bound).select("sh")
     hot_rows = sh_df.limit(_MAX_HOT_LITERAL + 1).collect()
@@ -1070,12 +1128,44 @@ def df_pruned_shingles(
                 F.array_except(F.col("__h"), F.expr(arr_sql))
             ).alias("__h"),
         )
-    ex = docs.select("__id", F.explode("__h").alias("sh"))
-    return (
+    if _cached:
+        # round-10 ADVICE: the fallback previously kept the WHOLE
+        # df_frame persisted for the session because the returned
+        # plan's anti-join read sh_df through it — a slow leak (one
+        # row per distinct shingle). Materialize just the hot list
+        # (<= R/bound rows, 8 bytes each) via an eager localCheckpoint
+        # and release the wide frame immediately; the surviving cache
+        # entry is the small relation the anti-join actually needs.
+        # (localCheckpoint is not fault-tolerant — acceptable on a
+        # rare fallback path whose loss just re-runs the query.)
+        sh_df = sh_df.localCheckpoint(eager=True)
+        df_frame.unpersist(False)
+    # *_outer + null-drop: see ngram_jaccard_pairs (round-11). NOTE the
+    # semantics nuance on THIS site: an inner explode would DROP docs
+    # whose shingle set is empty, and the re-agg would lose them — the
+    # outer explode keeps a null row for them, the null-drop removes it
+    # before the anti-join, and such docs simply vanish from the pair
+    # join exactly as before (they can never pair anyway).
+    ex = docs.select("__id", F.explode_outer("__h").alias("sh")).filter(
+        F.col("sh").isNotNull()
+    )
+    pruned = (
         ex.join(F.broadcast(sh_df), "sh", "left_anti")
         .groupBy("__id")
         .agg(F.array_sort(F.collect_list("sh")).alias("__h"))
     )
+    # Materialize the pruned frame ONCE (round-11, guide §5 reuse >
+    # recompute): the caller's pipeline consumes this frame FOUR times
+    # (prefix-join l/r + verify a/b), and each consumption would re-run
+    # parse -> explode -> anti-join -> collect_list re-agg — measured at
+    # zipf30 as the dominant repeated subtree of the ~1200 s wall. The
+    # lazy localCheckpoint computes it in the first job that touches it
+    # and serves the other three readers from storage; narrow rows
+    # (id + pruned hash array), ContextCleaner-collected when the frame
+    # goes out of scope (no session-lifetime CacheManager entry). Only
+    # this >20k-hot-list path pays it — the literal path (every driver
+    # SF) keeps its zero-materialization shape.
+    return pruned.localCheckpoint(eager=False)
 
 
 def ngram_jaccard_pairs_prefix(
@@ -1134,11 +1224,12 @@ def ngram_jaccard_pairs_prefix(
         # detection branch skips the array_sort (df needs multiplicity,
         # not order) and recomputes lineage instead of caching — see
         # df_pruned_shingles for the measured trade
+        # *_outer + null-drop: see ngram_jaccard_pairs (round-11)
         occ = shf.select(
-            F.explode(
+            F.explode_outer(
                 F.transform(F.col("__sh"), lambda s: F.xxhash64(s))
             ).alias("sh")
-        )
+        ).filter(F.col("sh").isNotNull())
         if prune_df == "auto":
             # per-shingle df frame persisted across the detection's
             # readers (round-10 zipf30 repair): the histogram job
@@ -1169,10 +1260,10 @@ def ngram_jaccard_pairs_prefix(
             hist = (
                 dfs.groupBy("__df").agg(F.count("*").alias("__cnt")).collect()
             )
-            bound = budget_prune_bound(
+            bound, prune_needed = budget_prune_decision(
                 df.count(), [(r["__df"], r["__cnt"]) for r in hist]
             )
-            if any(r["__df"] > bound for r in hist):
+            if prune_needed:
                 docs = df_pruned_shingles(docs, bound, df_frame=dfs)
             else:
                 dfs.unpersist(False)

@@ -601,13 +601,28 @@ def test_auto_prune_detection_histogram_first_no_residual_cache(spark):
         return sc._jsc.sc().getPersistentRDDs().size()
 
     base = n_cached()
-    # clean corpus: distinct-ish shingles, nothing above the bound
-    rows = [(i, f"alpha beta gamma {i} delta{i} eps{i} zeta{i}") for i in range(60)]
+    # clean corpus: every row's shingles are UNIQUE to it (df=1 for all
+    # shingles, far below bound=8), so the histogram decides no shingle
+    # is prunable and detection must end at the collect — the round-10
+    # ADVICE caught the previous fixture sharing an 'alpha beta gamma'
+    # trigram across all 60 rows (df=60 > 8), which silently ran the
+    # prune path in both halves and never exercised the skip branch.
+    rows = [(i, f"a{i} b{i} c{i} d{i} e{i} f{i} g{i}") for i in range(60)]
     docs = spark.createDataFrame(rows, "doc_id long, text string")
-    auto = dedup.ngram_jaccard_pairs_prefix(
-        docs, "doc_id", "text", threshold=0.5, prune_df="auto"
+    assert dedup.budget_prune_decision(60, {1: 60 * 5}) == (8, False)
+    # assert the skip branch DIRECTLY: on the clean path detection must
+    # never reach df_pruned_shingles (no hot-list job, no persist left)
+    _orig = dedup.df_pruned_shingles
+    dedup.df_pruned_shingles = lambda *a, **k: (_ for _ in ()).throw(
+        AssertionError("df_pruned_shingles called on the clean path")
     )
-    got_auto = {(r.a_id, r.b_id) for r in auto.collect()}
+    try:
+        auto = dedup.ngram_jaccard_pairs_prefix(
+            docs, "doc_id", "text", threshold=0.5, prune_df="auto"
+        )
+        got_auto = {(r.a_id, r.b_id) for r in auto.collect()}
+    finally:
+        dedup.df_pruned_shingles = _orig
     assert n_cached() == base  # no persist on the clean path
     lit = dedup.ngram_jaccard_pairs_prefix(
         docs, "doc_id", "text", threshold=0.5, prune_df=str(dedup.auto_prune_df(60))
